@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the engine's headline queries and print ONE
+JSON line {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  BENCH_QUERIES       comma-separated subset (default: all registered)
+  BENCH_REPEAT        timed repetitions per query, best-of (default 1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import go_map_reduce_spark  # noqa: E402  (populates registry)
+from go_map_reduce_spark.registry import QUERIES  # noqa: E402
+from go_map_reduce_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    names = (
+        os.environ.get("BENCH_QUERIES", "").split(",")
+        if os.environ.get("BENCH_QUERIES")
+        else list(QUERIES)
+    )
+    names = [n for n in names if n in QUERIES]
+
+    spark = get_spark(app_name="gmrs-bench")
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        fn = QUERIES[name]
+        # warm the scan cache / JIT once at the smallest cost we can:
+        # build the plan (no action) before timing.
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()  # full execution; rows land JVM-side only
+            dt = time.perf_counter() - t0
+            best = min(best, dt)
+            assert n >= 0
+        timings[name] = round(best, 4)
+        total += best
+        print(f"# {name}: {best:.3f}s", file=sys.stderr)
+    spark.stop()
+
+    print(
+        json.dumps(
+            {
+                "metric": "sum_query_seconds",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Text operators: the reference's application-level computations (SURVEY.md §2b).
+
+Each of the reference's Map/Reduce plugin apps becomes one declarative
+DataFrame query over the ``documents`` table; Catalyst gets the whole
+plan (scan → project → explode → partial agg → shuffle → final agg), so
+we get column pruning (only ``text``/``doc_id`` read from parquet) and
+map-side combine — which the reference explicitly lacks (every
+("word","1") pair crosses its shuffle, mr/worker.go:73).
+
+Scale notes: groupBy on `word` is a hash-partitioned shuffle whose
+cardinality is the vocabulary, not the corpus — safe at 100 TB. The
+inverted index's per-word doc list (reference semantics,
+mrapps/indexer.go:36-39) is inherently unbounded in the number of
+documents; it is kept because it IS the reference's query, but flagged:
+at pipeline scale you'd keep the (word, doc) pairs relational instead of
+materializing the joined string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from go_map_reduce_spark.catalog import load_table
+from go_map_reduce_spark.functions.texttok import exploded_tokens, sql_exploded_tokens
+from go_map_reduce_spark.registry import query
+
+
+@query(
+    "wordcount",
+    oracle=f"""
+    SELECT word, COUNT(*) AS cnt
+    FROM {sql_exploded_tokens('documents')}
+    GROUP BY word
+    """,
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 wc (mrapps/wc.go:21-44): tokenize on non-letter runs, count per word."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        exploded_tokens(docs.select("text"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "inverted_index",
+    oracle=f"""
+    SELECT word, COUNT(*) AS n_docs,
+           string_agg(doc, ',' ORDER BY doc) AS docs
+    FROM (
+      SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc, word
+      FROM {sql_exploded_tokens('documents')}
+    )
+    GROUP BY word
+    """,
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 indexer (mrapps/indexer.go:20-39): per-word doc count + sorted doc list.
+
+    Map-side dedup (the app's in-memory set, indexer.go:21-26) is
+    ``distinct()`` on (doc, word); the reduce-side value sort
+    (indexer.go:37) is ``sort_array`` — lexicographic on the stringified
+    doc id, exactly like the reference's string sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        exploded_tokens(docs.select("doc_id", "text"))
+        .select(F.col("doc_id").cast("string").alias("doc"), "word")
+        .distinct()
+    )
+    return pairs.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.concat_ws(",", F.sort_array(F.collect_list("doc"))).alias("docs"),
+    )
+
+
+@query(
+    "doc_token_counts",
+    oracle=f"""
+    SELECT doc_id, COUNT(*) AS n_tokens
+    FROM {sql_exploded_tokens('documents')}
+    GROUP BY doc_id
+    """,
+)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 early_exit semantics (mrapps/early_exit.go:21-39): count per file.
+
+    The reference emits one pair per file then counts; generalized here
+    to tokens-per-document (same group-count shape, non-degenerate).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        exploded_tokens(docs.select("doc_id", "text"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+
+
+@query(
+    "sorted_string_agg",
+    oracle="""
+    SELECT lang,
+           COUNT(DISTINCT source) AS n_sources,
+           string_agg(DISTINCT source, ' ' ORDER BY source) AS sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def sorted_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6 crash/nocrash reduce shape (mrapps/crash.go:45-55):
+    per key, values sorted then space-joined — the determinism rule the
+    reference enforces inside Reduce, expressed as
+    sort_array(collect_set(...)).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count_distinct("source").alias("n_sources"),
+        F.concat_ws(" ", F.sort_array(F.collect_set("source"))).alias("sources"),
+    )
