@@ -30,6 +30,10 @@ role of mrsequential).
 from go_map_reduce_spark import registry  # noqa: F401
 
 # Importing the operator modules populates the registry.
-from go_map_reduce_spark.operators import text  # noqa: F401,E402
+from go_map_reduce_spark.operators import (  # noqa: F401,E402
+    events,
+    relational,
+    text,
+)
 
 __all__ = ["registry"]

@@ -1,0 +1,126 @@
+"""Event-stream operators (batch form): JSON extraction, time-window
+aggregation, sessionization.
+
+The ``events`` table is the streaming fixture (FIXTURES.md §3); these are
+the batch formulations — their Structured Streaming twins live in
+``go_map_reduce_spark.streaming``. Batch and stream share the same
+window semantics, so the DuckDB oracle checks both formulations'
+correctness at once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from go_map_reduce_spark.catalog import load_table
+from go_map_reduce_spark.functions.numeric import dsum, sql_dsum
+from go_map_reduce_spark.registry import query
+
+
+@query(
+    "events_json_stats",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           {sql_dsum('value')} AS sum_value,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions (ABSENT in the reference beyond its codec,
+    SURVEY.md §2c): extract props.$.k, aggregate per event type.
+    get_json_object is a native JVM expression — no Python in the path."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+        dsum(F.col("value")).alias("sum_value"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "events_hourly_windows",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch twin of
+    streaming.windows.hourly_stream). date_trunc on TIMESTAMP_NTZ is
+    timezone-free; grouping key cardinality = hours × types, tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+    )
+
+
+@query(
+    "user_sessions",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_start
+      FROM gaps
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) AS TIMESTAMP) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap): lag → gap marker →
+    running-sum session ids → per-session rollup. Partitioned by user_id
+    throughout — one shuffle, reused by both windows and the final
+    groupBy. Streaming twin: session_window(ts, '30 minutes')."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "is_start",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL '30' MINUTE")),
+            1,
+        ).otherwise(0),
+    )
+    sessions = marked.withColumn(
+        "session_id",
+        F.sum("is_start").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sessions.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

@@ -28,6 +28,22 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _canon_cell(x):
+    import datetime
+
+    if x is None:
+        return None
+    if isinstance(x, datetime.datetime):
+        return x.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(x, datetime.date):
+        return x.strftime("%Y-%m-%d 00:00:00.000000")
+    if hasattr(x, "tolist") and not isinstance(x, str):
+        return tuple(x.tolist())
+    if isinstance(x, (list, tuple)):
+        return tuple(x)
+    return x
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -36,8 +52,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("int64")
-        elif isinstance(s.dtype, object.__class__) and s.map(lambda x: isinstance(x, (list, tuple)) or (hasattr(x, "tolist") and not isinstance(x, str))).any():
-            df[c] = s.map(lambda x: tuple(x.tolist() if hasattr(x, "tolist") else x) if x is not None else None)
+        elif s.dtype == object:
+            df[c] = s.map(_canon_cell)
     sort_keys = [df[c].map(repr) for c in df.columns]
     order = pd.DataFrame({i: k for i, k in enumerate(sort_keys)}).sort_values(list(range(len(sort_keys)))).index
     return df.loc[order].reset_index(drop=True)

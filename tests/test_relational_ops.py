@@ -1,0 +1,29 @@
+"""Differential tests for the relational + event operators (SURVEY.md §2c)."""
+
+import pytest
+
+from go_map_reduce_spark.registry import ORACLES, QUERIES
+
+from tests.oracle_util import compare
+
+RELATIONAL = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "top_orders_per_customer",
+    "running_customer_spend",
+    "customers_without_orders",
+    "big_spender_customers",
+    "set_ops_customer_status",
+    "rollup_lineitem_status",
+    "order_scalar_functions",
+    "global_top_orders",
+    "events_json_stats",
+    "events_hourly_windows",
+    "user_sessions",
+]
+
+
+@pytest.mark.parametrize("name", RELATIONAL)
+def test_against_duckdb_oracle(name, spark, sf_dir):
+    compare(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
