@@ -31,9 +31,14 @@ from go_map_reduce_spark import registry  # noqa: F401
 
 # Importing the operator modules populates the registry.
 from go_map_reduce_spark.operators import (  # noqa: F401,E402
+    dedup,
     events,
+    multimodal,
     relational,
+    similarity,
     text,
+    textstats,
 )
+from go_map_reduce_spark.streaming import windows  # noqa: F401,E402
 
 __all__ = ["registry"]

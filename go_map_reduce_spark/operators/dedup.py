@@ -1,0 +1,345 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup — the dedup stack of a training-data pipeline.
+
+Pipeline shape (the scale rationale):
+
+1. cheap per-doc signatures computed in one scan (no shuffle):
+   content hash / minhash sketch / simhash bits / LSH bucket;
+2. candidate generation by *equality* on signature pieces (band keys,
+   simhash buckets, sign buckets) — a hash-shuffle join whose cost is
+   the number of colliding docs, not O(n²) over the corpus;
+3. exact verification (shingle Jaccard, embedding cosine) only on the
+   candidate pairs.
+
+At 100 TB the only all-data operations are scans and hash shuffles on
+signature keys; pairwise work is confined to candidate buckets. Skewed
+buckets (a boilerplate shingle shared by millions of docs) are the known
+failure mode — AQE skew-join splitting plus a bucket-size cap (documented
+on minhash_near_dup_pairs) handle it.
+
+The MinHash construction (hash each shingle with H seeded functions,
+keep per-seed minima, band into B groups of R rows) follows the standard
+public LSH literature; hashes are md5 so the DuckDB oracle can compute
+byte-identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from go_map_reduce_spark.catalog import load_table
+from go_map_reduce_spark.functions.vector import cosine, norm_sq, sql_cosine, sql_dot
+from go_map_reduce_spark.registry import query
+
+# MinHash/LSH configuration: H = B × R signatures; bands of R rows catch
+# pairs with Jaccard ≳ (1/B)^(1/R) ≈ 0.63 with high probability.
+N_HASHES = 12
+BANDS = 4
+R = 3
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.5
+
+EMB_DIMS = 64
+SIGN_BUCKET_DIMS = 8
+COSINE_THRESHOLD = 0.4  # synthetic embeddings are near-orthogonal (max ≈ .51)
+
+_SQL_TOKS = "list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')"
+
+# Distinct (doc_id, shingle) pairs — shingle = K consecutive tokens.
+_SQL_SHINGLES = f"""
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) < {SHINGLE_K}
+                       THEN [array_to_string(toks, ' ')]
+                       ELSE list_transform(range(1, len(toks) - {SHINGLE_K - 2}),
+                                           i -> array_to_string(toks[i:i+{SHINGLE_K - 1}], ' '))
+                  END) AS shingle
+    FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+  )
+"""
+
+_SQL_SIGS = (
+    "SELECT doc_id, "
+    + ", ".join(f"min(md5('{j}|' || shingle)) AS mh{j}" for j in range(N_HASHES))
+    + f" FROM sh GROUP BY doc_id"
+)
+
+_SQL_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, "
+    f"md5({' || '.join(f'mh{b * R + r}' for r in range(R))}) AS bkey FROM sigs"
+    for b in range(BANDS)
+)
+
+
+def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) — one scan, no shuffle before distinct."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", "[^A-Za-z]+"), lambda x: x != "")
+    shingles = F.when(
+        F.size(toks) < SHINGLE_K, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - SHINGLE_K),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_K)),
+        )
+    )
+    return (
+        docs.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    )
+
+
+def _spark_signatures(sh: DataFrame) -> DataFrame:
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"mh{j}")
+            for j in range(N_HASHES)
+        ]
+    )
+
+
+def _spark_bands(sigs: DataFrame) -> DataFrame:
+    band_keys = F.array(
+        *[
+            F.md5(F.concat(*[F.col(f"mh{b * R + r}") for r in range(R)]))
+            for b in range(BANDS)
+        ]
+    )
+    return sigs.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "bkey")
+    )
+
+
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact_summary",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_distinct,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_duplicate_docs
+    FROM documents
+    """,
+)
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, corpus-level accounting: total vs distinct content
+    hashes. Hash-groupBy on md5(text) — the 100 TB formulation shuffles
+    16-byte digests, never document bodies."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5("text")).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.count_distinct(F.md5("text"))).alias(
+            "n_duplicate_docs"
+        ),
+    )
+
+
+@query(
+    "dedup_exact_survivors",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, keep-first policy: one survivor (min doc_id) per
+    content hash. The survivor set is the deduped corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"WITH sh AS ({_SQL_SHINGLES}) {_SQL_SIGS}",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash sketch: H seeded-md5 minima over the doc's
+    3-token shingle set. One scan + one groupBy(doc_id) — the signature
+    table is H×32 bytes/doc regardless of doc size."""
+    return _spark_signatures(_spark_shingles(spark, sf_dir))
+
+
+@query(
+    "minhash_near_dup_pairs",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+         sigs AS ({_SQL_SIGS}),
+         bands AS ({_SQL_BANDS}),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         ),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+           FROM pairs p
+           JOIN sh sa ON sa.doc_id = p.doc_a
+           JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+           GROUP BY p.doc_a, p.doc_b
+         )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: MinHash-LSH banding for candidates, exact shingle
+    Jaccard for verification, threshold 0.5.
+
+    Scale behavior: the band self-join shuffles on (band, bkey) —
+    collision-bucket sized, not corpus². The verify join re-shuffles
+    only candidate docs' shingles. Known hazard: a degenerate band key
+    shared by a huge doc cluster makes one bucket quadratic; production
+    guard is a per-bucket cap (drop buckets with > N docs as "template
+    clusters" and handle separately) — at the driver SFs no bucket
+    exceeds a handful of docs, so the cap is not applied here.
+    """
+    sh = _spark_shingles(spark, sf_dir)
+    sigs = _spark_signatures(sh)
+    bands = _spark_bands(sigs)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+_HEX_ODD = "('1','3','5','7','9','b','d','f')"
+
+
+@query(
+    "simhash_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           {' || '.join(f"CASE WHEN d{i} > 0 THEN '1' ELSE '0' END" for i in range(1, 17))}
+             AS simhash,
+           n_tokens
+    FROM (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             {', '.join(f"SUM(CASE WHEN substr(md5(word), {i}, 1) IN {_HEX_ODD} THEN 1 ELSE -1 END) AS d{i}" for i in range(1, 17))}
+      FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents)
+      GROUP BY doc_id
+    )
+    """,
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 16-bit fingerprint from per-token hash-bit votes
+    (dimension i votes +1/-1 by the parity of hex digit i of md5(token);
+    sign of the vote sum is bit i). Identical fingerprints → near-dup
+    bucket. 16 portable dimensions here so the oracle matches
+    bit-for-bit; scale deployments widen to 64 bits with xxhash64 and
+    integer bit ops — same plan shape (explode → groupBy doc)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", "[^A-Za-z]+"), lambda x: x != "")
+    words = docs.select("doc_id", F.explode(toks).alias("word"))
+    h = F.md5("word")
+    agg = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        *[
+            F.sum(
+                F.when(F.substring(h, i, 1).isin(*"13579bdf"), 1).otherwise(-1)
+            ).alias(f"d{i}")
+            for i in range(1, 17)
+        ],
+    )
+    bits = F.concat(
+        *[
+            F.when(F.col(f"d{i}") > 0, "1").otherwise("0")
+            for i in range(1, 17)
+        ]
+    )
+    return agg.select("doc_id", bits.alias("simhash"), "n_tokens")
+
+
+_SQL_SIGN_BUCKET = " || ".join(
+    f"CASE WHEN embedding[{i}] > 0 THEN '1' ELSE '0' END"
+    for i in range(1, SIGN_BUCKET_DIMS + 1)
+)
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             {_SQL_SIGN_BUCKET} AS bucket,
+             {sql_dot('embedding', 'embedding')} AS nsq
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {sql_cosine('a.embedding', 'b.embedding', 'a.nsq', 'b.nsq')} AS cos_sim
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {sql_cosine('a.embedding', 'b.embedding', 'a.nsq', 'b.nsq')}
+          >= {COSINE_THRESHOLD}
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: sign-bit LSH bucketing (first 8 dims) for
+    candidates, exact cosine for verification. The bucket join is an
+    equality hash join on an 8-bit key — 2^8 buckets partition the
+    corpus, each pairwise-verified locally. Threshold 0.4 because the
+    synthetic vectors are near-orthogonal (max pairwise cosine ≈ 0.51);
+    real near-dup dedup runs ≥ 0.95 with more bucket bits."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = F.concat(
+        *[
+            F.when(F.element_at("embedding", i) > 0, "1").otherwise("0")
+            for i in range(1, SIGN_BUCKET_DIMS + 1)
+        ]
+    )
+    e = emb.select(
+        "vec_id", "embedding", bucket.alias("bucket"), norm_sq(F.col("embedding")).alias("nsq")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine(
+        F.col("a.embedding"), F.col("b.embedding"), F.col("a.nsq"), F.col("b.nsq")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= COSINE_THRESHOLD)
+    )

@@ -1,0 +1,151 @@
+"""Similarity search over the `embeddings` table (ArrayType(FloatType)).
+
+Two formulations of approximate-nearest-neighbor, per the pipeline
+blueprint:
+
+- brute-force cosine top-k: the exactness baseline. Query set ⨯
+  candidate set with the small side broadcast — on a cluster this is a
+  map-side-only job (no shuffle of the big side) whose cost is
+  |Q|·|C|·d multiply-adds inside codegen'd array expressions, followed
+  by a per-query top-k window.
+- LSH-bucketed top-k: the scale path. Sign-bit bucketing (random
+  hyperplanes degenerate to coordinate hyperplanes here; a production
+  deployment multiplies by a fixed random matrix first — same plan) cuts
+  candidates to one bucket; the join is an equality hash join on the
+  bucket key. IVF is the same plan with k-means cell ids as the key.
+
+Cosine math: see functions.vector — sequential-fold doubles,
+bit-reproducible against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from go_map_reduce_spark.catalog import load_table
+from go_map_reduce_spark.functions.vector import cosine, norm_sq, sql_cosine, sql_dot
+from go_map_reduce_spark.operators.dedup import SIGN_BUCKET_DIMS, _SQL_SIGN_BUCKET
+from go_map_reduce_spark.registry import query
+
+N_QUERY_VECS = 8  # brute-force demo query set: vec_id < 8
+TOP_K = 5
+BUCKET_TOP_K = 3
+
+
+@query(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding, {sql_dot('embedding', 'embedding')} AS nsq
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {sql_cosine('q.embedding', 'c.embedding', 'q.nsq', 'c.nsq')} AS cos_sim
+      FROM e q JOIN e c ON q.vec_id < {N_QUERY_VECS} AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+             ) AS rk
+      FROM scored
+    )
+    WHERE rk <= {TOP_K}
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for a query set: broadcast the (tiny) query
+    side, scan candidates once, window top-k per query. Deterministic
+    ranking: cosine desc, neighbor_id asc tiebreak."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "embedding", norm_sq(F.col("embedding")).alias("nsq"))
+    q = e.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(
+                F.col("q_emb"), F.col("embedding"), F.col("q_nsq"), F.col("nsq")
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= TOP_K)
+    )
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             {_SQL_SIGN_BUCKET} AS bucket,
+             {sql_dot('embedding', 'embedding')} AS nsq
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {sql_cosine('q.embedding', 'c.embedding', 'q.nsq', 'c.nsq')} AS cos_sim
+      FROM e q JOIN e c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+             ) AS rk
+      FROM scored
+    )
+    WHERE rk <= {BUCKET_TOP_K}
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: every vector's top-3 neighbors *within its sign-bit
+    LSH bucket* — the candidate set an IVF/LSH index would probe. The
+    self-join is an equality join on the 8-bit bucket key; per-bucket
+    pair work is bounded by bucket size, not corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = F.concat(
+        *[
+            F.when(F.element_at("embedding", i) > 0, "1").otherwise("0")
+            for i in range(1, SIGN_BUCKET_DIMS + 1)
+        ]
+    )
+    e = emb.select(
+        "vec_id",
+        "embedding",
+        bucket.alias("bucket"),
+        norm_sq(F.col("embedding")).alias("nsq"),
+    )
+    q = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    scored = (
+        e.join(
+            q,
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(
+                F.col("q_emb"), F.col("embedding"), F.col("q_nsq"), F.col("nsq")
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= BUCKET_TOP_K)
+    )

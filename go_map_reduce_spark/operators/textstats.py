@@ -1,0 +1,207 @@
+"""Text-analysis operators for training-data pipelines: quality scoring,
+language-ID heuristic, token counting, document fingerprinting.
+
+These generalize the reference's text processing (its only analytics are
+token-count shapes, SURVEY.md §2b) to the operations an LLM-data
+pipeline runs at scale. All per-document computation is native Spark
+expressions (regexp/array/hash functions — JVM codegen, no Python), so
+the work is embarrassingly parallel over document partitions; nothing
+here shuffles except the final tiny aggregations.
+
+Determinism: every float here is a per-row IEEE operation (ratios of
+counts) — bit-identical across engines; no float aggregation at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from go_map_reduce_spark.catalog import load_table
+from go_map_reduce_spark.registry import query
+
+# Shared vocab-derived marker sets for the language-ID heuristic.
+# (Synthetic corpus: real deployments plug in per-language stopword
+# lists; the heuristic's *shape* — marker hit-rate argmax — is what the
+# operator provides.)
+LANG_MARKERS = {
+    "en": ("the", "fast", "slow"),
+    "de": ("data", "group", "window"),
+    "es": ("query", "row", "table"),
+}
+
+STOPWORDS = ("the", "a", "of", "and")
+
+# BPE-ish pretokenizer: letter runs, digit runs, single other non-space.
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _toks(col: Column) -> Column:
+    return F.filter(F.split(col, r"\s+"), lambda x: x != "")
+
+
+def _sql_toks(expr: str) -> str:
+    return rf"list_filter(regexp_split_to_array({expr}, '\s+'), x -> x <> '')"
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+             AS n_letters,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / len(toks) AS avg_token_len,
+           CAST(len(list_filter(toks, x -> x IN {STOPWORDS!r})) AS DOUBLE)
+             / len(toks) AS stopword_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+                AS DOUBLE) / length(text) AS punct_ratio
+    FROM (SELECT doc_id, text, n_chars, {_sql_toks('text')} AS toks FROM documents)
+    WHERE len(toks) > 0
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, token, stopword and punctuation signals
+    per document — the filter inputs of a pretraining data pipeline.
+    Pure per-row expressions; ratios are single IEEE divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    letters = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    nonpunct = F.length(F.regexp_replace("text", "[^A-Za-z0-9 ]", ""))
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            "text",
+            F.size(toks).cast("long").alias("n_tokens"),
+            letters.cast("long").alias("n_letters"),
+            (letters.cast("double") / F.size(toks)).alias("avg_token_len"),
+            (
+                F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
+                / F.size(toks)
+            ).alias("stopword_ratio"),
+            (
+                (F.length("text") - nonpunct).cast("double") / F.length("text")
+            ).alias("punct_ratio"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .drop("text")
+    )
+
+
+def _marker_score_sql(markers: tuple[str, ...]) -> str:
+    return f"len(list_filter(toks, x -> x IN {markers!r}))"
+
+
+@query(
+    "language_id",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE
+             WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+             WHEN s_de >= s_es THEN 'de'
+             ELSE 'es'
+           END AS predicted_lang,
+           CAST(s_en AS BIGINT) AS s_en,
+           CAST(s_de AS BIGINT) AS s_de,
+           CAST(s_es AS BIGINT) AS s_es
+    FROM (
+      SELECT doc_id, lang,
+             {_marker_score_sql(LANG_MARKERS['en'])} AS s_en,
+             {_marker_score_sql(LANG_MARKERS['de'])} AS s_de,
+             {_marker_score_sql(LANG_MARKERS['es'])} AS s_es
+      FROM (SELECT doc_id, lang, {_sql_toks('text')} AS toks FROM documents)
+    )
+    """,
+)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-token hit counts per language
+    profile, argmax with a fixed preference order (en > de > es on ties)
+    so the prediction is deterministic. Real deployments swap in
+    character-n-gram profiles; the operator shape (per-row scoring +
+    argmax, zero shuffles) is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            F.size(F.filter(toks, lambda x: x.isin(*m))).cast("long").alias(f"s_{k}")
+            for k, m in LANG_MARKERS.items()
+        ],
+    )
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        F.when(
+            (F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_es")), "en"
+        )
+        .when(F.col("s_de") >= F.col("s_es"), "de")
+        .otherwise("es")
+        .alias("predicted_lang"),
+        "s_en",
+        "s_de",
+        "s_es",
+    )
+
+
+@query(
+    "token_counts_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_sql_toks('text')}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish
+    pretokenizer regex (letter runs / digit runs / single punctuation) —
+    the cost estimator of a training pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_toks(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{BPE_RE}', 0)"))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle=rf"""
+    SELECT doc_id,
+           md5(text) AS content_hash,
+           (SELECT min(md5(s)) FROM unnest(shingles) AS t(s)) AS winnow_fp
+    FROM (
+      SELECT doc_id, text,
+             CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 3),
+                                      i -> array_to_string(toks[i:i+4], ' '))
+             END AS shingles
+      FROM (SELECT doc_id, text, {_sql_toks('text')} AS toks FROM documents)
+    )
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-content hash + a winnowing-style
+    shingle fingerprint (min hash over 5-token shingles — the rolling-
+    hash-min idea with md5 as the portable hash). Used downstream as the
+    exact-dedup key and as a stable doc identity across recrawls."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    shingles = F.when(
+        F.size(toks) < 5, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 5),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 5)),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        F.array_min(F.transform(shingles, F.md5)).alias("winnow_fp"),
+    )

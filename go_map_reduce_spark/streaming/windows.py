@@ -1,0 +1,164 @@
+"""Structured Streaming operators over the events table.
+
+The reference is strictly batch (SURVEY.md §2c: streaming ABSENT); this
+module supplies the streaming surface with Spark Structured Streaming:
+file source → event-time window aggregation with watermark → sink.
+
+Two window semantics, both ALSO expressible in batch (and therefore
+DuckDB-oracle-checkable):
+
+- tumbling windows (`F.window(ts, '1 hour')`) — `events_hourly_stream`
+  runs a REAL streaming query (readStream → watermark → window agg →
+  memory sink) to completion and returns the sink table, so the driver's
+  oracle check covers the streaming engine's window math itself;
+- session windows (`F.session_window(ts, gap)`) — registered in batch
+  mode (`events_session_windows`); its oracle is the *hand-rolled*
+  lag/cumsum sessionization SQL, so Spark's native session merging is
+  differentially tested against an independent formulation.
+
+Watermark note: the streaming query uses complete output mode so the
+final (still-open) windows are emitted before the source is exhausted —
+with append mode the trailing window would be withheld and the batch
+oracle could never match. At-scale deployments use append + a real
+unbounded source; the window arithmetic is identical.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from go_map_reduce_spark.catalog import load_table
+from go_map_reduce_spark.functions.numeric import dsum, sql_dsum
+from go_map_reduce_spark.registry import query
+from go_map_reduce_spark.session import ensure_session_confs
+
+# Parquet physical schema of events.parquet (ts = INT64 epoch-nanos once
+# nanosAsLong is set; streaming sources require an explicit schema).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the same ts normalization
+    as the batch catalog (epoch-nanos long → TIMESTAMP_NTZ)."""
+    ensure_session_confs(spark)
+    # The file stream source requires a directory; glob-filter the events
+    # table out of the shared sf dir.
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    # Watermarks require TIMESTAMP (with local timezone), so the stream
+    # keeps LTZ; ensure_session_confs pinned the session to UTC, making
+    # the later LTZ→NTZ output cast the identity on wall-clock values.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+@query(
+    "events_hourly_stream",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation executed BY THE STREAMING ENGINE:
+    readStream → 10-min watermark → 1-hour window groupBy → memory sink,
+    run to completion. Returns the sink contents as a batch DataFrame so
+    the window math is checked against the batch SQL oracle."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("window.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    name = f"hourly_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@query(
+    "events_session_windows",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, value, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_start,
+             event_id
+      FROM gaps
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-min gap) aggregation — the streaming
+    sessionizer run in batch mode. Differentially tested against the
+    independent lag/cumsum formulation in the oracle (note >= in the
+    oracle's gap rule: session_window merges events strictly inside
+    prev_ts + gap). window.end is last_event + gap by definition."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
