@@ -35,6 +35,11 @@ def main() -> None:
     names = [n for n in names if n in QUERIES]
 
     spark = get_spark(app_name="gmrs-bench")
+    # Warm the JVM (codegen, parquet reader, shuffle machinery) once so
+    # the first timed query doesn't absorb JIT cost.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
+        "l_returnflag"
+    ).count().collect()
     timings: dict[str, float] = {}
     total = 0.0
     for name in names:

@@ -55,6 +55,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_min_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a small scan across the cluster before CPU-heavy per-row work.
+
+    A table that fits one parquet row group arrives as ONE partition, so
+    an expression-heavy stage (shingling, hashing, regex) would run on a
+    single core no matter how wide the cluster is. If (and only if) the
+    scan has fewer partitions than the default parallelism, repartition
+    up — the shuffle moves just the small input. At 100 TB the scan has
+    thousands of splits, the condition is false, and this is a no-op
+    (never an unconditional repartition of a big table).
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from go_map_reduce_spark.catalog import load_table
+from go_map_reduce_spark.catalog import ensure_min_parallelism, load_table
 from go_map_reduce_spark.functions.vector import cosine, norm_sq, sql_cosine, sql_dot
 from go_map_reduce_spark.registry import query
 
@@ -39,6 +39,27 @@ R = 3
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.5
 
+# Seeded hash family: ONE md5 per shingle parsed to a 28-bit int, then H
+# affine permutations h_j = (a_j·h + b_j) mod P — 11 fewer digest
+# computations per shingle than seeding md5 itself, pure int64 ops that
+# both engines evaluate identically (no overflow: a < 2^31, h < 2^28).
+MINHASH_P = 4_294_967_291  # largest prime < 2^32
+MINHASH_SEEDS = [
+    (2_654_435_761, 0x9E37),
+    (2_246_822_519, 0x85EB),
+    (3_266_489_917, 0xC2B2),
+    (668_265_263, 0x27D4),
+    (374_761_393, 0x1656),
+    (2_654_435_789, 0x7FEB),
+    (2_246_822_579, 0x9E37_1),
+    (3_266_489_909, 0x85EB_1),
+    (668_265_341, 0xC2B2_1),
+    (374_761_471, 0x27D4_1),
+    (2_654_436_023, 0x1656_1),
+    (2_246_822_861, 0x7FEB_1),
+]
+assert len(MINHASH_SEEDS) == N_HASHES
+
 EMB_DIMS = 64
 SIGN_BUCKET_DIMS = 8
 COSINE_THRESHOLD = 0.4  # synthetic embeddings are near-orthogonal (max ≈ .51)
@@ -46,34 +67,44 @@ COSINE_THRESHOLD = 0.4  # synthetic embeddings are near-orthogonal (max ≈ .51)
 _SQL_TOKS = "list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')"
 
 # Distinct (doc_id, shingle) pairs — shingle = K consecutive tokens.
+# Dedup happens INSIDE the row (list_distinct / array_distinct) before
+# unnesting: per-row work, no distinct shuffle over the exploded set.
 _SQL_SHINGLES = f"""
-  SELECT DISTINCT doc_id, shingle FROM (
-    SELECT doc_id,
-           unnest(CASE WHEN len(toks) < {SHINGLE_K}
-                       THEN [array_to_string(toks, ' ')]
-                       ELSE list_transform(range(1, len(toks) - {SHINGLE_K - 2}),
-                                           i -> array_to_string(toks[i:i+{SHINGLE_K - 1}], ' '))
-                  END) AS shingle
-    FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
-  )
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(toks) < {SHINGLE_K}
+                THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(range(1, len(toks) - {SHINGLE_K - 2}),
+                                    i -> array_to_string(toks[i:i+{SHINGLE_K - 1}], ' '))
+           END)) AS shingle
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
 """
+
+# 28-bit base hash of a shingle (identical in Spark via conv(...,16,10)).
+_SQL_BASE_HASH = "CAST(concat('0x', substr(md5(shingle), 1, 7)) AS BIGINT)"
 
 _SQL_SIGS = (
     "SELECT doc_id, "
-    + ", ".join(f"min(md5('{j}|' || shingle)) AS mh{j}" for j in range(N_HASHES))
-    + f" FROM sh GROUP BY doc_id"
+    + ", ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_SEEDS)
+    )
+    + f" FROM (SELECT doc_id, {_SQL_BASE_HASH} AS h FROM sh) GROUP BY doc_id"
 )
 
 _SQL_BANDS = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, "
-    f"md5({' || '.join(f'mh{b * R + r}' for r in range(R))}) AS bkey FROM sigs"
+    f"concat_ws(',', {', '.join(f'mh{b * R + r}' for r in range(R))}) AS bkey FROM sigs"
     for b in range(BANDS)
 )
 
 
 def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) — one scan, no shuffle before distinct."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    """Distinct (doc_id, shingle) — per-row array_distinct, so the
+    distinct needs no shuffle; the exploded output is already unique."""
+    docs = ensure_min_parallelism(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     toks = F.filter(F.split("text", "[^A-Za-z]+"), lambda x: x != "")
     shingles = F.when(
         F.size(toks) < SHINGLE_K, F.array(F.concat_ws(" ", toks))
@@ -83,16 +114,21 @@ def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_K)),
         )
     )
-    return (
-        docs.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
 
 def _spark_signatures(sh: DataFrame) -> DataFrame:
-    return sh.groupBy("doc_id").agg(
+    """One md5 per shingle → H affine permutations → per-doc minima.
+    Partial aggregation (map-side min) shrinks the shuffle to H int64s
+    per doc before the exchange."""
+    h = F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
+    hashed = sh.select("doc_id", h.alias("h"))
+    return hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"mh{j}")
-            for j in range(N_HASHES)
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{j}")
+            for j, (a, b) in enumerate(MINHASH_SEEDS)
         ]
     )
 
@@ -100,7 +136,7 @@ def _spark_signatures(sh: DataFrame) -> DataFrame:
 def _spark_bands(sigs: DataFrame) -> DataFrame:
     band_keys = F.array(
         *[
-            F.md5(F.concat(*[F.col(f"mh{b * R + r}") for r in range(R)]))
+            F.concat_ws(",", *[F.col(f"mh{b * R + r}") for r in range(R)])
             for b in range(BANDS)
         ]
     )
@@ -204,7 +240,15 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters" and handle separately) — at the driver SFs no bucket
     exceeds a handful of docs, so the cap is not applied here.
     """
-    sh = _spark_shingles(spark, sf_dir)
+    # The shingle set feeds three consumers (signatures+sizes, and both
+    # sides of the verify self-join); Spark does not share common
+    # subplans across joins, so persist it once — materialized eagerly so
+    # every downstream job is a cache read instead of a concurrent
+    # recompute race. At 100 TB the same role is played by materializing
+    # the shingle/signature tables to storage between pipeline stages —
+    # persist-to-memory-and-disk is the single-job analog.
+    sh = _spark_shingles(spark, sf_dir).persist()
+    sh.count()
     sigs = _spark_signatures(sh)
     bands = _spark_bands(sigs)
     a, b = bands.alias("a"), bands.alias("b")
@@ -265,7 +309,9 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket. 16 portable dimensions here so the oracle matches
     bit-for-bit; scale deployments widen to 64 bits with xxhash64 and
     integer bit ops — same plan shape (explode → groupBy doc)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = ensure_min_parallelism(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     toks = F.filter(F.split("text", "[^A-Za-z]+"), lambda x: x != "")
     words = docs.select("doc_id", F.explode(toks).alias("word"))
     h = F.md5("word")
