@@ -31,6 +31,7 @@ from go_map_reduce_spark import registry  # noqa: F401
 
 # Importing the operator modules populates the registry.
 from go_map_reduce_spark.operators import (  # noqa: F401,E402
+    analytics,
     dedup,
     events,
     multimodal,
@@ -39,6 +40,6 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     text,
     textstats,
 )
-from go_map_reduce_spark.streaming import windows  # noqa: F401,E402
+from go_map_reduce_spark.streaming import stateful, windows  # noqa: F401,E402
 
 __all__ = ["registry"]

@@ -45,3 +45,11 @@ def test_streaming_matches_batch_windows(spark, sf_dir):
         for r in QUERIES["events_hourly_windows"](spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_stateful_user_totals_oracle(spark, sf_dir):
+    compare(
+        QUERIES["events_stateful_user_totals"](spark, sf_dir),
+        ORACLES["events_stateful_user_totals"],
+        sf_dir,
+    )

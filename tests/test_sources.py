@@ -1,0 +1,88 @@
+"""Tests for sources/sinks: whole-file scan, KV JSON parity format,
+text sink, and format round-trips."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from go_map_reduce_spark.sources.formats import read_table, write_table
+from go_map_reduce_spark.sources.text import (
+    read_kv_json,
+    read_text_lines,
+    whole_text_files,
+    write_kv_json,
+    write_kv_text,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("src_corpus")
+    (root / "a.txt").write_text("alpha beta\ngamma")
+    (root / "b.txt").write_text("delta")
+    return root
+
+
+def test_whole_text_files(spark, corpus):
+    rows = {r["filename"].split("/")[-1]: r["content"]
+            for r in whole_text_files(spark, str(corpus)).collect()}
+    assert rows == {"a.txt": "alpha beta\ngamma", "b.txt": "delta"}
+
+
+def test_read_text_lines(spark, corpus):
+    df = read_text_lines(spark, str(corpus))
+    assert sorted(r["line"] for r in df.collect()) == [
+        "alpha beta", "delta", "gamma",
+    ]
+
+
+def test_kv_json_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("k1", "v1"), ("k2", "v2"), ("k1", "v3")], "key string, value string"
+    )
+    path = str(tmp_path / "kv")
+    write_kv_json(df, path, n_buckets=2)
+    back = read_kv_json(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_kv_text_sink(spark, tmp_path):
+    df = spark.createDataFrame([("word", "3"), ("other", "1")], "key string, value string")
+    path = str(tmp_path / "out")
+    write_kv_text(df, path)
+    lines = sorted(r["value"] for r in spark.read.text(path).collect())
+    assert lines == ["other 1", "word 3"]
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json", "csv", "orc"])
+def test_format_roundtrip(spark, tmp_path, fmt):
+    df = spark.createDataFrame(
+        [(1, "x", 1.5), (2, "y", -2.0)], "id long, s string, v double"
+    )
+    path = str(tmp_path / f"t_{fmt}")
+    write_table(df, path, fmt=fmt)
+    schema = "id long, s string, v double" if fmt in ("json", "csv") else None
+    back = read_table(spark, path, fmt=fmt, schema=schema)
+    assert sorted(map(tuple, back.select("id", "s", "v").collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+def test_schema_inference_refused(spark, tmp_path):
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_table(spark, str(tmp_path), fmt="json")
+
+
+def test_partitioned_write(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "id long, part string"
+    )
+    path = str(tmp_path / "pt")
+    write_table(df, path, partition_by=["part"])
+    import os
+
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("part=")
+    ) == ["part=a", "part=b"]
+    back = read_table(spark, path)
+    assert back.where(F.col("part") == "a").count() == 2
