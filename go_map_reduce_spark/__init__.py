@@ -36,6 +36,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     events,
     multimodal,
     relational,
+    relational2,
     similarity,
     text,
     textstats,

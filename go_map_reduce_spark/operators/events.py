@@ -71,6 +71,44 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_sliding_windows",
+    oracle=f"""
+    SELECT CAST(ws AS TIMESTAMP) AS window_start,
+           CAST(ws + INTERVAL 60 MINUTE AS TIMESTAMP) AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE])
+               AS ws,
+             event_type, value
+      FROM events
+    )
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): each event lands in
+    exactly 2 overlapping windows. Spark's window() expands rows
+    window-count times before aggregating — the oracle mirrors that
+    expansion with an explicit 2-element unnest. Both engines align
+    30-min buckets on :00/:30 (origins 1970/2000 are both aligned)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
     "user_sessions",
     oracle="""
     WITH gaps AS (

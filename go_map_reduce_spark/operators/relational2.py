@@ -1,0 +1,180 @@
+"""Relational surface, part 2: outer joins, date arithmetic, SQL entry
+point, and skew-resistant (salted) aggregation.
+
+Complements operators.relational for SURVEY.md §2c "joins (all kinds)"
+and scalar-function rows, and demonstrates the two remaining execution
+disciplines: the SQL API as a first-class query surface (same Catalyst
+plan as the DataFrame API), and two-phase salted aggregation for skewed
+keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from go_map_reduce_spark.catalog import load_table, register_views
+from go_map_reduce_spark.functions.numeric import dsum, sql_dsum
+from go_map_reduce_spark.functions.texttok import exploded_tokens
+from go_map_reduce_spark.registry import query
+
+
+@query(
+    "customer_order_profile_outer",
+    oracle=f"""
+    SELECT c_custkey, c_mktsegment,
+           COUNT(o_orderkey) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_spend,
+           CAST(max(o_orderdate) AS DATE) AS last_order_date
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def customer_order_profile_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + agg: every customer appears, order-less ones
+    with n_orders=0 and NULL spend/date — the null-preserving join
+    semantics the inner-join queries can't exercise."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_spend"),
+            F.max("o_orderdate").cast("date").alias("last_order_date"),
+        )
+    )
+
+
+@query(
+    "supplier_part_full_outer",
+    oracle="""
+    SELECT coalesce(l.l_suppkey, s.s_suppkey) AS suppkey,
+           s.s_name,
+           COUNT(l.l_orderkey) AS n_lineitems
+    FROM (SELECT DISTINCT l_suppkey, l_orderkey FROM lineitem) l
+    FULL OUTER JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+    """,
+)
+def supplier_part_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: suppliers with no lineitems and (hypothetical)
+    lineitem suppkeys with no supplier row both survive."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey").distinct()
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        li.join(sup, li.l_suppkey == sup.s_suppkey, "full_outer")
+        .groupBy(
+            F.coalesce("l_suppkey", "s_suppkey").alias("suppkey"), F.col("s_name")
+        )
+        .agg(F.count("l_orderkey").alias("n_lineitems"))
+    )
+
+
+@query(
+    "order_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+             AS days_since_epoch_start,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    """,
+)
+def order_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic surface: interval add, day diffs, month trunc,
+    last_day — all whole-day operations on midnight timestamps, so both
+    engines' boundary-counting semantics coincide exactly."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '2000-01-01 00:00:00'")
+    )
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        (F.col("o_orderdate") + F.expr("INTERVAL '90' DAY"))
+        .cast("date")
+        .alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+    )
+
+
+@query(
+    "sql_interface_revenue",
+    oracle=f"""
+    SELECT n_name,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           {sql_dsum(
+               'l_extendedprice * (1 - l_discount)'
+           )} AS revenue,
+           COUNT(DISTINCT o_orderkey) AS n_orders
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL API as a query surface (SURVEY.md §2a F19's
+    spark.udf/SQL-exposure requirement): views registered in the
+    catalog, the query expressed as SQL text, Catalyst producing the
+    same plan the DataFrame API would."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+               COUNT(DISTINCT o_orderkey) AS n_orders
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, year(o_orderdate)
+        """
+    )
+
+
+N_SALTS = 16
+
+
+@query(
+    "wordcount_salted",
+    oracle="""
+    SELECT word, COUNT(*) AS cnt
+    FROM (SELECT unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS word
+          FROM documents) t
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def wordcount_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant wordcount: two-phase aggregation with an explicit
+    salt. Phase 1 groups on (word, salt) so a hot key's rows spread over
+    N_SALTS reducers; phase 2 merges the partial counts per word.
+
+    Same oracle as `wordcount` — identical semantics, different physical
+    strategy. For plain counts Spark's partial aggregation already
+    defuses skew, so this exists as the *pattern* for skewed keys under
+    holistic aggregates (collect_list/percentile) where map-side combine
+    can't save you; there the salt is the difference between a stuck
+    straggler and an even reduce stage.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = exploded_tokens(docs.select("text"))
+    salted = words.withColumn(
+        "salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(N_SALTS))
+    )
+    partial = salted.groupBy("word", "salt").agg(F.count(F.lit(1)).alias("c"))
+    return partial.groupBy("word").agg(F.sum("c").alias("cnt"))

@@ -1,0 +1,63 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+(broadcast joins, pushdown, partial top-k, no cartesian products) are
+asserted so a refactor can't silently regress them.
+"""
+
+from go_map_reduce_spark.registry import QUERIES
+
+
+def _plan(spark, name, sf_dir, mode="simple"):
+    df = QUERIES[name](spark, sf_dir)
+    jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jvm_mode)
+
+
+def test_q5_all_dim_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, "q5_region_revenue", sf_dir)
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the only non-broadcast exchange is the final aggregation's
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q3_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, "q3_top_orders", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_window_topk_prunes_before_shuffle(spark, sf_dir):
+    plan = _plan(spark, "top_orders_per_customer", sf_dir)
+    # WindowGroupLimit = per-partition top-k pre-pruning before exchange
+    assert "WindowGroupLimit" in plan
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, "q1_pricing_summary", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_wordcount_scan_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, "wordcount", sf_dir)
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas and "text:string" in read_schemas[0]
+    assert "lang" not in read_schemas[0] and "n_chars" not in read_schemas[0]
+
+
+def test_ann_bruteforce_broadcasts_queries(spark, sf_dir):
+    plan = _plan(spark, "ann_bruteforce_topk", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_partial_aggregation_in_q1(spark, sf_dir):
+    plan = _plan(spark, "q1_pricing_summary", sf_dir)
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    for name in QUERIES:
+        if name.endswith("_stream") or name == "events_stateful_user_totals":
+            continue  # these run a streaming query on construction
+        plan = _plan(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
