@@ -31,6 +31,7 @@ from go_map_reduce_spark import registry  # noqa: F401
 
 # Importing the operator modules populates the registry.
 from go_map_reduce_spark.operators import (  # noqa: F401,E402
+    advanced,
     analytics,
     dedup,
     events,

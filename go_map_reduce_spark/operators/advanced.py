@@ -1,0 +1,294 @@
+"""Advanced operators: as-of join, range join, iterative graph dedup
+clusters, and a grouped-map (applyInPandas) statistical operator.
+
+These cover the "operators Spark lacks natively" tier of the blueprint:
+each is a *composition* of DataFrame primitives chosen for its shuffle
+profile at 100 TB, with the DuckDB oracle using that engine's native
+formulation (ASOF JOIN, recursive CTE) — so the compositions are
+differentially tested against independent first-class implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from go_map_reduce_spark.catalog import load_table
+from go_map_reduce_spark.functions.numeric import dsum, sql_dsum
+from go_map_reduce_spark.operators import dedup as _dedup  # noqa: F401  (oracle reuse)
+from go_map_reduce_spark.registry import query
+
+
+def _dedup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One order per (custkey, orderdate): the as-of build side must be
+    unique on (key, time) or 'the latest order at time t' is ambiguous
+    (both engines would then pick arbitrary rows). Keep the max
+    orderkey's row — deterministic in both formulations."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey", "o_orderdate").orderBy(F.desc("o_orderkey"))
+    return (
+        orders.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+_SQL_DEDUP_ORDERS = """
+  SELECT * FROM (
+    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                              ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+"""
+
+
+@query(
+    "asof_join_user_orders",
+    oracle=f"""
+    WITH o AS ({_SQL_DEDUP_ORDERS})
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           o.o_orderkey AS last_orderkey,
+           o.o_totalprice AS last_totalprice
+    FROM events e
+    ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def asof_join_user_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (most recent order at or before each event), an
+    operator Spark lacks natively, composed as the union-sort trick:
+
+    union orders (tagged 0) and events (tagged 1) on (key, time), then a
+    running `last(..., ignorenulls)` window ordered by (time, tag)
+    carries the latest order's attributes forward onto each event row.
+
+    Shuffle profile: ONE hash shuffle on the key + per-partition sort —
+    identical to a sort-merge join, with no range-explosion. The
+    equal-timestamp case is well-defined: tag 0 sorts before tag 1, so
+    t >= o_orderdate is inclusive, matching ASOF's >= exactly. The
+    oracle is DuckDB's native ASOF LEFT JOIN — an independent
+    implementation of the same semantics.
+    """
+    o = _dedup_orders(spark, sf_dir).select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(0).alias("tag"),
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(1).alias("tag"),
+    )
+    u = o.unionByName(e, allowMissingColumns=True)
+    w = (
+        W.partitionBy("k")
+        .orderBy("t", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = u.select(
+        "*",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("last_orderkey"),
+        F.last("o_totalprice", ignorenulls=True).over(w).alias("last_totalprice"),
+    )
+    return carried.where(F.col("tag") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("t").alias("ts"),
+        "last_orderkey",
+        "last_totalprice",
+    )
+
+
+PRICE_BANDS = [
+    ("band_0_100k", 0.0, 100_000.0),
+    ("band_100k_200k", 100_000.0, 200_000.0),
+    ("band_200k_300k", 200_000.0, 300_000.0),
+    ("band_300k_400k", 300_000.0, 400_000.0),
+    ("band_400k_up", 400_000.0, 1e18),
+]
+
+_SQL_BANDS_VALUES = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in PRICE_BANDS)
+
+
+@query(
+    "range_join_price_bands",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (VALUES {_SQL_BANDS_VALUES})
+    SELECT band, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS total
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: orders matched to price bands by a
+    non-equi condition. The band side is broadcast, so the plan is a
+    BroadcastNestedLoopJoin over 5 rows — the right strategy whenever
+    the interval dimension is small. (When BOTH sides are large, the
+    scale pattern is bucketize-the-range-key → equi-join on bucket →
+    residual filter; not needed for a 5-row dimension.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+    )
+
+
+def _pairs_oracle_sql() -> str:
+    """The already-registered (and independently oracle-checked) minhash
+    near-dup SQL, inlined as a derived table so this oracle is fully
+    self-contained over the driver's base views."""
+    from go_map_reduce_spark.registry import ORACLES
+
+    return ORACLES["minhash_near_dup_pairs"]
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (SELECT doc_a, doc_b FROM ({_pairs_oracle_sql()})),
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the verified
+    minhash pair graph via iterative min-label propagation — the
+    iterative-algorithm tier (each round: join labels to edges, take the
+    min neighbor label, until fixpoint). Converges in O(component
+    diameter) rounds; near-dup components are shallow (template
+    clusters), so rounds stay single-digit even at corpus scale. The
+    industrial-scale variant swaps the propagation step for
+    Hash-to-Min's doubling (public literature) — same per-round plan.
+
+    Oracle: transitive closure by recursive CTE over the same pair set
+    (whose SQL is inlined from the independently-checked
+    minhash_near_dup_pairs oracle, so this oracle is self-contained
+    over the driver's base views).
+    """
+    from go_map_reduce_spark.operators.dedup import minhash_near_dup_pairs
+
+    # localCheckpoint (not just persist): each round's plan would
+    # otherwise embed every previous round, so planning cost grows
+    # per iteration; checkpointing truncates the lineage and keeps
+    # per-round cost constant. (On a cluster with HDFS, `checkpoint()`
+    # — reliable storage — replaces localCheckpoint.)
+    pairs = (
+        minhash_near_dup_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    sym = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    edges = sym.select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nbr"))
+    while True:
+        nbr_min = (
+            edges.join(labels, edges.nbr == labels.doc_id)
+            .groupBy(edges.doc_id.alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("cluster_id", F.coalesce("nbr_label", "cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def _zscore_group(pdf):
+    """Per-language z-scores of document length. Determinism: mean and
+    variance come from EXACT integer sums (n_chars is int64), so the
+    only float ops are the final divisions/sqrt — one fixed sequence per
+    group, bit-identical to the oracle's formulation of the same
+    expressions."""
+    import math
+
+    import pandas as pd
+
+    s = int(pdf["n_chars"].sum())
+    ss = int((pdf["n_chars"].astype(object) ** 2).sum())
+    n = len(pdf)
+    mean = s / n
+    var = (ss - (s * s) / n) / n
+    sd = math.sqrt(var)
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "lang": pdf["lang"],
+            "n_chars": pdf["n_chars"],
+            "z": [(float(x) - mean) / sd for x in pdf["n_chars"]],
+        }
+    )
+
+
+@query(
+    "doc_length_zscores",
+    oracle="""
+    WITH stats AS (
+      SELECT lang,
+             SUM(n_chars) AS s,
+             SUM(n_chars * n_chars) AS ss,
+             COUNT(*) AS n
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars,
+           (CAST(d.n_chars AS DOUBLE) - CAST(s AS DOUBLE) / n)
+             / sqrt((CAST(ss AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n) / n)
+             AS z
+    FROM documents d JOIN stats USING (lang)
+    """,
+)
+def doc_length_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map operator (applyInPandas): per-language z-scores of
+    document length — the per-group pandas escape hatch for logic that
+    doesn't decompose into SQL aggregates (here it does, which is
+    exactly what makes it oracle-checkable; real uses are model scoring
+    or library calls per group). Arrow-batched; one shuffle on the group
+    key; groups must fit an executor's memory — the documented
+    constraint of the grouped-map path."""
+    from go_map_reduce_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return docs.groupBy("lang").applyInPandas(
+        _zscore_group, schema="doc_id long, lang string, n_chars long, z double"
+    )
