@@ -170,6 +170,45 @@ def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_array_functions",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_toks,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           CAST(list_contains(toks, 'the') AS BOOLEAN) AS has_the,
+           array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3,
+           array_to_string(list_reverse_sort(list_distinct(toks))[1:2], ',') AS last2,
+           toks[1] AS first_tok,
+           toks[-1] AS last_tok
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')
+                   AS toks
+          FROM documents)
+    WHERE len(toks) > 0
+    """,
+)
+def token_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface (SURVEY.md §2c scalar fns row): size,
+    distinct, membership, sort/slice, element access — all Catalyst
+    higher-order/array expressions over the token array; list outputs
+    serialized to strings so results are engine-representation-neutral."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", "[^A-Za-z]+"), lambda x: x != "")
+    t = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
+    dis = F.array_distinct("toks")
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_toks"),
+        F.size(dis).cast("long").alias("n_distinct"),
+        F.array_contains("toks", "the").alias("has_the"),
+        F.concat_ws(",", F.slice(F.array_sort(dis), 1, 3)).alias("first3"),
+        F.concat_ws(",", F.slice(F.sort_array(dis, asc=False), 1, 2)).alias("last2"),
+        F.element_at("toks", 1).alias("first_tok"),
+        F.element_at("toks", -1).alias("last_tok"),
+    )
+
+
+@query(
     "doc_fingerprints",
     oracle=rf"""
     SELECT doc_id,

@@ -7,6 +7,7 @@ from go_map_reduce_spark.registry import ORACLES, QUERIES
 from tests.oracle_util import compare
 
 TEXTSTATS = [
+    "token_array_functions",
     "text_quality_scores",
     "language_id",
     "token_counts_bpe",
