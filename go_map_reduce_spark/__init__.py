@@ -38,6 +38,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     multimodal,
     relational,
     relational2,
+    relational3,
     reshape,
     similarity,
     text,
