@@ -35,6 +35,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     analytics,
     dedup,
     events,
+    functions_depth,
     multimodal,
     relational,
     relational2,
