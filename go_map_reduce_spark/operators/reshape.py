@@ -69,6 +69,32 @@ def intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "region_nation_matrix",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END AS is_home
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def region_nation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN (the one legitimate use: a deliberate small
+    dimension matrix). Broadcasting the 5-row side turns it into a
+    BroadcastNestedLoopJoin — never a CartesianProduct over big data."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.crossJoin(F.broadcast(region))
+        .select(
+            "r_name",
+            "n_name",
+            F.when(F.col("n_regionkey") == F.col("r_regionkey"), 1)
+            .otherwise(0)
+            .alias("is_home"),
+        )
+    )
+
+
+@query(
     "null_handling_profile",
     oracle="""
     SELECT c_custkey,

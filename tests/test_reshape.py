@@ -7,6 +7,7 @@ from go_map_reduce_spark.registry import ORACLES, QUERIES
 from tests.oracle_util import compare
 
 NAMES = [
+    "region_nation_matrix",
     "unpivot_lineitem_measures",
     "intersect_all_priorities",
     "null_handling_profile",
