@@ -292,3 +292,76 @@ def doc_length_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").applyInPandas(
         _zscore_group, schema="doc_id long, lang string, n_chars long, z double"
     )
+
+
+@query(
+    "merge_upsert_balances",
+    oracle="""
+    WITH current AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+      WHERE c_custkey % 2 = 0
+    ),
+    updates AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / 1000
+               AS delta
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, c.c_acctbal + u.delta AS c_acctbal,
+           c.c_mktsegment, 'update' AS op
+    FROM current c JOIN updates u ON c.c_custkey = u.c_custkey
+    UNION ALL
+    SELECT u.c_custkey, u.delta, 'UNKNOWN', 'insert'
+    FROM updates u WHERE NOT EXISTS
+      (SELECT 1 FROM current c WHERE c.c_custkey = u.c_custkey)
+    UNION ALL
+    SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment, 'carry'
+    FROM current c WHERE NOT EXISTS
+      (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+    """,
+)
+def merge_upsert_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (CDC upsert without a lakehouse format):
+    matched rows updated, unmatched update rows inserted, untouched
+    target rows carried — expressed as inner join + anti-join + anti-join
+    + union, the plan MERGE compiles to anyway. Target = even-custkey
+    customers, updates = per-customer order deltas, so all three MERGE
+    branches are non-empty. On Delta/Iceberg the same logic is one
+    MERGE statement; the emulation is the jar-free equivalent (noted in
+    the pyspark guide's CDC row)."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 2 == 0
+    ).select("c_custkey", "c_acctbal", "c_mktsegment")
+    updates = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double")
+                / 1000
+            ).alias("delta")
+        )
+    )
+    updated = (
+        cust.join(updates, "c_custkey")
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + F.col("delta")).alias("c_acctbal"),
+            "c_mktsegment",
+            F.lit("update").alias("op"),
+        )
+    )
+    inserted = (
+        updates.join(cust, "c_custkey", "left_anti")
+        .select(
+            "c_custkey",
+            F.col("delta").alias("c_acctbal"),
+            F.lit("UNKNOWN").alias("c_mktsegment"),
+            F.lit("insert").alias("op"),
+        )
+    )
+    carried = (
+        cust.join(updates, "c_custkey", "left_anti")
+        .select("c_custkey", "c_acctbal", "c_mktsegment", F.lit("carry").alias("op"))
+    )
+    return updated.unionByName(inserted).unionByName(carried)

@@ -244,3 +244,60 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("content_hash"),
         F.array_min(F.transform(shingles, F.md5)).alias("winnow_fp"),
     )
+
+
+@query(
+    "bigram_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')
+               AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM tok WHERE len(toks) >= 2
+    ),
+    counts AS (
+      SELECT split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2,
+             COUNT(*) AS n
+      FROM bg GROUP BY 1, 2
+    ),
+    firsts AS (SELECT w1, SUM(n) AS n1 FROM counts GROUP BY w1)
+    SELECT c.w1, c.w2, c.n, CAST(c.n AS DOUBLE) / f.n1 AS p_next
+    FROM counts c JOIN firsts f ON c.w1 = f.w1
+    WHERE c.n >= 5
+    """,
+)
+def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language statistics: counts and conditional next-word
+    probability P(w2|w1) = c(w1 w2)/Σc(w1 ·) — exact integer ratio.
+    The n-gram model shape behind language-ID and quality scoring at
+    corpus scale; one explode + two cascading aggregations."""
+    from go_map_reduce_spark.catalog import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(
+        spark, load_table(spark, sf_dir, "documents").select("text")
+    )
+    toks = F.filter(F.split("text", "[^A-Za-z]+"), lambda x: x != "")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    )
+    bg = (
+        docs.where(F.size(toks) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .select(
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+    )
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    firsts = counts.groupBy("w1").agg(F.sum("n").alias("n1"))
+    return (
+        counts.join(firsts, "w1")
+        .where(F.col("n") >= 5)
+        .select("w1", "w2", "n", (F.col("n").cast("double") / F.col("n1")).alias("p_next"))
+    )

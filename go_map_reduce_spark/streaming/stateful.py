@@ -84,14 +84,9 @@ def events_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = f"stateful_{uuid.uuid4().hex[:12]}"
-    # The shuffle-partition count is frozen into the state store at
-    # checkpoint creation: every partition costs a state-store instance
-    # + a python worker round per batch. Size it to the keyspace (150
-    # users), not the CPU count, for this short-lived query; restore
-    # the session's setting afterwards.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    from go_map_reduce_spark.streaming.windows import _stream_state_partitions
+
+    with _stream_state_partitions(spark, 8):
         q = (
             totals.writeStream.outputMode("update")
             .format("memory")
@@ -102,8 +97,6 @@ def events_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     # update-mode memory sink may hold one row per user per batch; the
     # last emit per user is the final state. The single-file source
     # yields one batch, but dedup defensively by max n_events.

@@ -50,6 +50,24 @@ EVENTS_RAW_SCHEMA = T.StructType(
 _NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _stream_state_partitions(spark: SparkSession, n: int):
+    """Scope spark.sql.shuffle.partitions for a streaming query: the
+    partition count freezes into the state store at checkpoint creation
+    and every partition costs a state-store instance per batch — size it
+    to the keyspace (event types × windows, users), not the CPU count.
+    Restores the session's setting afterwards."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the same ts normalization
     as the batch catalog (epoch-nanos long → TIMESTAMP_NTZ)."""
@@ -99,16 +117,17 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"hourly_{uuid.uuid4().hex[:12]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_state_partitions(spark, 8):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -162,3 +181,73 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "events_purchase_click_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           CAST(c.ts AS TIMESTAMP) AS click_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+    """,
+)
+def events_purchase_click_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join, executed by the streaming engine: every
+    purchase joined to the same user's clicks in the preceding 30
+    minutes. Both sides carry watermarks and the join condition bounds
+    event-time distance, so the state store can evict rows once the
+    watermark passes — the condition isn't an optimization hint, it's
+    what makes unbounded stream-stream joins possible at all. Run to
+    completion on the finite source and checked against the batch SQL
+    join (append mode: inner stream-stream joins emit matches only)."""
+    import uuid
+
+    events = read_events_stream(spark, sf_dir)
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL '30' MINUTE"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        F.col("c_ts").cast("timestamp_ntz").alias("click_ts"),
+    )
+    name = f"ssjoin_{uuid.uuid4().hex[:12]}"
+    with _stream_state_partitions(spark, 8):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)

@@ -32,3 +32,11 @@ def test_clusters_are_consistent_with_pairs(spark, sf_dir):
         assert labels[p["doc_a"]] == labels[p["doc_b"]]
     for doc, cl in labels.items():
         assert cl <= doc
+
+
+def test_merge_upsert_oracle(spark, sf_dir):
+    compare(
+        QUERIES["merge_upsert_balances"](spark, sf_dir),
+        ORACLES["merge_upsert_balances"],
+        sf_dir,
+    )

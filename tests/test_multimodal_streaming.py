@@ -53,3 +53,11 @@ def test_stateful_user_totals_oracle(spark, sf_dir):
         ORACLES["events_stateful_user_totals"],
         sf_dir,
     )
+
+
+def test_stream_stream_join_oracle(spark, sf_dir):
+    compare(
+        QUERIES["events_purchase_click_stream_join"](spark, sf_dir),
+        ORACLES["events_purchase_click_stream_join"],
+        sf_dir,
+    )

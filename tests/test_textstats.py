@@ -18,3 +18,7 @@ TEXTSTATS = [
 @pytest.mark.parametrize("name", TEXTSTATS)
 def test_against_duckdb_oracle(name, spark, sf_dir):
     compare(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
+
+
+def test_bigram_stats_oracle(spark, sf_dir):
+    compare(QUERIES["bigram_stats"](spark, sf_dir), ORACLES["bigram_stats"], sf_dir)
