@@ -129,3 +129,80 @@ def approx_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
     )
+
+
+@query(
+    "daily_orders_gapfilled",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT CAST(min(o_orderdate) AS DATE) AS lo, CAST(max(o_orderdate) AS DATE) AS hi
+      FROM orders
+    ),
+    days AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n,
+             {sql_dsum('o_totalprice')} AS total
+      FROM orders GROUP BY 1
+    )
+    SELECT d.day, coalesce(daily.n, 0) AS n, coalesce(daily.total, 0.0) AS total
+    FROM days d LEFT JOIN daily ON daily.day = d.day
+    """,
+)
+def daily_orders_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-filling: a generated day spine left-joined to daily
+    aggregates so order-less days surface as zeros — the time-series
+    densification every dashboard needs. The spine is sequence() over
+    the min/max bounds (one-row broadcast), cost O(days), not O(rows)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total")
+    )
+    return days.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("total", F.lit(0.0)).alias("total"),
+    )
+
+
+@query(
+    "rolling_7day_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS revenue_7d
+    FROM orders
+    """,
+)
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based rolling window: per-customer trailing-7-day spend via
+    a RANGE frame with an interval bound (value-based, so sparse order
+    dates work — a ROWS frame would be wrong). Same-timestamp orders are
+    frame peers, summed together in exact decimal, so ties stay
+    deterministic."""
+    from go_map_reduce_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL '7' DAY PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS revenue_7d
+        FROM orders
+        """
+    )

@@ -24,15 +24,20 @@ from go_map_reduce_spark.registry import query
     SELECT c_custkey, c_mktsegment,
            COUNT(o_orderkey) AS n_orders,
            {sql_dsum('o_totalprice')} AS total_spend,
-           CAST(max(o_orderdate) AS DATE) AS last_order_date
+           coalesce(CAST(max(o_orderdate) AS DATE), DATE '1970-01-01')
+             AS last_order_date
     FROM customer LEFT JOIN orders ON o_custkey = c_custkey
     GROUP BY c_custkey, c_mktsegment
     """,
 )
 def customer_order_profile_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER join + agg: every customer appears, order-less ones
-    with n_orders=0 and NULL spend/date — the null-preserving join
-    semantics the inner-join queries can't exercise."""
+    with n_orders=0 and NULL spend — the null-preserving join semantics
+    the inner-join queries can't exercise. The date is coalesced to the
+    epoch sentinel: a NULL inside a DATE column is the one value whose
+    client representation differs between engines (None vs NaT), which
+    would flake any representation-level comparison; NULL doubles and
+    strings round-trip identically (see null_handling_profile)."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = load_table(spark, sf_dir, "orders")
     return (
@@ -41,7 +46,9 @@ def customer_order_profile_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("o_orderkey").alias("n_orders"),
             dsum(F.col("o_totalprice")).alias("total_spend"),
-            F.max("o_orderdate").cast("date").alias("last_order_date"),
+            F.coalesce(
+                F.max("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("last_order_date"),
         )
     )
 

@@ -31,7 +31,7 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _canon_cell(x):
     import datetime
 
-    if x is None:
+    if x is None or x is pd.NaT or (isinstance(x, float) and math.isnan(x)):
         return None
     if isinstance(x, datetime.datetime):
         return x.strftime("%Y-%m-%d %H:%M:%S.%f")
@@ -49,7 +49,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+            df[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f").where(s.notna(), None)
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("int64")
         elif s.dtype == object:

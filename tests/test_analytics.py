@@ -31,3 +31,8 @@ def test_approx_quantiles_within_2pct(spark, sf_dir):
             abs(r["approx_median_price"] - r["exact_median_price"])
             <= 0.02 * r["exact_median_price"]
         )
+
+
+@pytest.mark.parametrize("name", ["daily_orders_gapfilled", "rolling_7day_revenue"])
+def test_timeseries_ops_oracle(name, spark, sf_dir):
+    compare(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
