@@ -19,6 +19,15 @@ aggregate — still map-side-combinable, still whole-stage-codegen.
 
 Every ``dsum``/``davg`` here has a textual twin for the DuckDB oracle
 (``sql_dsum``/``sql_davg``).
+
+MAGNITUDE LIMIT: the cross-engine cast agreement holds only while
+|value|·10^scale stays well under 2^53 (i.e. |v| ≲ 1e8 at scale 6).
+Near that edge the decimal boundary spacing reaches the double's own
+ulp and the engines' cast algorithms round single rows differently
+(observed with ~1e10 squared terms: one divergent row per ~1e5). For
+large products, convert the *factors* to exact integers first and sum
+integers instead — see operators/analytics.py
+price_quantity_correlation.
 """
 
 from __future__ import annotations

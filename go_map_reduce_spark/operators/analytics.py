@@ -206,3 +206,133 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         """
     )
+
+
+@query(
+    "price_histogram",
+    oracle=f"""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / 50000.0) AS BIGINT) * 50000.0 AS bucket_lo,
+           COUNT(*) AS n,
+           {sql_dsum('o_totalprice')} AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram by floor-division binning (floor(x/step) is
+    a single IEEE op, identical everywhere — width_bucket isn't portable
+    to the oracle engine). The aggregation shape behind every
+    distribution dashboard: one scan, grouping key = bucket count."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000.0).cast("long")
+    return (
+        orders.groupBy(
+            bucket.alias("bucket"), (bucket * 50000.0).alias("bucket_lo")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+    )
+
+
+@query(
+    "price_quantity_correlation",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity * 100) AS BIGINT) AS qi,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pi
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(qi) AS DOUBLE) AS sx,
+             CAST(SUM(pi) AS DOUBLE) AS sy,
+             CAST(SUM(qi * qi) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(pi AS DECIMAL(38,0)) * pi) AS DOUBLE) AS syy,
+             CAST(SUM(qi * pi) AS DOUBLE) AS sxy
+      FROM c GROUP BY l_returnflag
+    ),
+    m AS (
+      SELECT l_returnflag, n,
+             n * sxy AS nxy, sx * sy AS xy,
+             n * sxx AS nxx, sx * sx AS xx,
+             n * syy AS nyy, sy * sy AS yy
+      FROM s
+    )
+    SELECT l_returnflag,
+           (nxy - xy) / (sqrt(nxx - xx) * sqrt(nyy - yy)) AS corr_qty_price,
+           (nxy - xy) / (CAST(n AS DOUBLE) * n) / 10000.0 AS covar_pop
+    FROM m
+    """,
+)
+def price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + population covariance per returnflag —
+    computed from exact-decimal co-moments, NOT the built-in corr():
+    built-in co-moment merging is partial-aggregation-order-dependent
+    and therefore not reproducible across engines or re-runs; the
+    decimal-sum formulation is bit-stable at any parallelism. Same
+    single-pass cost (one scan, six sums).
+
+    Both inputs carry 2dp values, so each factor converts to EXACT
+    integer cents first (round(v*100): the true product is within 1e-9
+    of the integer, one identical IEEE multiply per engine) and every
+    co-moment is a pure integer sum — no double→decimal cast of a large
+    product anywhere. (The cast route was tried and found to diverge at
+    the double's precision edge ~1e10: one row per ~1e5 rounds
+    differently between the engines' cast algorithms.) pi² can exceed
+    int64 in aggregate, so that one sum rides in DECIMAL(38,0); the
+    final decimal→double conversions round identical integers
+    identically. corr is scale-invariant; covar is de-scaled by 10^4."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qi"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pi"),
+    )
+    s = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qi").cast("double").alias("sx"),
+        F.sum("pi").cast("double").alias("sy"),
+        F.sum(F.col("qi") * F.col("qi")).cast("double").alias("sxx"),
+        F.sum(F.col("pi").cast("decimal(38,0)") * F.col("pi"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.col("qi") * F.col("pi")).cast("double").alias("sxy"),
+    )
+    # Intermediate products land in their own columns before the
+    # subtraction (mirrored in the oracle): a fused multiply-subtract in
+    # either engine's codegen would round differently than the two-op
+    # sequence, and the comparison is bit-exact.
+    n = F.col("n")
+    m = s.select(
+        "l_returnflag",
+        "n",
+        (n * F.col("sxy")).alias("nxy"),
+        (F.col("sx") * F.col("sy")).alias("xy"),
+        (n * F.col("sxx")).alias("nxx"),
+        (F.col("sx") * F.col("sx")).alias("xx"),
+        (n * F.col("syy")).alias("nyy"),
+        (F.col("sy") * F.col("sy")).alias("yy"),
+    )
+    num = F.col("nxy") - F.col("xy")
+    den = F.sqrt(F.col("nxx") - F.col("xx")) * F.sqrt(F.col("nyy") - F.col("yy"))
+    return m.select(
+        "l_returnflag",
+        (num / den).alias("corr_qty_price"),
+        (num / (F.col("n").cast("double") * F.col("n")) / 10000.0).alias("covar_pop"),
+    )
+
+
+SAMPLE_FRACTIONS = {"click": 0.5, "view": 0.25, "purchase": 1.0, "signup": 1.0, "error": 0.1}
+
+
+@query("stratified_sample_events")  # sampling: rows-only check by design
+def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (sampleBy with per-stratum fractions, fixed
+    seed): downsample noisy event types, keep rare ones — the data-diet
+    step of a training pipeline. Sampling has no cross-engine oracle by
+    nature (RNG streams differ); determinism under a fixed seed and
+    per-stratum rate accuracy are pinned in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.sampleBy("event_type", fractions=SAMPLE_FRACTIONS, seed=42)

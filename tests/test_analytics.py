@@ -36,3 +36,33 @@ def test_approx_quantiles_within_2pct(spark, sf_dir):
 @pytest.mark.parametrize("name", ["daily_orders_gapfilled", "rolling_7day_revenue"])
 def test_timeseries_ops_oracle(name, spark, sf_dir):
     compare(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
+
+
+@pytest.mark.parametrize("name", ["price_histogram", "price_quantity_correlation"])
+def test_distribution_ops_oracle(name, spark, sf_dir):
+    compare(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
+
+
+def test_stratified_sample(spark, sf_dir):
+    from go_map_reduce_spark.operators.analytics import SAMPLE_FRACTIONS
+
+    a = QUERIES["stratified_sample_events"](spark, sf_dir)
+    b = QUERIES["stratified_sample_events"](spark, sf_dir)
+    ra = sorted(r["event_id"] for r in a.collect())
+    rb = sorted(r["event_id"] for r in b.collect())
+    assert ra == rb, "same seed must give the same sample"
+    from pyspark.sql import functions as F
+
+    from go_map_reduce_spark.catalog import load_table
+
+    totals = {
+        r["event_type"]: r["count"]
+        for r in load_table(spark, sf_dir, "events").groupBy("event_type").count().collect()
+    }
+    got = {r["event_type"]: r["count"] for r in a.groupBy("event_type").count().collect()}
+    for t, frac in SAMPLE_FRACTIONS.items():
+        expected = totals[t] * frac
+        if frac == 1.0:
+            assert got.get(t, 0) == totals[t]
+        else:
+            assert abs(got.get(t, 0) - expected) <= max(10, 0.35 * expected)
