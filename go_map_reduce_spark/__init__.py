@@ -36,6 +36,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     dedup,
     events,
     functions_depth,
+    kmeans,
     multimodal,
     relational,
     relational2,

@@ -1,0 +1,234 @@
+"""K-means clustering (Lloyd's algorithm) over the embeddings table —
+the iterative-ML workload — and the IVF index it produces.
+
+Deterministic by construction so the DuckDB oracle can replay it
+move-for-move:
+
+- init: centroids = the first K vectors (vec_id < K), not random;
+- assignment: squared L2 distance summed in exact decimal per
+  (vector, centroid) — bit-identical doubles in both engines — with
+  argmin ties broken by centroid id;
+- update: per-dimension decimal-mean of the assigned vectors (exact
+  integer-free but order-independent decimal sums, values ~0.1 — far
+  inside the decimal-cast safety zone of functions/numeric.py);
+- fixed iteration count (no convergence test — a float-threshold test
+  would be another cross-engine hazard; production k-means fixes
+  iterations anyway).
+
+Plan shape per iteration: explode vectors to (vec, dim, val) rows once,
+join against the K×D centroid table (broadcast — K·D is tiny), two
+hash aggregations. At 100 TB: the explode is the map side, centroids
+always broadcast, so each Lloyd round is one shuffle on (vec, cid) +
+one on (cid, d). The result table IS an IVF index: `ivf_topk` probes a
+query's nearest cell and ranks only that cell's members.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from go_map_reduce_spark.catalog import load_table
+from go_map_reduce_spark.functions.vector import sql_dot
+from go_map_reduce_spark.registry import query
+
+K = 8
+DIMS = 64
+ITERATIONS = 2
+
+_DEC = "decimal(38,12)"
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL generation (mirrors the Spark loop, one CTE pair per round)
+# ---------------------------------------------------------------------------
+def _sql_assign(centroid_cte: str, out: str) -> str:
+    """Assignment CTE: nearest centroid per vector by exact-decimal L2²."""
+    return f"""
+    {out}_dist AS (
+      SELECT e.vec_id, c.cid,
+             CAST(SUM(CAST((e.val - c.val) * (e.val - c.val) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS dist2
+      FROM e JOIN {centroid_cte} c ON e.d = c.d
+      GROUP BY e.vec_id, c.cid
+    ),
+    {out} AS (
+      SELECT vec_id, cid, dist2 FROM (
+        SELECT vec_id, cid, dist2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rk
+        FROM {out}_dist
+      ) WHERE rk = 1
+    )"""
+
+
+def _sql_update(assign_cte: str, out: str) -> str:
+    """Centroid-update CTE: per-dimension decimal mean of assigned vecs."""
+    return f"""
+    {out} AS (
+      SELECT a.cid, e.d,
+             CAST(SUM(CAST(e.val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS val
+      FROM {assign_cte} a JOIN e ON e.vec_id = a.vec_id
+      GROUP BY a.cid, e.d
+    )"""
+
+
+def _kmeans_oracle() -> str:
+    parts = [
+        f"""
+    e AS (
+      SELECT vec_id, i AS d, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, range(1, {DIMS + 1}) t(i)
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, i AS d, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, range(1, {DIMS + 1}) t(i)
+      WHERE vec_id < {K}
+    )"""
+    ]
+    cur = "c0"
+    for it in range(1, ITERATIONS + 1):
+        parts.append(_sql_assign(cur, f"a{it}"))
+        if it < ITERATIONS:
+            parts.append(_sql_update(f"a{it}", f"c{it}"))
+            cur = f"c{it}"
+    final = f"a{ITERATIONS}"
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, round(dist2, 9) AS dist2
+    FROM {final}
+    """
+    )
+
+
+def _spark_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("p", "fval")
+    ).select(
+        "vec_id", (F.col("p") + 1).alias("d"), F.col("fval").cast("double").alias("val")
+    )
+
+
+def _spark_assign(e: DataFrame, c: DataFrame) -> DataFrame:
+    ec = e.select("vec_id", "d", "val")
+    cc = c.select(F.col("cid"), F.col("d").alias("cd"), F.col("val").alias("cval"))
+    diff = F.col("val") - F.col("cval")
+    dist = (
+        ec.join(F.broadcast(cc), ec.d == cc.cd)
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(((diff) * (diff)).cast(_DEC)).cast("double").alias("dist2"))
+    )
+    w = W.partitionBy("vec_id").orderBy("dist2", "cid")
+    return (
+        dist.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cid", "dist2")
+    )
+
+
+def _spark_update(e: DataFrame, assign: DataFrame) -> DataFrame:
+    return (
+        e.join(assign.select("vec_id", "cid"), "vec_id")
+        .groupBy("cid", "d")
+        .agg(
+            (F.sum(F.col("val").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias(
+                "val"
+            )
+        )
+    )
+
+
+@query("kmeans_ivf_assignments", oracle=_kmeans_oracle())
+def kmeans_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (K=8, 2 Lloyd rounds, first-K init) cluster assignments —
+    the IVF index build. See module docstring for the determinism and
+    scale design; the oracle replays the identical rounds in SQL."""
+    e = _spark_exploded(spark, sf_dir).persist()
+    c = e.where(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), "d", "val"
+    )
+    assign = None
+    for it in range(1, ITERATIONS + 1):
+        assign = _spark_assign(e, c)
+        if it < ITERATIONS:
+            c = _spark_update(e, assign).localCheckpoint(eager=True)
+    return assign.select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cluster_id"),
+        F.round("dist2", 9).alias("dist2"),
+    )
+
+
+IVF_TOP_K = 3
+N_IVF_QUERIES = 8
+
+
+@query(
+    "ivf_probe_topk",
+    oracle=f"""
+    WITH assigns AS ({_kmeans_oracle()}),
+         e AS (
+           SELECT em.vec_id, a.cluster_id, em.embedding,
+                  {sql_dot('em.embedding', 'em.embedding')} AS nsq
+           FROM embeddings em JOIN assigns a ON a.vec_id = em.vec_id
+         ),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round({sql_dot('q.embedding', 'c.embedding')}
+                        / (sqrt(q.nsq) * sqrt(c.nsq)), 6) AS cos_sim
+           FROM e q JOIN e c
+             ON q.vec_id < {N_IVF_QUERIES}
+            AND c.cluster_id = q.cluster_id
+            AND c.vec_id <> q.vec_id
+         )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+             ) AS rk
+      FROM scored
+    )
+    WHERE rk <= {IVF_TOP_K}
+    """,
+)
+def ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search through the IVF index: each query probes its own
+    k-means cell and ranks only that cell's members by cosine — the
+    scale path where candidate count is corpus/K instead of corpus.
+    (Multi-probe IVF adds the next-nearest cells; same plan, wider
+    candidate join.) Builds on kmeans_ivf_assignments; cosine math is
+    the deterministic sequential fold of functions/vector.py."""
+    from go_map_reduce_spark.functions.vector import cosine, norm_sq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigns = kmeans_ivf_assignments(spark, sf_dir).select("vec_id", "cluster_id")
+    e = (
+        emb.join(assigns, "vec_id")
+        .select("vec_id", "cluster_id", "embedding", norm_sq(F.col("embedding")).alias("nsq"))
+    )
+    q = e.where(F.col("vec_id") < N_IVF_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cluster_id").alias("q_cluster"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    scored = (
+        e.join(
+            F.broadcast(q),
+            (F.col("cluster_id") == F.col("q_cluster"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(
+                F.col("q_emb"), F.col("embedding"), F.col("q_nsq"), F.col("nsq")
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= IVF_TOP_K)
+    )
