@@ -71,6 +71,40 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_json_typed",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_valid(props) AS BOOLEAN) AS is_valid,
+           coalesce(json_extract_string(props, '$.missing'), '<absent>')
+             AS missing_field
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) % 10 = 0
+    """,
+)
+def events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: from_json with an explicit schema (vs the
+    path-extraction of events_json_stats) — struct field access, schema
+    enforcement, NULL for absent fields (surfaced via a sentinel so no
+    raw NULL string crosses the comparison boundary), validity probing.
+    All native Catalyst JSON expressions."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "p", F.from_json("props", "k bigint, missing string")
+    )
+    return (
+        parsed.where(F.col("p.k") % 10 == 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("p.k").alias("k"),
+            F.col("p").isNotNull().alias("is_valid"),
+            F.coalesce(F.col("p.missing"), F.lit("<absent>")).alias("missing_field"),
+        )
+    )
+
+
+@query(
     "events_sliding_windows",
     oracle=f"""
     SELECT CAST(ws AS TIMESTAMP) AS window_start,

@@ -85,7 +85,11 @@ def compare(spark_df, sql: str, sf_dir: str, float_ulps: bool = True) -> None:
                     f"diff={abs(x - y)!r}"
                 )
         else:
-            mism = a.astype(object).where(pd.notna(a), None) != e.astype(object).where(pd.notna(e), None)
+            an = a.astype(object).where(pd.notna(a), None)
+            en = e.astype(object).where(pd.notna(e), None)
+            # pandas null semantics make None != None true; a cell matches
+            # when equal OR both null
+            mism = (an != en) & ~(an.isna() & en.isna())
             if mism.any():
                 i = int(mism.idxmax())
                 raise AssertionError(

@@ -27,3 +27,7 @@ RELATIONAL = [
 @pytest.mark.parametrize("name", RELATIONAL)
 def test_against_duckdb_oracle(name, spark, sf_dir):
     compare(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
+
+
+def test_events_json_typed_oracle(spark, sf_dir):
+    compare(QUERIES["events_json_typed"](spark, sf_dir), ORACLES["events_json_typed"], sf_dir)
