@@ -225,9 +225,9 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
              ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS running_spend,
-           CAST(lag(o_orderkey) OVER (
+           CAST(coalesce(lag(o_orderkey) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ) AS BIGINT) AS prev_orderkey
+           ), -1) AS BIGINT) AS prev_orderkey
     FROM orders
     """,
 )
@@ -244,7 +244,12 @@ def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
         .cast("double")
         .alias("running_spend"),
-        F.lag("o_orderkey").over(w).cast("long").alias("prev_orderkey"),
+        # lag's leading NULL is coalesced to a sentinel: a NULL inside an
+        # integer column surfaces as None vs NaN across client stacks,
+        # which would flake representation-level comparison.
+        F.coalesce(F.lag("o_orderkey").over(w), F.lit(-1))
+        .cast("long")
+        .alias("prev_orderkey"),
     )
 
 
