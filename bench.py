@@ -57,6 +57,10 @@ def main() -> None:
         timings[name] = round(best, 4)
         total += best
         print(f"# {name}: {best:.3f}s", file=sys.stderr)
+        # Multi-consumer queries persist intermediates (minhash, k-means,
+        # clusters); drop them so cache from query i doesn't pressure the
+        # heap (GC pauses) during query i+1.
+        spark.catalog.clearCache()
     spark.stop()
 
     print(

@@ -147,7 +147,8 @@ def approx_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
              {sql_dsum('o_totalprice')} AS total
       FROM orders GROUP BY 1
     )
-    SELECT d.day, coalesce(daily.n, 0) AS n, coalesce(daily.total, 0.0) AS total
+    SELECT CAST(d.day AS TIMESTAMP) AS day,
+           coalesce(daily.n, 0) AS n, coalesce(daily.total, 0.0) AS total
     FROM days d LEFT JOIN daily ON daily.day = d.day
     """,
 )
@@ -170,7 +171,11 @@ def daily_orders_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total")
     )
     return days.join(daily, "day", "left").select(
-        "day",
+        # timestamp_ntz, not date: Spark DATE surfaces as datetime.date in
+        # pandas while DuckDB DATE surfaces as datetime64 — a
+        # representation-level mismatch under any client-side compare.
+        # Midnight timestamps round-trip identically on both engines.
+        F.col("day").cast("timestamp_ntz").alias("day"),
         F.coalesce("n", F.lit(0)).alias("n"),
         F.coalesce("total", F.lit(0.0)).alias("total"),
     )
@@ -179,7 +184,7 @@ def daily_orders_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rolling_7day_revenue",
     oracle="""
-    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+    SELECT o_custkey, o_orderkey, o_orderdate AS order_date,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate
              RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
@@ -198,7 +203,7 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(
         """
-        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        SELECT o_custkey, o_orderkey, o_orderdate AS order_date,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
                  PARTITION BY o_custkey ORDER BY o_orderdate
                  RANGE BETWEEN INTERVAL '7' DAY PRECEDING AND CURRENT ROW

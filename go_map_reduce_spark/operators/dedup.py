@@ -25,7 +25,7 @@ byte-identical signatures.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from go_map_reduce_spark.catalog import ensure_min_parallelism, load_table
 from go_map_reduce_spark.functions.vector import cosine, norm_sq, sql_cosine, sql_dot

@@ -24,7 +24,8 @@ from go_map_reduce_spark.registry import query
            COUNT(*) AS n,
            COUNT(DISTINCT user_id) AS n_users,
            {sql_dsum('value')} AS sum_value,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events
     GROUP BY event_type

@@ -100,7 +100,7 @@ def string_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate_function_depth",
     oracle="""
     SELECT o_orderpriority,
-           count_if(o_totalprice > 200000) AS n_big,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
            COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
            bool_and(o_totalprice > 0) AS all_positive,
            bool_or(o_orderstatus = 'P') AS any_pending,

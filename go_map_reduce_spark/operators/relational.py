@@ -83,7 +83,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o_orderkey,
            {sql_dsum(REVENUE)} AS revenue,
-           CAST(o_orderdate AS DATE) AS o_orderdate,
+           o_orderdate,
            o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -122,7 +122,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "revenue",
-            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderdate",
             "o_orderpriority",
         )
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))

@@ -24,7 +24,7 @@ from go_map_reduce_spark.registry import query
     SELECT c_custkey, c_mktsegment,
            COUNT(o_orderkey) AS n_orders,
            {sql_dsum('o_totalprice')} AS total_spend,
-           coalesce(CAST(max(o_orderdate) AS DATE), DATE '1970-01-01')
+           coalesce(max(o_orderdate), TIMESTAMP '1970-01-01 00:00:00')
              AS last_order_date
     FROM customer LEFT JOIN orders ON o_custkey = c_custkey
     GROUP BY c_custkey, c_mktsegment
@@ -33,11 +33,11 @@ from go_map_reduce_spark.registry import query
 def customer_order_profile_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER join + agg: every customer appears, order-less ones
     with n_orders=0 and NULL spend — the null-preserving join semantics
-    the inner-join queries can't exercise. The date is coalesced to the
-    epoch sentinel: a NULL inside a DATE column is the one value whose
-    client representation differs between engines (None vs NaT), which
-    would flake any representation-level comparison; NULL doubles and
-    strings round-trip identically (see null_handling_profile)."""
+    the inner-join queries can't exercise. The timestamp is coalesced to
+    the epoch sentinel: a NULL inside a temporal column is the one value
+    whose client representation differs between engines (None vs NaT),
+    which would flake any representation-level comparison; NULL doubles
+    and strings round-trip identically (see null_handling_profile)."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = load_table(spark, sf_dir, "orders")
     return (
@@ -47,7 +47,8 @@ def customer_order_profile_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("o_orderkey").alias("n_orders"),
             dsum(F.col("o_totalprice")).alias("total_spend"),
             F.coalesce(
-                F.max("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+                F.max("o_orderdate"),
+                F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"),
             ).alias("last_order_date"),
         )
     )
@@ -82,12 +83,13 @@ def supplier_part_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order_date_arithmetic",
     oracle="""
     SELECT o_orderkey,
-           CAST(o_orderdate AS DATE) AS order_date,
-           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
+           CAST(CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS TIMESTAMP)
+             AS due_date,
            CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
              AS days_since_epoch_start,
-           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
-           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end
+           date_trunc('month', o_orderdate) AS order_month,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '2000-01-01'
     """,
@@ -101,17 +103,24 @@ def order_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return orders.select(
         "o_orderkey",
-        F.col("o_orderdate").cast("date").alias("order_date"),
+        # date arithmetic runs in DATE space, but every temporal output is
+        # cast back to timestamp_ntz: Spark DATE reaches pandas as
+        # datetime.date while DuckDB DATE reaches it as datetime64, which
+        # no representation-level comparator treats as equal.
+        F.col("o_orderdate").cast("date").cast("timestamp_ntz").alias("order_date"),
         (F.col("o_orderdate") + F.expr("INTERVAL '90' DAY"))
         .cast("date")
+        .cast("timestamp_ntz")
         .alias("due_date"),
         F.datediff(
             F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
         )
         .cast("long")
         .alias("days_since_epoch_start"),
-        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
-        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.last_day(F.col("o_orderdate").cast("date"))
+        .cast("timestamp_ntz")
+        .alias("month_end"),
     )
 
 
