@@ -284,6 +284,115 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+         df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+         ranked AS (
+           SELECT s.doc_id, s.shingle,
+                  row_number() OVER (
+                    PARTITION BY s.doc_id ORDER BY d.df, s.shingle) AS rnk,
+                  COUNT(*) OVER (PARTITION BY s.doc_id) AS sz
+           FROM sh s JOIN df d USING (shingle)
+         ),
+         prefix AS (
+           SELECT doc_id, shingle, sz FROM ranked
+           WHERE rnk <= sz - CAST(ceil({JACCARD_THRESHOLD} * sz) AS BIGINT) + 1
+         ),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM prefix a JOIN prefix b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           WHERE least(a.sz, b.sz)
+                 >= {JACCARD_THRESHOLD} * greatest(a.sz, b.sz)
+         ),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+           FROM pairs p
+           JOIN sh sa ON sa.doc_id = p.doc_a
+           JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+           GROUP BY p.doc_a, p.doc_b
+         )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via prefix filtering (the
+    PPJoin family) — no MinHash approximation, yet never all-pairs.
+
+    Each doc's shingles are ordered by a global total order (document
+    frequency asc, then shingle); a pair with Jaccard >= t must share a
+    shingle within the first ``|d| - ceil(t*|d|) + 1`` of each doc's
+    ordering, so the candidate join runs only on those prefixes, with a
+    length filter (``min_size >= t * max_size``) pruning further. Rare
+    shingles lead the order, so prefix join buckets are small by
+    construction — the exact-algorithm counterpart of MinHash banding
+    (``minhash_near_dup_pairs``), trading a df computation + window sort
+    for zero false negatives. Verification reuses the full shingle set.
+
+    Contrast with the reference's dedup surface: map-side distinct sets
+    (indexer.go:21-26) are its only dedup primitive; set-similarity
+    self-join has no analog there.
+    """
+    from pyspark.sql import Window
+
+    sh = _spark_shingles(spark, sf_dir).persist()
+    sh.count()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.where(
+        F.col("rnk")
+        <= F.col("sz") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("sz")) + 1
+    ).select("doc_id", "shingle", "sz")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(
+            F.least("a.sz", "b.sz")
+            >= JACCARD_THRESHOLD * F.greatest("a.sz", "b.sz")
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
 _HEX_ODD = "('1','3','5','7','9','b','d','f')"
 
 
