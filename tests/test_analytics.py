@@ -6,7 +6,12 @@ from go_map_reduce_spark.registry import ORACLES, QUERIES
 
 from tests.oracle_util import compare
 
-ORACLED = ["pivot_segment_status", "cube_year_status", "quantity_quantiles"]
+ORACLED = [
+    "pivot_segment_status",
+    "cube_year_status",
+    "grouping_sets_order_stats",
+    "quantity_quantiles",
+]
 
 
 @pytest.mark.parametrize("name", ORACLED)

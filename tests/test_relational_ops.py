@@ -10,6 +10,7 @@ RELATIONAL = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_revenue",
+    "q7_nation_volume",
     "top_orders_per_customer",
     "running_customer_spend",
     "customers_without_orders",
