@@ -12,6 +12,7 @@ NAMES = [
     "order_date_arithmetic",
     "sql_interface_revenue",
     "wordcount_salted",
+    "salted_join_segment_value",
     "events_sliding_windows",
 ]
 
