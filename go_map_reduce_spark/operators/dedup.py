@@ -25,7 +25,7 @@ byte-identical signatures.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from go_map_reduce_spark.catalog import ensure_min_parallelism, load_table
 from go_map_reduce_spark.functions.vector import cosine, norm_sq, sql_cosine, sql_dot
@@ -38,11 +38,17 @@ BANDS = 4
 R = 3
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.5
+# Degenerate-bucket guard: LSH buckets with more members than this are
+# routed out of the pairwise verify join (quadratic in bucket size) and
+# surfaced as template clusters instead. 64 members ≈ 2k pairs/bucket —
+# cheap; a boilerplate bucket of 10⁶ docs would otherwise be 5·10¹¹ pairs.
+LSH_BUCKET_CAP = 64
 
 # Seeded hash family: ONE md5 per shingle parsed to a 28-bit int, then H
 # affine permutations h_j = (a_j·h + b_j) mod P — 11 fewer digest
 # computations per shingle than seeding md5 itself, pure int64 ops that
-# both engines evaluate identically (no overflow: a < 2^31, h < 2^28).
+# both engines evaluate identically (no overflow: a < 2^32, h < 2^28, so
+# a·h + b < 2^60 < int64 max).
 MINHASH_P = 4_294_967_291  # largest prime < 2^32
 MINHASH_SEEDS = [
     (2_654_435_761, 0x9E37),
@@ -105,6 +111,12 @@ def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_min_parallelism(
         spark, load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
+    return _shingles_from_docs(docs)
+
+
+def _shingles_from_docs(docs: DataFrame) -> DataFrame:
+    """Shingle pipeline over any (doc_id, text) frame (synthetic corpora
+    in tests use this directly)."""
     toks = F.filter(F.split("text", "[^A-Za-z]+"), lambda x: x != "")
     shingles = F.when(
         F.size(toks) < SHINGLE_K, F.array(F.concat_ws(" ", toks))
@@ -234,11 +246,14 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale behavior: the band self-join shuffles on (band, bkey) —
     collision-bucket sized, not corpus². The verify join re-shuffles
-    only candidate docs' shingles. Known hazard: a degenerate band key
-    shared by a huge doc cluster makes one bucket quadratic; production
-    guard is a per-bucket cap (drop buckets with > N docs as "template
-    clusters" and handle separately) — at the driver SFs no bucket
-    exceeds a handful of docs, so the cap is not applied here.
+    only candidate docs' shingles. The degenerate-bucket hazard (a
+    boilerplate band key shared by a huge doc cluster makes one bucket
+    quadratic) is guarded by LSH_BUCKET_CAP: buckets with more members
+    never enter the pairwise join and are surfaced separately as
+    template clusters (``lsh_template_clusters``). At the driver SFs no
+    bucket comes near the cap, so the capped result equals the uncapped
+    oracle; the cap's behavior under a degenerate corpus is pinned in
+    tests/test_dedup.py.
     """
     # The shingle set feeds three consumers (signatures+sizes, and both
     # sides of the verify self-join); Spark does not share common
@@ -249,9 +264,24 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist-to-memory-and-disk is the single-job analog.
     sh = _spark_shingles(spark, sf_dir).persist()
     sh.count()
+    return _near_dup_pairs_from_shingles(sh)
+
+
+def _near_dup_pairs_from_shingles(
+    sh: DataFrame, cap: int = None
+) -> DataFrame:
+    """LSH candidate generation (bucket-capped) + exact-Jaccard verify
+    over a (doc_id, shingle) frame. ``cap`` defaults to LSH_BUCKET_CAP."""
+    cap = LSH_BUCKET_CAP if cap is None else cap
     sigs = _spark_signatures(sh)
     bands = _spark_bands(sigs)
-    a, b = bands.alias("a"), bands.alias("b")
+    # Degenerate-bucket cap: count bucket membership with a window over
+    # the same (band, bkey) partitioning the self-join shuffles on (the
+    # exchange is shared, so the count is not an extra shuffle of the
+    # band table), then keep only sub-cap buckets for pairwise work.
+    bsz = F.count(F.lit(1)).over(Window.partitionBy("band", "bkey"))
+    small = bands.withColumn("bsz", bsz).where(F.col("bsz") <= cap).drop("bsz")
+    a, b = small.alias("a"), small.alias("b")
     pairs = (
         a.join(
             b,
@@ -282,6 +312,70 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+def _template_clusters_from_shingles(sh: DataFrame, cap: int = None) -> DataFrame:
+    """Over-cap LSH buckets as template clusters: every member of a
+    bucket larger than the cap shares a full minhash band — at that size
+    they are near-identical boilerplate (licence headers, templated
+    pages), so the right dedup move is keep-one-per-bucket, not O(k²)
+    pairwise verification. Emits (band, bkey, n_docs, keep_doc_id)."""
+    cap = LSH_BUCKET_CAP if cap is None else cap
+    bands = _spark_bands(_spark_signatures(sh))
+    return (
+        bands.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("n_docs") > cap)
+    )
+
+
+@query(
+    "lsh_bucket_stats",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+         sigs AS ({_SQL_SIGS}),
+         bands AS ({_SQL_BANDS}),
+         buckets AS (
+           SELECT band, bkey, COUNT(*) AS bucket_size
+           FROM bands GROUP BY band, bkey
+         )
+    SELECT band, bucket_size, COUNT(*) AS n_buckets,
+           CAST(max(bucket_size) <= {LSH_BUCKET_CAP} AS BOOLEAN) AS under_cap
+    FROM buckets GROUP BY band, bucket_size
+    """,
+)
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-size histogram per band — the observability query for
+    the degenerate-bucket cap: how collision mass is distributed, and
+    whether any bucket approaches LSH_BUCKET_CAP. Two cascaded
+    aggregations over the band table; output is O(distinct sizes)."""
+    bands = _spark_bands(_spark_signatures(_spark_shingles(spark, sf_dir)))
+    buckets = bands.groupBy("band", "bkey").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return buckets.groupBy("band", "bucket_size").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        (F.max("bucket_size") <= LSH_BUCKET_CAP).alias("under_cap"),
+    )
+
+
+@query(
+    "lsh_template_clusters",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+         sigs AS ({_SQL_SIGS}),
+         bands AS ({_SQL_BANDS})
+    SELECT band, bkey, COUNT(*) AS n_docs, min(doc_id) AS keep_doc_id
+    FROM bands GROUP BY band, bkey
+    HAVING COUNT(*) > {LSH_BUCKET_CAP}
+    """,
+)
+def lsh_template_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cap's side output: buckets too large for pairwise verification
+    (see _template_clusters_from_shingles). Empty on the organic test
+    corpora (no boilerplate clusters at driver SFs) — the degenerate-
+    corpus behavior is pinned in tests/test_dedup.py."""
+    return _template_clusters_from_shingles(_spark_shingles(spark, sf_dir))
 
 
 @query(

@@ -189,8 +189,13 @@ def wordcount_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     words = exploded_tokens(docs.select("text"))
+    # Deterministic salt: hash(word, input partition id) is stable under
+    # task retry/speculation (monotonically_increasing_id is not), while
+    # still fanning a hot word's occurrences — which span many input
+    # splits — across up to N_SALTS reducers.
     salted = words.withColumn(
-        "salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(N_SALTS))
+        "salt",
+        F.pmod(F.xxhash64("word", F.spark_partition_id()), F.lit(N_SALTS)),
     )
     partial = salted.groupBy("word", "salt").agg(F.count(F.lit(1)).alias("c"))
     return partial.groupBy("word").agg(F.sum("c").alias("cnt"))

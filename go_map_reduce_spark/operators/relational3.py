@@ -169,10 +169,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tok.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
-    n_docs = docs.count()
-    tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    # Corpus size as a broadcast 1-row aggregate (mirrors the oracle's
+    # CROSS JOIN n) — keeps the query fully lazy: no job runs at
+    # construction time, and the count fuses into the single DAG.
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    tfidf = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
     return (
         tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n))
         .where(tfidf > 0)
         .select("doc_id", "word", "tf", F.round(tfidf, 8).alias("tfidf"))
     )

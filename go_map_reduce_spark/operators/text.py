@@ -18,11 +18,14 @@ materializing the joined string.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from go_map_reduce_spark.catalog import load_table
 from go_map_reduce_spark.functions.texttok import exploded_tokens, sql_exploded_tokens
 from go_map_reduce_spark.registry import query
+
+# Cap for the scale-safe inverted-index variant: top docs kept per word.
+TOP_DOCS_PER_WORD = 10
 
 
 @query(
@@ -73,6 +76,67 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.concat_ws(",", F.sort_array(F.collect_list("doc"))).alias("docs"),
     )
+
+
+@query(
+    "inverted_index_topdocs",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, word FROM {sql_exploded_tokens('documents')}),
+         pairs AS (
+           SELECT word, doc_id, COUNT(*) AS tf FROM tok GROUP BY word, doc_id
+         ),
+         totals AS (SELECT word, COUNT(*) AS n_docs FROM pairs GROUP BY word),
+         ranked AS (
+           SELECT word, doc_id,
+                  row_number() OVER (
+                    PARTITION BY word ORDER BY tf DESC, doc_id) AS rn
+           FROM pairs
+         )
+    SELECT t.word, t.n_docs,
+           string_agg(CAST(r.doc_id AS VARCHAR), ',' ORDER BY r.rn) AS top_docs
+    FROM totals t JOIN ranked r USING (word)
+    WHERE r.rn <= {TOP_DOCS_PER_WORD}
+    GROUP BY t.word, t.n_docs
+    """,
+)
+def inverted_index_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe inverted index: per word, the TOTAL doc frequency plus
+    only the top-K docs by term frequency (ties by doc id).
+
+    This is the 100 TB formulation of A2: the parity ``inverted_index``
+    materializes every doc id into one row per word (the reference's own
+    semantics, mrapps/indexer.go:36-39 — unbounded for a hot word like
+    "the"), while here per-group state is bounded at TOP_DOCS_PER_WORD.
+    The row_number ≤ K filter compiles to WindowGroupLimit, so each
+    shuffle partition pre-prunes to its local top-K BEFORE the exchange
+    (asserted in tests/test_plans.py) — a hot word ships K rows per map
+    partition, not its full posting list."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        exploded_tokens(docs.select("doc_id", "text"))
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    totals = pairs.groupBy("word").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("word").orderBy(F.col("tf").desc(), F.col("doc_id"))
+    top = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_DOCS_PER_WORD)
+    )
+    capped = top.groupBy("word").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("rn", F.col("doc_id").cast("string").alias("doc"))
+                    )
+                ),
+                lambda s: s.doc,
+            ),
+        ).alias("top_docs")
+    )
+    return totals.join(capped, "word").select("word", "n_docs", "top_docs")
 
 
 @query(

@@ -12,8 +12,12 @@ from __future__ import annotations
 
 import re
 
-# The reference tokenizes by splitting on non-letter runes
-# (mrapps/wc.go:23-26); ASCII-stable class shared with functions/texttok.py.
+# The reference tokenizes by splitting on non-letter *unicode* runes
+# (mrapps/wc.go:23-26, unicode.IsLetter); this port deliberately uses the
+# ASCII letter class instead, shared with functions/texttok.py, so the
+# DuckDB oracles and the sequential oracle tokenize identically across
+# engines. On non-ASCII input (accented text) the emitted keys therefore
+# differ from the Go reference — a documented restriction, not a bug.
 _TOKEN_RE = re.compile(r"[^A-Za-z]+")
 
 

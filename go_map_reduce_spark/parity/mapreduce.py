@@ -62,6 +62,11 @@ def run_job(
     from go_map_reduce_spark.shipping import ensure_package_shipped
 
     ensure_package_shipped(spark)
+    # wholeTextFiles takes a comma-joined path list, so a path containing
+    # a comma would be silently split into two bogus paths — reject it.
+    for p in inputs:
+        if "," in p:
+            raise ValueError(f"input path may not contain ',': {p!r}")
     files = spark.sparkContext.wholeTextFiles(",".join(inputs), minPartitions=len(inputs))
     kvs = files.flatMap(lambda fc: mapf(fc[0], fc[1]))
     # One shuffle: hash-partition by key into n_reduce buckets, group

@@ -39,9 +39,11 @@ def compact(
 ) -> int:
     """Rewrite a parquet table into ceil(size/target) files; returns the
     new file count. Coalesce (not repartition): merging small outputs
-    needs no shuffle. Overwrites in place via a staging directory +
-    rename, mirroring the task-commit discipline (never partial state
-    visible)."""
+    needs no shuffle. Overwrites in place via a staging directory + two
+    renames. The swap is NOT atomic: a crash between the renames leaves
+    the table only at path + '__compact_old' — that directory is the
+    recovery point (rename it back). Staging is created alongside the
+    table (same parent dir), so the renames stay on one filesystem."""
     df = spark.read.parquet(path)
     n_files = max(1, math.ceil(_tree_bytes(path) / target_file_bytes))
     staging = path.rstrip("/") + "__compact_staging"

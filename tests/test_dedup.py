@@ -14,6 +14,8 @@ DEDUP = [
     "simhash_fingerprints",
     "embedding_near_dup_pairs",
     "ngram_jaccard_pairs",
+    "lsh_bucket_stats",
+    "lsh_template_clusters",
 ]
 
 
@@ -46,3 +48,35 @@ def test_minhash_finds_near_dups_at_sf001(spark):
     rows = df.collect()
     assert all(0.5 <= r["jaccard"] <= 1.0 for r in rows)
     assert len(rows) > 0
+
+
+def test_degenerate_bucket_cap(spark):
+    """A boilerplate corpus (1000 docs sharing every band key) must NOT
+    go quadratic: the capped pair join emits no pairs for the over-cap
+    bucket, and the template-cluster side output captures it instead."""
+    from go_map_reduce_spark.operators.dedup import (
+        BANDS,
+        _near_dup_pairs_from_shingles,
+        _shingles_from_docs,
+        _template_clusters_from_shingles,
+    )
+
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, template) for i in range(1000)] + [(2000, "something else entirely")],
+        schema="doc_id bigint, text string",
+    )
+    sh = _shingles_from_docs(docs).persist()
+    try:
+        # capped: the 1000-doc bucket is excluded → no pairwise explosion
+        pairs = _near_dup_pairs_from_shingles(sh, cap=64).collect()
+        assert pairs == []
+        clusters = _template_clusters_from_shingles(sh, cap=64).collect()
+        # every band has the same degenerate membership
+        assert len(clusters) == BANDS
+        assert all(c["n_docs"] == 1000 and c["keep_doc_id"] == 0 for c in clusters)
+        # sanity: with a cap that admits the bucket, pairs DO appear
+        some = _near_dup_pairs_from_shingles(sh.where("doc_id < 3"), cap=64)
+        assert some.count() == 3  # 3 identical docs → 3 pairs, jaccard 1.0
+    finally:
+        sh.unpersist()

@@ -6,7 +6,12 @@ from go_map_reduce_spark.registry import ORACLES, QUERIES
 
 from tests.oracle_util import compare
 
-NAMES = ["multimodal_features", "events_hourly_stream", "events_session_windows"]
+NAMES = [
+    "multimodal_features",
+    "multimodal_image_decode",
+    "events_hourly_stream",
+    "events_session_windows",
+]
 
 
 @pytest.mark.parametrize("name", NAMES)
@@ -25,12 +30,43 @@ def test_media_table_schema(spark, sf_dir):
     assert isinstance(row["payload"], (bytes, bytearray))
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_is_stubbed_for_compressed_formats():
     from go_map_reduce_spark.operators.multimodal import HAS_PIL, decode_image
 
     if not HAS_PIL:
         with pytest.raises(NotImplementedError):
             decode_image(b"\x89PNG")
+
+
+def test_bmp_roundtrip_and_golden():
+    """The pure-Python BMP codec: encode→decode round-trip plus a golden
+    header check (field offsets per the public BMP format spec)."""
+    from go_map_reduce_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rows = [bytes([y * 10 + x for x in range(3 * 3)]) for y in range(2)]
+    payload = encode_bmp(3, 2, rows)
+    # golden header fields: magic, data offset, width, height, bpp
+    assert payload[:2] == b"BM"
+    assert int.from_bytes(payload[10:14], "little") == 54
+    assert int.from_bytes(payload[18:22], "little", signed=True) == 3
+    assert int.from_bytes(payload[22:26], "little", signed=True) == 2
+    assert int.from_bytes(payload[28:30], "little") == 24
+    # 3*3=9 row bytes → stride padded to 12
+    assert len(payload) == 54 + 2 * 12
+    w, h, bpp, px = decode_bmp(payload)
+    assert (w, h, bpp) == (3, 2, 24)
+    assert px == b"".join(rows)  # padding stripped exactly
+
+
+def test_decode_bmp_rejects_unsupported():
+    from go_map_reduce_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX" + b"\x00" * 60)
+    payload = bytearray(encode_bmp(2, 2, [b"\x00" * 6] * 2))
+    payload[28] = 8  # bpp=8 → unsupported variant
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(payload))
 
 
 def test_streaming_matches_batch_windows(spark, sf_dir):

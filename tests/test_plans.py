@@ -32,6 +32,14 @@ def test_window_topk_prunes_before_shuffle(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_inverted_index_topdocs_bounded_state(spark, sf_dir):
+    """The scale-safe A2 variant must pre-prune posting lists to top-K
+    per partition (WindowGroupLimit) — a hot word never ships its full
+    posting list through the shuffle."""
+    plan = _plan(spark, "inverted_index_topdocs", sf_dir)
+    assert "WindowGroupLimit" in plan
+
+
 def test_q1_filter_pushed_to_scan(spark, sf_dir):
     plan = _plan(spark, "q1_pricing_summary", sf_dir)
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
@@ -53,6 +61,30 @@ def test_ann_bruteforce_broadcasts_queries(spark, sf_dir):
 def test_partial_aggregation_in_q1(spark, sf_dir):
     plan = _plan(spark, "q1_pricing_summary", sf_dir)
     assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_tfidf_lazy_construction(spark, sf_dir):
+    """tfidf_top_terms must not run an action at query-construction time —
+    the corpus count is a broadcast 1-row aggregate, not docs.count().
+    (Construction may still read parquet footers for schema; the eager
+    action the plan must avoid is a driver-side count.)"""
+    from pyspark.sql import DataFrame
+
+    real_count = DataFrame.count
+
+    def poisoned_count(self):
+        raise AssertionError("eager DataFrame.count() during query construction")
+
+    DataFrame.count = poisoned_count
+    try:
+        df = QUERIES["tfidf_top_terms"](spark, sf_dir)  # construct only
+    finally:
+        DataFrame.count = real_count
+    # and the corpus size is joined in as a broadcast 1-row aggregate
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
 def test_no_cartesian_products_anywhere(spark, sf_dir):
