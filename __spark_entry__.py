@@ -84,6 +84,7 @@ _NEW_THIS_ROUND: set = {
     "lsh_template_clusters",
     "inverted_index_topdocs",
     "multimodal_image_decode",
+    "simhash64_fingerprints",
 }
 
 

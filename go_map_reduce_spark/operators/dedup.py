@@ -536,6 +536,53 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", bits.alias("simhash"), "n_tokens")
 
 
+@query("simhash64_fingerprints")  # rows-only: DuckDB cannot compute xxhash64
+def simhash64_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash — the scale variant of ``simhash_fingerprints``:
+    per-token xxhash64 (native JVM codegen int hash, no md5 string
+    digest) votes on 64 dimensions; the fingerprint is emitted as a
+    16-hex-char string assembled from two 32-bit halves (a single
+    bigint would overflow at bit 63).
+
+    No DuckDB oracle exists for xxhash64, so the driver row is
+    rows-only; bit-exactness is instead pinned engine-vs-specification
+    in tests/test_dedup.py against a pure-Python XXH64 implementation
+    (tests/xxh64_ref.py) — Spark's xxhash64 is the public XXH64
+    algorithm with seed 42."""
+    from functools import reduce
+    from operator import add
+
+    docs = ensure_min_parallelism(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    toks = F.filter(F.split("text", "[^A-Za-z]+"), lambda x: x != "")
+    words = docs.select("doc_id", F.explode(toks).alias("word"))
+    h = F.xxhash64("word")
+    agg = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"d{i}")
+            for i in range(64)
+        ],
+    )
+    half = lambda off: reduce(  # noqa: E731
+        add,
+        [
+            F.when(F.col(f"d{off + i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(32)
+        ],
+    )
+    fp = F.lower(
+        F.concat(
+            F.lpad(F.conv(half(32).cast("string"), 10, 16), 8, "0"),
+            F.lpad(F.conv(half(0).cast("string"), 10, 16), 8, "0"),
+        )
+    )
+    return agg.select("doc_id", fp.alias("simhash64"), "n_tokens")
+
+
 _SQL_SIGN_BUCKET = " || ".join(
     f"CASE WHEN embedding[{i}] > 0 THEN '1' ELSE '0' END"
     for i in range(1, SIGN_BUCKET_DIMS + 1)

@@ -50,6 +50,56 @@ def test_minhash_finds_near_dups_at_sf001(spark):
     assert len(rows) > 0
 
 
+def test_simhash64_matches_spec(spark):
+    """Engine-vs-spec differential for the 64-bit SimHash (DuckDB has no
+    xxhash64, so the oracle is a pure-Python XXH64 from the public
+    specification): recompute every doc's fingerprint in Python and
+    compare bit-for-bit."""
+    import re
+
+    import duckdb
+
+    from tests.xxh64_ref import xxh64
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["doc_id"]: (r["simhash64"], r["n_tokens"])
+        for r in QUERIES["simhash64_fingerprints"](spark, sf).collect()
+    }
+    docs = duckdb.sql(f"SELECT doc_id, text FROM '{sf}/documents.parquet'").fetchall()
+    assert len(got) == len(docs)
+    for doc_id, text in docs:
+        tokens = [t for t in re.split(r"[^A-Za-z]+", text) if t]
+        votes = [0] * 64
+        for t in tokens:
+            h = xxh64(t.encode()) & ((1 << 64) - 1)
+            for i in range(64):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        fp = sum(1 << i for i in range(64) if votes[i] > 0)
+        assert got[doc_id] == (f"{fp:016x}", len(tokens)), doc_id
+
+
+def test_simhash64_collision_behavior(spark):
+    """A healthy 64-bit fingerprint: identical token streams collide
+    exactly, distinct docs essentially never do, and unrelated-pair
+    hamming distances are well away from 0. (Same-language docs share
+    vocabulary, so the mean sits below the 32-bit binomial midpoint —
+    ~18 on this corpus — which is expected SimHash behavior, not a
+    defect.)"""
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["simhash64_fingerprints"](spark, sf).collect()
+    fps = [int(r["simhash64"], 16) for r in rows]
+    dists = [
+        bin(fps[i] ^ fps[i + len(fps) // 2]).count("1")
+        for i in range(len(fps) // 2)
+    ]
+    assert 8 <= sum(dists) / len(dists) <= 40
+    # collisions are rare and confined to near-duplicate families (the
+    # corpus has ~25 high-Jaccard pairs — colliding on those is the
+    # intended SimHash behavior, not a hash defect)
+    assert len(set(fps)) >= len(fps) - 10
+
+
 def test_degenerate_bucket_cap(spark):
     """A boilerplate corpus (1000 docs sharing every band key) must NOT
     go quadratic: the capped pair join emits no pairs for the over-cap
