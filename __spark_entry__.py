@@ -85,6 +85,11 @@ _NEW_THIS_ROUND: set = {
     "inverted_index_topdocs",
     "multimodal_image_decode",
     "simhash64_fingerprints",
+    "deterministic_sample_orders",
+    "pii_redaction",
+    "training_corpus_selection",
+    "events_stream_dedup",
+    "funnel_click_view_purchase",
 }
 
 

@@ -382,3 +382,46 @@ def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-stratum rate accuracy are pinned in tests."""
     ev = load_table(spark, sf_dir, "events")
     return ev.sampleBy("event_type", fractions=SAMPLE_FRACTIONS, seed=42)
+
+
+# ~10% keep rate: first 4 md5 hex digits (16 bits) under 6554/65536.
+HASH_SAMPLE_THRESHOLD = 6554
+
+
+@query(
+    "deterministic_sample_orders",
+    oracle=f"""
+    WITH keys AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))
+                 AS BIGINT) < {HASH_SAMPLE_THRESHOLD}
+    )
+    SELECT k.o_orderkey, k.o_totalprice, COUNT(l.l_orderkey) AS n_items
+    FROM keys k LEFT JOIN lineitem l ON l.l_orderkey = k.o_orderkey
+    GROUP BY k.o_orderkey, k.o_totalprice
+    """,
+)
+def deterministic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling — the reproducible alternative to RNG
+    sampling for training-data diets: keep keys whose md5 prefix falls
+    under a threshold. Unlike `sample()`, the decision is a pure
+    function of the key, so (a) reruns/retries pick identical rows (no
+    RNG stream dependence), and (b) EVERY table keyed by the same entity
+    co-samples consistently — here orders and their lineitems stay
+    aligned (the join finds every sampled order's items), which seeded
+    RNG cannot guarantee across tables. The filter is a per-row
+    predicate evaluated at the scan: no shuffle, no state, and the same
+    10% lands on every engine (md5 is engine-portable)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    keep = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        < HASH_SAMPLE_THRESHOLD
+    )
+    keys = orders.where(keep)
+    items = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    return (
+        keys.join(items, keys.o_orderkey == items.l_orderkey, "left")
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count("l_orderkey").alias("n_items"))
+    )

@@ -105,18 +105,19 @@ _SQL_BANDS = " UNION ALL ".join(
 )
 
 
-def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) — per-row array_distinct, so the
-    distinct needs no shuffle; the exploded output is already unique."""
+def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shset): each doc's DISTINCT shingle set as a per-row
+    array — the common currency of the dedup pipelines. Built entirely
+    with narrow per-row array ops: no explode, no shuffle."""
     docs = ensure_min_parallelism(
         spark, load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    return _shingles_from_docs(docs)
+    return _docsets_from_docs(docs)
 
 
-def _shingles_from_docs(docs: DataFrame) -> DataFrame:
-    """Shingle pipeline over any (doc_id, text) frame (synthetic corpora
-    in tests use this directly)."""
+def _docsets_from_docs(docs: DataFrame) -> DataFrame:
+    """Shingle-set pipeline over any (doc_id, text) frame (synthetic
+    corpora in tests use this directly)."""
     toks = F.filter(F.split("text", "[^A-Za-z]+"), lambda x: x != "")
     shingles = F.when(
         F.size(toks) < SHINGLE_K, F.array(F.concat_ws(" ", toks))
@@ -126,26 +127,59 @@ def _shingles_from_docs(docs: DataFrame) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_K)),
         )
     )
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+    return docs.select("doc_id", F.array_distinct(shingles).alias("shset"))
+
+
+def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle), exploded — for consumers that
+    genuinely need the relational form (the PPJoin prefix filter's
+    global df computation); already unique per row, so no distinct
+    shuffle."""
+    return _doc_shingle_sets(spark, sf_dir).select(
+        "doc_id", F.explode("shset").alias("shingle")
     )
 
 
-def _spark_signatures(sh: DataFrame) -> DataFrame:
-    """One md5 per shingle → H affine permutations → per-doc minima.
-    Partial aggregation (map-side min) shrinks the shuffle to H int64s
-    per doc before the exchange."""
-    h = F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
-    hashed = sh.select("doc_id", h.alias("h"))
-    return hashed.groupBy("doc_id").agg(
+def _shingles_from_docs(docs: DataFrame) -> DataFrame:
+    return _docsets_from_docs(docs).select(
+        "doc_id", F.explode("shset").alias("shingle")
+    )
+
+
+def _spark_signatures(docsets: DataFrame) -> DataFrame:
+    """One md5 per shingle → H affine permutations → per-doc minima,
+    computed PER ROW over the shingle-set array (array_min ∘ transform):
+    a narrow stage with ZERO shuffle — the groupBy(doc_id) formulation
+    would shuffle one row per (doc, shingle) just to re-group what the
+    row already holds. Input: (doc_id, shset) from _doc_shingle_sets."""
+    # hs materialized as its own projection so the md5 pass runs once per
+    # row, not once per seed (the H affine mins then scan the small int
+    # array H times — pure arithmetic).
+    hashed = docsets.select(
+        "doc_id",
+        F.transform(
+            "shset",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long"),
+        ).alias("hs"),
+    )
+    return hashed.select(
+        "doc_id",
         *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{j}")
+            F.array_min(
+                F.transform("hs", lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P)
+            ).alias(f"mh{j}")
             for j, (a, b) in enumerate(MINHASH_SEEDS)
-        ]
+        ],
     )
 
 
 def _spark_bands(sigs: DataFrame) -> DataFrame:
+    # persist = materialization barrier: every band key references R mh
+    # columns, and Catalyst's projection collapse would otherwise inline
+    # the per-row md5/array_min pipeline into EVERY reference (B×R
+    # re-evaluations per row — measured 10× slowdown). The signature
+    # frame is H×8 bytes/doc, the cheapest thing in the pipeline to hold.
+    sigs = sigs.persist()
     band_keys = F.array(
         *[
             F.concat_ws(",", *[F.col(f"mh{b * R + r}") for r in range(R)])
@@ -207,9 +241,10 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash sketch: H seeded-md5 minima over the doc's
-    3-token shingle set. One scan + one groupBy(doc_id) — the signature
-    table is H×32 bytes/doc regardless of doc size."""
-    return _spark_signatures(_spark_shingles(spark, sf_dir))
+    3-token shingle set, computed per row (array_min over the shingle
+    array) — ONE narrow scan, zero shuffles; the signature table is
+    H×32 bytes/doc regardless of doc size."""
+    return _spark_signatures(_doc_shingle_sets(spark, sf_dir))
 
 
 @query(
@@ -244,41 +279,38 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs: MinHash-LSH banding for candidates, exact shingle
     Jaccard for verification, threshold 0.5.
 
-    Scale behavior: the band self-join shuffles on (band, bkey) —
-    collision-bucket sized, not corpus². The verify join re-shuffles
-    only candidate docs' shingles. The degenerate-bucket hazard (a
-    boilerplate band key shared by a huge doc cluster makes one bucket
-    quadratic) is guarded by LSH_BUCKET_CAP: buckets with more members
-    never enter the pairwise join and are surfaced separately as
+    Scale behavior: signatures and band keys are per-row computations —
+    the ONLY shuffles in the whole pipeline are the band self-join
+    (collision-bucket sized, not corpus²) and the two candidate joins of
+    the verify stage (candidate-set sized). The degenerate-bucket hazard
+    (a boilerplate band key shared by a huge doc cluster makes one
+    bucket quadratic) is guarded by LSH_BUCKET_CAP: buckets with more
+    members never enter the pairwise join and are surfaced separately as
     template clusters (``lsh_template_clusters``). At the driver SFs no
     bucket comes near the cap, so the capped result equals the uncapped
     oracle; the cap's behavior under a degenerate corpus is pinned in
     tests/test_dedup.py.
     """
-    # The shingle set feeds three consumers (signatures+sizes, and both
-    # sides of the verify self-join); Spark does not share common
-    # subplans across joins, so persist it once — materialized eagerly so
-    # every downstream job is a cache read instead of a concurrent
-    # recompute race. At 100 TB the same role is played by materializing
-    # the shingle/signature tables to storage between pipeline stages —
-    # persist-to-memory-and-disk is the single-job analog.
-    sh = _spark_shingles(spark, sf_dir).persist()
-    sh.count()
-    return _near_dup_pairs_from_shingles(sh)
+    # The shingle-set frame feeds three consumers (band pipeline + both
+    # sides of the verify join); Spark does not share common subplans
+    # across joins, so persist it once — one row per doc (arrays), far
+    # smaller than the exploded (doc, shingle) form. At 100 TB the same
+    # role is played by materializing the signature table to storage
+    # between pipeline stages.
+    docsets = _doc_shingle_sets(spark, sf_dir).persist()
+    return _near_dup_pairs_from_docsets(docsets)
 
 
-def _near_dup_pairs_from_shingles(
-    sh: DataFrame, cap: int = None
-) -> DataFrame:
+def _near_dup_pairs_from_docsets(docsets: DataFrame, cap: int = None) -> DataFrame:
     """LSH candidate generation (bucket-capped) + exact-Jaccard verify
-    over a (doc_id, shingle) frame. ``cap`` defaults to LSH_BUCKET_CAP."""
+    over a (doc_id, shset) frame. ``cap`` defaults to LSH_BUCKET_CAP."""
     cap = LSH_BUCKET_CAP if cap is None else cap
-    sigs = _spark_signatures(sh)
-    bands = _spark_bands(sigs)
+    bands = _spark_bands(_spark_signatures(docsets))
     # Degenerate-bucket cap: count bucket membership with a window over
-    # the same (band, bkey) partitioning the self-join shuffles on (the
-    # exchange is shared, so the count is not an extra shuffle of the
-    # band table), then keep only sub-cap buckets for pairwise work.
+    # the same (band, bkey) partitioning the self-join shuffles on, then
+    # keep only sub-cap buckets for pairwise work. (The self-join's two
+    # sides are identical subplans — AQE reuses the exchange, so the
+    # band pipeline executes once.)
     bsz = F.count(F.lit(1)).over(Window.partitionBy("band", "bkey"))
     small = bands.withColumn("bsz", bsz).where(F.col("bsz") <= cap).drop("bsz")
     a, b = small.alias("a"), small.alias("b")
@@ -292,36 +324,42 @@ def _near_dup_pairs_from_shingles(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    return _verify_jaccard(docsets, pairs)
+
+
+def _verify_jaccard(docsets: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs, computed per pair with
+    array_intersect over the two docs' shingle-set arrays — no exploded
+    (doc, shingle) join, no re-aggregation. The only data movement is
+    joining the (tiny, broadcastable) pair list against the docset
+    table twice; the intersection itself is a narrow per-row op, so the
+    verify stage is O(candidate pairs × doc size), independent of
+    corpus size."""
+    sa = docsets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shset").alias("sha")
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_inter").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_inter")
+    sb = docsets.select(
+        F.col("doc_id").alias("doc_b"), F.col("shset").alias("shb")
+    )
+    joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    n_inter = F.size(F.array_intersect("sha", "shb"))
+    jac = n_inter.cast("double") / (
+        F.size("sha") + F.size("shb") - n_inter
     )
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        joined.select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
 
-def _template_clusters_from_shingles(sh: DataFrame, cap: int = None) -> DataFrame:
+def _template_clusters_from_docsets(docsets: DataFrame, cap: int = None) -> DataFrame:
     """Over-cap LSH buckets as template clusters: every member of a
     bucket larger than the cap shares a full minhash band — at that size
     they are near-identical boilerplate (licence headers, templated
     pages), so the right dedup move is keep-one-per-bucket, not O(k²)
     pairwise verification. Emits (band, bkey, n_docs, keep_doc_id)."""
     cap = LSH_BUCKET_CAP if cap is None else cap
-    bands = _spark_bands(_spark_signatures(sh))
+    bands = _spark_bands(_spark_signatures(docsets))
     return (
         bands.groupBy("band", "bkey")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
@@ -349,7 +387,7 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the degenerate-bucket cap: how collision mass is distributed, and
     whether any bucket approaches LSH_BUCKET_CAP. Two cascaded
     aggregations over the band table; output is O(distinct sizes)."""
-    bands = _spark_bands(_spark_signatures(_spark_shingles(spark, sf_dir)))
+    bands = _spark_bands(_spark_signatures(_doc_shingle_sets(spark, sf_dir)))
     buckets = bands.groupBy("band", "bkey").agg(
         F.count(F.lit(1)).alias("bucket_size")
     )
@@ -372,10 +410,10 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lsh_template_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cap's side output: buckets too large for pairwise verification
-    (see _template_clusters_from_shingles). Empty on the organic test
+    (see _template_clusters_from_docsets). Empty on the organic test
     corpora (no boilerplate clusters at driver SFs) — the degenerate-
     corpus behavior is pinned in tests/test_dedup.py."""
-    return _template_clusters_from_shingles(_spark_shingles(spark, sf_dir))
+    return _template_clusters_from_docsets(_doc_shingle_sets(spark, sf_dir))
 
 
 @query(
@@ -438,20 +476,37 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    sh = _spark_shingles(spark, sf_dir).persist()
-    sh.count()
+    # One row per doc with the shingle-set array; the exploded relational
+    # form (needed for the global df computation + prefix ranking) is
+    # derived from it, so the tokenize/shingle work runs once.
+    docsets = _doc_shingle_sets(spark, sf_dir).persist()
+    sh = docsets.select(
+        "doc_id", F.size("shset").alias("sz"), F.explode("shset").alias("shingle")
+    )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    ranked = (
-        sh.join(dfreq, "shingle")
-        .withColumn("rnk", F.row_number().over(w))
-        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-    )
+    ranked = sh.join(dfreq, "shingle").withColumn("rnk", F.row_number().over(w))
+    # (the prefix self-join's two sides are identical subplans — AQE
+    # exchange reuse executes the ranking pipeline once)
     prefix = ranked.where(
         F.col("rnk")
         <= F.col("sz") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("sz")) + 1
-    ).select("doc_id", "shingle", "sz")
+    ).select("doc_id", "shingle", "sz", "rnk")
     a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin positional filter (zero false negatives, like the prefix
+    # filter itself): jac >= t  ⇔  |A∩B| >= t/(1+t)·(|A|+|B|) =: α, and
+    # a match at prefix positions (pa, pb) bounds the achievable overlap
+    # by 1 + min(|A|-pa, |B|-pb). Pairs that cannot reach α never leave
+    # the join — on low-entropy corpora (shared boilerplate vocabulary)
+    # this prunes the candidate set by orders of magnitude before the
+    # expensive verify stage.
+    alpha = F.ceil(
+        F.lit(JACCARD_THRESHOLD / (1.0 + JACCARD_THRESHOLD))
+        * (F.col("a.sz") + F.col("b.sz"))
+    )
+    ubound = 1 + F.least(
+        F.col("a.sz") - F.col("a.rnk"), F.col("b.sz") - F.col("b.rnk")
+    )
     pairs = (
         a.join(
             b,
@@ -459,32 +514,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .where(
-            F.least("a.sz", "b.sz")
-            >= JACCARD_THRESHOLD * F.greatest("a.sz", "b.sz")
+            (
+                F.least("a.sz", "b.sz")
+                >= JACCARD_THRESHOLD * F.greatest("a.sz", "b.sz")
+            )
+            & (ubound >= alpha)
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_inter").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_inter")
-    )
-    return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    return _verify_jaccard(docsets, pairs)
 
 
 _HEX_ODD = "('1','3','5','7','9','b','d','f')"
@@ -558,19 +597,22 @@ def simhash64_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(F.split("text", "[^A-Za-z]+"), lambda x: x != "")
     words = docs.select("doc_id", F.explode(toks).alias("word"))
     h = F.xxhash64("word")
+    # vote_i = Σ±1 = 2·ones_i − n, so summing the raw bit (no CASE WHEN
+    # per dimension) and comparing 2·ones_i > n is the same sign test
+    # with 64 fewer conditionals in the hot aggregate.
     agg = words.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         *[
-            F.sum(
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"d{i}")
+            F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1))).alias(f"d{i}")
             for i in range(64)
         ],
     )
     half = lambda off: reduce(  # noqa: E731
         add,
         [
-            F.when(F.col(f"d{off + i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            F.when(
+                F.col(f"d{off + i}") * 2 > F.col("n_tokens"), F.lit(1 << i)
+            ).otherwise(F.lit(0))
             for i in range(32)
         ],
     )

@@ -197,3 +197,92 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@query(
+    "funnel_click_view_purchase",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click
+      FROM events GROUP BY user_id
+    ),
+    views AS (
+      SELECT f.user_id, f.t_click, min(e.ts) AS t_view
+      FROM firsts f JOIN events e
+        ON e.user_id = f.user_id AND e.event_type = 'view'
+       AND e.ts > f.t_click AND e.ts <= f.t_click + INTERVAL 24 HOUR
+      GROUP BY f.user_id, f.t_click
+    ),
+    purchases AS (
+      SELECT v.user_id, v.t_click, v.t_view, min(e.ts) AS t_purchase
+      FROM views v JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'purchase'
+       AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 24 HOUR
+      GROUP BY v.user_id, v.t_click, v.t_view
+    )
+    SELECT CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_clicked,
+           CAST(COUNT(DISTINCT v.user_id) AS BIGINT) AS n_then_viewed,
+           CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_then_purchased
+    FROM firsts f
+    LEFT JOIN views v ON v.user_id = f.user_id
+    LEFT JOIN purchases p ON p.user_id = f.user_id
+    WHERE f.t_click IS NOT NULL
+    """,
+)
+def funnel_click_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis with a conversion window: users who
+    clicked, then viewed within 1 hour AFTER the first click, then
+    purchased within 1 hour AFTER that view — the sequential-pattern
+    query of product analytics (strictly ordered stages with deadlines,
+    not mere event co-occurrence).
+
+    Shape: ONE user-keyed shuffle computes all three stage timestamps
+    from a per-user sorted event array — no self-joins (the oracle uses
+    the textbook 3-join formulation precisely so the two independent
+    strategies cross-check). Per-group state is one user's (ts, type)
+    pairs — bounded by per-user activity, which a real deployment caps
+    (slice the array / pre-filter to funnel event types) the same way
+    sessionization bounds session length."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t_click = F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+        "t_click"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        t_click,
+        F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("evs"),
+    )
+    # first view strictly after first click, first purchase strictly
+    # after that view — two ordered scans over the per-user array
+    hour = F.expr("INTERVAL '24' HOUR")
+    t_view = F.array_min(
+        F.transform(
+            F.filter(
+                F.col("evs"),
+                lambda s: (s.event_type == "view")
+                & (s.ts > F.col("t_click"))
+                & (s.ts <= F.col("t_click") + hour),
+            ),
+            lambda s: s.ts,
+        )
+    )
+    staged = per_user.where(F.col("t_click").isNotNull()).withColumn("t_view", t_view)
+    t_purchase = F.array_min(
+        F.transform(
+            F.filter(
+                F.col("evs"),
+                lambda s: (s.event_type == "purchase")
+                & (s.ts > F.col("t_view"))
+                & (s.ts <= F.col("t_view") + hour),
+            ),
+            lambda s: s.ts,
+        )
+    )
+    staged = staged.withColumn("t_purchase", t_purchase)
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_clicked"),
+        F.count("t_view").alias("n_then_viewed"),
+        F.count(
+            F.when(F.col("t_view").isNotNull(), F.col("t_purchase"))
+        ).alias("n_then_purchased"),
+    )

@@ -14,7 +14,7 @@ counts) — bit-identical across engines; no float aggregation at all.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from go_map_reduce_spark.catalog import load_table
 from go_map_reduce_spark.registry import query
@@ -301,3 +301,111 @@ def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n") >= 5)
         .select("w1", "w2", "n", (F.col("n").cast("double") / F.col("n1")).alias("p_next"))
     )
+
+
+# Portable redaction patterns (valid in both Java regex and RE2): no
+# backrefs, no lookaround — the subset that runs identically everywhere.
+EMAIL_RE = "[A-Za-z0-9]+@[A-Za-z]+[.][A-Za-z]+"
+PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5,
+           CAST(length(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                                      '{PHONE_RE}', '<PHONE>', 'g'))
+                AS BIGINT) AS redacted_len
+    FROM seeded
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the compliance pass of a training-data pipeline:
+    count and replace email/phone patterns per document. The synthetic
+    corpus has no organic PII, so the query deterministically seeds each
+    doc with a doc_id-derived email + phone first (both engines build
+    the identical string), then redacts; the oracle pins match counts
+    AND the exact redacted output (via md5). Patterns restricted to the
+    Java-regex ∩ RE2 subset so engines agree; pure per-row regexp work,
+    embarrassingly parallel, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", F.lit(EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(PHONE_RE),
+        F.lit("<PHONE>"),
+    )
+    return seeded.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(PHONE_RE)).alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+@query(
+    "training_corpus_selection",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, {_sql_toks('text')} AS toks FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks, x -> x IN {STOPWORDS!r})) AS DOUBLE)
+               / len(toks) AS stopword_ratio,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keep_doc_id
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, stopword_ratio
+    FROM scored
+    WHERE doc_id = keep_doc_id            -- exact-dedup survivor
+      AND n_tokens BETWEEN 10 AND 10000   -- length gate
+      AND stopword_ratio <= 0.5           -- quality gate
+    """,
+)
+def training_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end data-diet composition: exact-dedup survivorship
+    (keep min doc_id per content hash) ∩ length gate ∩ quality gate
+    (stopword ratio) — the final SELECT of a training pipeline, built
+    from the same primitives the standalone queries expose. One window
+    over md5(text) (dedup) + per-row scoring; a single shuffle on the
+    16-byte content hash, never on document bodies."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = _toks(F.col("text"))
+    w = Window.partitionBy(F.md5("text"))
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (
+            F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
+            / F.size(toks)
+        ).alias("stopword_ratio"),
+        F.min("doc_id").over(w).alias("keep_doc_id"),
+    )
+    return scored.where(
+        (F.col("doc_id") == F.col("keep_doc_id"))
+        & F.col("n_tokens").between(10, 10000)
+        & (F.col("stopword_ratio") <= 0.5)
+    ).select("doc_id", "n_tokens", "stopword_ratio")

@@ -251,3 +251,51 @@ def events_purchase_click_stream_join(spark: SparkSession, sf_dir: str) -> DataF
         finally:
             q.stop()
     return spark.table(name)
+
+
+@query(
+    "events_stream_dedup",
+    oracle="""
+    SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM events
+    """,
+)
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING deduplication — the ingest-time analog of the batch
+    dedup stack: the event stream is unioned with itself (every row a
+    duplicate) and deduplicated by key with
+    ``dropDuplicatesWithinWatermark``, the bounded-state variant — state
+    for a key is dropped once the watermark passes its event time, so
+    the store holds one watermark-window of keys, not the whole history
+    (plain ``dropDuplicates`` would grow without bound on an unbounded
+    stream). Run to completion; the oracle is the original event set —
+    every duplicate must be removed, every original kept exactly once."""
+    events = read_events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "ts", "value"
+    )
+    doubled = events.union(read_events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "ts", "value"
+    ))
+    deduped = (
+        doubled.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "event_type",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "value",
+        )
+    )
+    name = f"dedup_{uuid.uuid4().hex[:12]}"
+    with _stream_state_partitions(spark, 8):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)

@@ -7,6 +7,7 @@ from go_map_reduce_spark.registry import ORACLES, QUERIES
 from tests.oracle_util import compare
 
 ORACLED = [
+    "deterministic_sample_orders",
     "pivot_segment_status",
     "cube_year_status",
     "grouping_sets_order_stats",

@@ -106,9 +106,9 @@ def test_degenerate_bucket_cap(spark):
     bucket, and the template-cluster side output captures it instead."""
     from go_map_reduce_spark.operators.dedup import (
         BANDS,
-        _near_dup_pairs_from_shingles,
-        _shingles_from_docs,
-        _template_clusters_from_shingles,
+        _docsets_from_docs,
+        _near_dup_pairs_from_docsets,
+        _template_clusters_from_docsets,
     )
 
     template = "the quick brown fox jumps over the lazy dog again and again"
@@ -116,17 +116,17 @@ def test_degenerate_bucket_cap(spark):
         [(i, template) for i in range(1000)] + [(2000, "something else entirely")],
         schema="doc_id bigint, text string",
     )
-    sh = _shingles_from_docs(docs).persist()
+    docsets = _docsets_from_docs(docs).persist()
     try:
         # capped: the 1000-doc bucket is excluded → no pairwise explosion
-        pairs = _near_dup_pairs_from_shingles(sh, cap=64).collect()
+        pairs = _near_dup_pairs_from_docsets(docsets, cap=64).collect()
         assert pairs == []
-        clusters = _template_clusters_from_shingles(sh, cap=64).collect()
+        clusters = _template_clusters_from_docsets(docsets, cap=64).collect()
         # every band has the same degenerate membership
         assert len(clusters) == BANDS
         assert all(c["n_docs"] == 1000 and c["keep_doc_id"] == 0 for c in clusters)
         # sanity: with a cap that admits the bucket, pairs DO appear
-        some = _near_dup_pairs_from_shingles(sh.where("doc_id < 3"), cap=64)
+        some = _near_dup_pairs_from_docsets(docsets.where("doc_id < 3"), cap=64)
         assert some.count() == 3  # 3 identical docs → 3 pairs, jaccard 1.0
     finally:
-        sh.unpersist()
+        docsets.unpersist()

@@ -11,6 +11,7 @@ NAMES = [
     "multimodal_image_decode",
     "events_hourly_stream",
     "events_session_windows",
+    "events_stream_dedup",
 ]
 
 

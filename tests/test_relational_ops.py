@@ -20,6 +20,7 @@ RELATIONAL = [
     "order_scalar_functions",
     "global_top_orders",
     "events_json_stats",
+    "funnel_click_view_purchase",
     "events_hourly_windows",
     "user_sessions",
 ]

@@ -86,3 +86,41 @@ def test_partitioned_write(spark, tmp_path):
     ) == ["part=a", "part=b"]
     back = read_table(spark, path)
     assert back.where(F.col("part") == "a").count() == 2
+
+
+def test_binary_file_ingestion(spark, tmp_path):
+    """binaryFile ingest → multimodal feature/decode stages compose with
+    no shuffle: blobs written to a directory come back byte-identical
+    and decode correctly through the media pipeline."""
+    import hashlib
+
+    from go_map_reduce_spark.operators.multimodal import decode_image, encode_bmp
+    from go_map_reduce_spark.sources.binary import (
+        media_features_from_dir,
+        read_binary_files,
+    )
+
+    blobs = {}
+    for i in range(4):
+        w, h = 3 + i, 2 + i
+        rows = [bytes([(i + y) % 256] * (3 * w)) for y in range(h)]
+        blobs[f"img-{i}.bmp"] = encode_bmp(w, h, rows)
+    (tmp_path / "noise.txt").write_text("not a blob we want")
+    for name, payload in blobs.items():
+        (tmp_path / name).write_bytes(payload)
+
+    files = read_binary_files(spark, str(tmp_path), glob="*.bmp")
+    got = {r["path"].split("/")[-1]: bytes(r["content"]) for r in files.collect()}
+    assert got == blobs  # pathGlobFilter pruned noise.txt; bytes intact
+
+    # decode each ingested payload through the real BMP parser
+    for i, name in enumerate(sorted(blobs)):
+        w, h, bpp, px = decode_image(got[name])
+        assert (w, h, bpp) == (3 + i, 2 + i, 24)
+
+    feats = {
+        r["checksum"]: r["n_bytes"]
+        for r in media_features_from_dir(spark, str(tmp_path), glob="*.bmp").collect()
+    }
+    want = {hashlib.md5(p).hexdigest(): len(p) for p in blobs.values()}
+    assert feats == want

@@ -7,6 +7,8 @@ from go_map_reduce_spark.registry import ORACLES, QUERIES
 from tests.oracle_util import compare
 
 TEXTSTATS = [
+    "pii_redaction",
+    "training_corpus_selection",
     "token_array_functions",
     "text_quality_scores",
     "language_id",
