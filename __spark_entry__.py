@@ -90,6 +90,10 @@ _NEW_THIS_ROUND: set = {
     "training_corpus_selection",
     "events_stream_dedup",
     "funnel_click_view_purchase",
+    "pagerank_supplier_part",
+    "embedding_quantization",
+    "lateral_top_orders_per_segment",
+    "events_incremental_mv",
 }
 
 

@@ -36,6 +36,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     dedup,
     events,
     functions_depth,
+    graph,
     kmeans,
     multimodal,
     relational,
@@ -46,6 +47,6 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     text,
     textstats,
 )
-from go_map_reduce_spark.streaming import stateful, windows  # noqa: F401,E402
+from go_map_reduce_spark.streaming import incremental, stateful, windows  # noqa: F401,E402
 
 __all__ = ["registry"]

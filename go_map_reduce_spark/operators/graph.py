@@ -1,0 +1,137 @@
+"""Graph operators: PageRank over an edge table.
+
+Alongside connected components (operators/advanced.py dedup_clusters),
+PageRank is the second canonical iterative graph algorithm a
+training-data pipeline runs (domain authority for source weighting,
+link-graph quality signals). The reference has no graph surface at all
+(its only iteration is the coordinator's poll loop).
+
+Spark-first shape: one edge-keyed shuffle per iteration — ranks join
+edges on src, contributions aggregate on dst. Rank sums go through the
+decimal discipline (functions/numeric.py) so every iteration is
+bit-reproducible at any parallelism, which is what lets a fixed-
+iteration unrolled SQL oracle match exactly.
+
+At scale: the edge table partitioning is reused across iterations
+(same join key), ranks are the small side (one row per node) and are
+broadcast when they fit; `localCheckpoint` after each iteration keeps
+lineage O(1) exactly as in dedup_clusters (advanced.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from go_map_reduce_spark.catalog import load_table
+from go_map_reduce_spark.functions.numeric import dsum, sql_dsum
+from go_map_reduce_spark.registry import query
+
+PR_ITERS = 3
+PR_DAMPING = 0.85
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected supplier↔part graph from lineitem co-occurrence,
+    encoded as two directed edges. Node ids are disjoint: suppliers
+    keep their key, parts are offset by 1e6. Undirected means no
+    dangling nodes — every node has out-degree ≥ 1, so no leaked
+    PageRank mass to redistribute."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_suppkey").cast("long").alias("s"),
+            (F.col("l_partkey").cast("long") + 1_000_000).alias("p"),
+        )
+        .distinct()
+    )
+    fwd = li.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    rev = li.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    return fwd.union(rev)
+
+
+_SQL_EDGES = """
+  SELECT s AS src, p AS dst FROM sp
+  UNION ALL
+  SELECT p AS src, s AS dst FROM sp
+"""
+
+
+def _sql_pagerank_iteration(prev: str, it: int) -> str:
+    """One unrolled PageRank iteration as a CTE pair (contributions →
+    new ranks). Matches the Spark loop op-for-op: double division per
+    edge, decimal sum per dst, damping in double."""
+    return f"""
+    contrib{it} AS (
+      SELECT e.dst AS node,
+             {sql_dsum(f'{prev}.rank / {prev}.deg', 12)} AS s
+      FROM edges e JOIN {prev} ON {prev}.node = e.src
+      GROUP BY e.dst
+    ),
+    r{it} AS (
+      SELECT d.node, d.deg,
+             (1.0 - {PR_DAMPING}) / n.n + {PR_DAMPING} * contrib{it}.s AS rank
+      FROM degs d JOIN contrib{it} ON contrib{it}.node = d.node
+      CROSS JOIN n
+    )"""
+
+
+@query(
+    "pagerank_supplier_part",
+    oracle=f"""
+    WITH sp AS (
+      SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+                      CAST(l_partkey AS BIGINT) + 1000000 AS p
+      FROM lineitem
+    ),
+    edges AS ({_SQL_EDGES}),
+    degs AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM degs),
+    r0 AS (SELECT node, deg, 1.0 / n.n AS rank FROM degs CROSS JOIN n),
+    {','.join(_sql_pagerank_iteration(f'r{i}', i + 1) for i in range(PR_ITERS))}
+    SELECT node, round(rank, 12) AS rank, CAST(deg AS BIGINT) AS deg
+    FROM r{PR_ITERS}
+    """,
+)
+def pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank ({PR_ITERS} iterations, damping 0.85) over the
+    supplier↔part co-occurrence graph. Differentially tested against an
+    unrolled fixed-iteration SQL formulation — possible only because
+    every per-iteration aggregation is order-free (decimal sums), so
+    the distributed loop is bit-identical to the sequential SQL.
+
+    Per iteration: ranks ⋈ edges on src (edge-keyed shuffle), decimal
+    contribution sum on dst, damping applied per-row in double. The
+    rank frame is one row per node — broadcastable when it fits; the
+    edge partitioning is identical across iterations so AQE reuses the
+    layout."""
+    edges = _edges(spark, sf_dir)
+    degs = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("src").alias("node"), "deg"
+    )
+    n = degs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranks = degs.crossJoin(F.broadcast(n)).select(
+        "node", "deg", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(dsum(F.col("c"), 12).alias("s"))
+        )
+        ranks = (
+            degs.join(contrib, degs.node == contrib.dst)
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit(1.0 - PR_DAMPING) / F.col("n")
+                    + F.lit(PR_DAMPING) * F.col("s")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        "node", F.round("rank", 12).alias("rank"), F.col("deg").cast("long").alias("deg")
+    )

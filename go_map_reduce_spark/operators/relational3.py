@@ -180,3 +180,40 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(tfidf > 0)
         .select("doc_id", "word", "tf", F.round(tfidf, 8).alias("tfidf"))
     )
+
+
+@query(
+    "lateral_top_orders_per_segment",
+    oracle="""
+    SELECT s.c_mktsegment, t.o_orderkey, t.o_totalprice, t.o_custkey
+    FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+         LATERAL (
+           SELECT o.o_orderkey, o.o_totalprice, o.o_custkey
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE c.c_mktsegment = s.c_mktsegment
+           ORDER BY o.o_totalprice DESC, o.o_orderkey
+           LIMIT 3
+         ) t
+    """,
+)
+def lateral_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with ORDER BY + LIMIT — the
+    per-group-top-k shape expressed as a lateral join instead of a
+    window (TPC-H has no LATERAL; this covers the subquery surface
+    Catalyst decorrelates via DomainJoin + per-domain limit). Same
+    result as a row_number() window; registering the LATERAL spelling
+    pins that the decorrelation path stays correct."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s.c_mktsegment, t.o_orderkey, t.o_totalprice, t.o_custkey
+        FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+             LATERAL (
+               SELECT o.o_orderkey, o.o_totalprice, o.o_custkey
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               WHERE c.c_mktsegment = s.c_mktsegment
+               ORDER BY o.o_totalprice DESC, o.o_orderkey
+               LIMIT 3
+             ) t
+        """
+    )

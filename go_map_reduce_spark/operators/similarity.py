@@ -149,3 +149,104 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= BUCKET_TOP_K)
     )
+
+
+# Scalar-quantization config: global [qmin, qmax] range → 8-bit codes.
+SQ_LEVELS = 256
+
+
+@query(
+    "embedding_quantization",
+    oracle=f"""
+    WITH rng AS (
+      -- cast to DOUBLE here: the list elements are FLOAT, and a float
+      -- (qmax - qmin) would diverge from Spark's double arithmetic
+      SELECT CAST(min(list_reduce(embedding, (x, y) -> least(x, y))) AS DOUBLE)
+               AS qmin,
+             CAST(max(list_reduce(embedding, (x, y) -> greatest(x, y))) AS DOUBLE)
+               AS qmax
+      FROM embeddings
+    ),
+    coded AS (
+      SELECT vec_id, embedding, qmin, qmax,
+             list_transform(embedding,
+               x -> CAST(least(floor((CAST(x AS DOUBLE) - qmin)
+                                     / (qmax - qmin) * {SQ_LEVELS}),
+                               {SQ_LEVELS - 1}) AS BIGINT)) AS codes
+      FROM embeddings CROSS JOIN rng
+    )
+    SELECT vec_id,
+           md5(array_to_string(codes, ',')) AS codes_md5,
+           codes[1] AS code_first,
+           codes[64] AS code_last,
+           round(list_reduce(
+             list_transform(range(1, 65),
+               i -> CAST(
+                 (CAST(embedding[i] AS DOUBLE)
+                  - (qmin + (codes[i] + 0.5) * ((qmax - qmin) / {SQ_LEVELS})))
+                 * (CAST(embedding[i] AS DOUBLE)
+                    - (qmin + (codes[i] + 0.5) * ((qmax - qmin) / {SQ_LEVELS})))
+                 AS DOUBLE)),
+             (x, y) -> x + y) / 64, 12) AS mse
+    FROM coded
+    """,
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar quantization of the embedding column — the memory
+    lever of large-scale ANN (64 floats → 64 bytes, 4× smaller, before
+    any product-quantization refinement). Global [min, max] come from a
+    broadcast 1-row aggregate; codes are floor-scaled (floor, not
+    round: both engines define floor identically on doubles, while
+    round's tie behavior differs); reconstruction uses bin centers and
+    the per-vector MSE is a sequential fold (engine-identical).
+
+    Per-row work only, plus one broadcast — the quantization pass over
+    100 TB of embeddings is a single narrow stage."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rng = emb.agg(
+        F.min(
+            F.aggregate(
+                "embedding",
+                F.lit(float("inf")),
+                lambda acc, x: F.least(acc, x.cast("double")),
+            )
+        ).alias("qmin"),
+        F.max(
+            F.aggregate(
+                "embedding",
+                F.lit(float("-inf")),
+                lambda acc, x: F.greatest(acc, x.cast("double")),
+            )
+        ).alias("qmax"),
+    )
+    width = (F.col("qmax") - F.col("qmin")) / SQ_LEVELS
+    coded = emb.crossJoin(F.broadcast(rng)).withColumn(
+        "codes",
+        F.transform(
+            "embedding",
+            lambda x: F.least(
+                F.floor(
+                    (x.cast("double") - F.col("qmin"))
+                    / (F.col("qmax") - F.col("qmin"))
+                    * SQ_LEVELS
+                ),
+                F.lit(SQ_LEVELS - 1),
+            ).cast("long"),
+        ),
+    )
+    err = F.zip_with(
+        "embedding",
+        "codes",
+        lambda x, c: (
+            (x.cast("double") - (F.col("qmin") + (c + F.lit(0.5)) * width))
+            * (x.cast("double") - (F.col("qmin") + (c + F.lit(0.5)) * width))
+        ).cast("double"),
+    )
+    mse = F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x) / F.lit(64.0)
+    return coded.select(
+        "vec_id",
+        F.md5(F.array_join("codes", ",")).alias("codes_md5"),
+        F.element_at("codes", 1).alias("code_first"),
+        F.element_at("codes", 64).alias("code_last"),
+        F.round(mse, 12).alias("mse"),
+    )

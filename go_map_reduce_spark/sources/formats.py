@@ -52,3 +52,33 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.options(**options).save(path)
+
+
+def read_evolved_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: a table whose files were written under
+    successive schema versions (columns added over time) reads as the
+    UNION schema with nulls for columns absent in older files.
+    `mergeSchema` costs one footer read per file at planning — at 100 TB
+    pin the merged schema in a catalog instead and pass it explicitly;
+    the per-file reconciliation (by name, not position) is the same."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_json_with_corrupt_records(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Dirty-ingest JSON read. PERMISSIVE (the 100 TB default) keeps bad
+    rows, nulling fields and capturing the raw line in _corrupt_record
+    for a quarantine sink; DROPMALFORMED silently drops them;
+    FAILFAST aborts the job on the first bad record. The schema is
+    explicit always (no inference pass over dirty data)."""
+    full_schema = schema + ", _corrupt_record string"
+    return (
+        spark.read.schema(full_schema if mode == "PERMISSIVE" else schema)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

@@ -12,6 +12,7 @@ NAMES = [
     "events_hourly_stream",
     "events_session_windows",
     "events_stream_dedup",
+    "events_incremental_mv",
 ]
 
 

@@ -12,6 +12,7 @@ NAMES = [
     "idle_rich_customers",
     "cheapest_supplier_per_part",
     "tfidf_top_terms",
+    "lateral_top_orders_per_segment",
 ]
 
 

@@ -124,3 +124,49 @@ def test_binary_file_ingestion(spark, tmp_path):
     }
     want = {hashlib.md5(p).hexdigest(): len(p) for p in blobs.values()}
     assert feats == want
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Files written under successive schemas read as the union schema
+    with nulls for columns absent in older files."""
+    from go_map_reduce_spark.sources.formats import read_evolved_parquet
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "x")], "id long, a string").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, "y", 3.5)], "id long, a string, b double"
+    ).write.mode("append").parquet(path)
+    back = read_evolved_parquet(spark, path)
+    assert set(back.columns) == {"id", "a", "b"}
+    rows = {r["id"]: (r["a"], r["b"]) for r in back.collect()}
+    assert rows == {1: ("x", None), 2: ("y", 3.5)}
+
+
+def test_corrupt_record_modes(spark, tmp_path):
+    """PERMISSIVE quarantines bad rows in _corrupt_record; DROPMALFORMED
+    drops them; FAILFAST raises."""
+    import pytest as _pytest
+
+    from go_map_reduce_spark.sources.formats import read_json_with_corrupt_records
+
+    p = tmp_path / "dirty.json"
+    p.write_text('{"id": 1, "v": 10}\n{"id": 2 "v": broken}\n{"id": 3, "v": 30}\n')
+    path = str(tmp_path)
+
+    permissive = read_json_with_corrupt_records(spark, path, "id long, v long")
+    rows = permissive.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and bad[0]["id"] is None  # quarantined, fields nulled
+
+    dropped = read_json_with_corrupt_records(
+        spark, path, "id long, v long", mode="DROPMALFORMED"
+    )
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 3]
+
+    with _pytest.raises(Exception):
+        read_json_with_corrupt_records(
+            spark, path, "id long, v long", mode="FAILFAST"
+        ).collect()
