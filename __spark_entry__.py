@@ -91,6 +91,7 @@ _NEW_THIS_ROUND: set = {
     "events_stream_dedup",
     "funnel_click_view_purchase",
     "pagerank_supplier_part",
+    "bfs_reachability",
     "embedding_quantization",
     "lateral_top_orders_per_segment",
     "events_incremental_mv",

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from go_map_reduce_spark.catalog import load_table
+from go_map_reduce_spark.catalog import load_table, register_views
 from go_map_reduce_spark.functions.numeric import dsum, sql_dsum
 from go_map_reduce_spark.registry import query
 
@@ -135,3 +135,59 @@ def pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "node", F.round("rank", 12).alias("rank"), F.col("deg").cast("long").alias("deg")
     )
+
+
+# BFS hop distance via WITH RECURSIVE — same SQL text on both engines.
+# Node encoding matches pagerank: suppliers keep their key, parts are
+# offset by 1e6 (keys start at 0, so sign-flipping would collide
+# supplier 0 with part 0). The seed is supplier 1. Depth-capped at 3 with per-level
+# DISTINCT: in a bipartite graph every node rediscovered at hop+2 would
+# otherwise re-expand, turning the frontier into a path count. With the
+# DISTINCT each level is bounded by |nodes|, so total recursive work is
+# ≤ depth × |nodes| join probes — the same frontier-dedup every
+# production BFS does. MIN(hop) per node collapses the odd/even
+# rediscoveries to the true distance.
+_BFS_SQL = """
+WITH RECURSIVE reach(node, hop) AS (
+    SELECT CAST(1 AS BIGINT) AS node, 0 AS hop
+  UNION ALL
+    SELECT DISTINCT b.dst AS node, r.hop + 1 AS hop
+    FROM reach r
+    JOIN (
+      SELECT src, dst FROM (
+        SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                        CAST(l_partkey AS BIGINT) + 1000000 AS dst
+        FROM lineitem
+      ) e
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM (
+        SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                        CAST(l_partkey AS BIGINT) + 1000000 AS dst
+        FROM lineitem
+      ) e2
+    ) b ON b.src = r.node
+    WHERE r.hop < 3
+)
+SELECT node, MIN(hop) AS hop FROM reach GROUP BY node
+"""
+
+
+@query("bfs_reachability", oracle=_BFS_SQL)
+def bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE BFS: hop distance from supplier 1 (parts offset
+    by 1e6) over the supplier↔part co-occurrence graph, depth-capped
+    at 3.
+
+    Covers Spark 4's WITH RECURSIVE surface (UnionLoop execution —
+    each recursion step is one join against the previous frontier);
+    the oracle runs the *identical* SQL text on DuckDB's recursive
+    CTE. Integer-only columns, so no float discipline needed.
+
+    At scale each step shuffles only the frontier (≤ |nodes| rows after
+    the per-level DISTINCT) against the edge table; the edge subquery's
+    partitioning is stable across steps. Unbounded-depth traversals
+    belong in the iterative-DataFrame form (dedup_clusters,
+    pagerank_supplier_part) where lineage is checkpointed; the
+    recursive CTE is the right tool for bounded-depth reachability."""
+    register_views(spark, sf_dir)
+    return spark.sql(_BFS_SQL)

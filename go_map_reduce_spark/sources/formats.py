@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-SUPPORTED = ("parquet", "json", "csv", "orc")
+SUPPORTED = ("parquet", "json", "csv", "orc", "xml")
 
 
 def read_table(
@@ -29,10 +29,12 @@ def read_table(
     reader = spark.read.format(fmt)
     if schema is not None:
         reader = reader.schema(schema)
-    elif fmt in ("json", "csv"):
+    elif fmt in ("json", "csv", "xml"):
         raise ValueError(f"{fmt} requires an explicit schema (no inference pass)")
     if fmt == "csv":
         options.setdefault("header", "true")
+    if fmt == "xml":
+        options.setdefault("rowTag", "row")
     return reader.options(**options).load(path)
 
 
@@ -49,6 +51,8 @@ def write_table(
     writer = df.write.format(fmt).mode(mode)
     if fmt == "csv":
         options.setdefault("header", "true")
+    if fmt == "xml":
+        options.setdefault("rowTag", "row")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.options(**options).save(path)

@@ -54,14 +54,14 @@ def test_kv_text_sink(spark, tmp_path):
     assert lines == ["other 1", "word 3"]
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "json", "csv", "orc"])
+@pytest.mark.parametrize("fmt", ["parquet", "json", "csv", "orc", "xml"])
 def test_format_roundtrip(spark, tmp_path, fmt):
     df = spark.createDataFrame(
         [(1, "x", 1.5), (2, "y", -2.0)], "id long, s string, v double"
     )
     path = str(tmp_path / f"t_{fmt}")
     write_table(df, path, fmt=fmt)
-    schema = "id long, s string, v double" if fmt in ("json", "csv") else None
+    schema = "id long, s string, v double" if fmt in ("json", "csv", "xml") else None
     back = read_table(spark, path, fmt=fmt, schema=schema)
     assert sorted(map(tuple, back.select("id", "s", "v").collect())) == sorted(
         map(tuple, df.collect())
