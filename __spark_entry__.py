@@ -92,6 +92,9 @@ _NEW_THIS_ROUND: set = {
     "funnel_click_view_purchase",
     "pagerank_supplier_part",
     "bfs_reachability",
+    "contamination_check",
+    "sequence_packing",
+    "triangle_count",
     "embedding_quantization",
     "lateral_top_orders_per_segment",
     "events_incremental_mv",

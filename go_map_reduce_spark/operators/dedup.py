@@ -681,3 +681,55 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cos_sim") >= COSINE_THRESHOLD)
     )
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    test AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 = 0),
+    train AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 <> 0)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(COUNT(tr.shingle) AS BIGINT) AS n_overlap,
+           CAST(COUNT(tr.shingle) AS DOUBLE) / COUNT(*) AS contamination_rate
+    FROM test t LEFT JOIN train tr ON t.shingle = tr.shingle
+    GROUP BY t.doc_id
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set contamination detection — the eval-hygiene pass of a
+    training pipeline: for each held-out document (doc_id % 10 = 0),
+    the fraction of its distinct {SHINGLE_K}-gram shingles that appear
+    anywhere in the training split. Same candidate-generation shape as
+    the dedup stack: one equality join on the shingle key (hash
+    shuffle sized by the vocabulary, never all-pairs), distinct-per-row
+    shingle sets so no distinct shuffle on the test side. At 100 TB
+    the join key would be xxhash64(shingle) (8 bytes instead of the
+    string) and the train side a bloom-filter pre-pass; the join shape
+    is unchanged. Rate = integer count ÷ integer count in double — one
+    division, bit-stable across engines."""
+    sh = _spark_shingles(spark, sf_dir)
+    test = sh.where(F.col("doc_id") % 10 == 0)
+    train = (
+        sh.where(F.col("doc_id") % 10 != 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        test.join(train, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("hit").alias("n_overlap"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.col("n_ngrams")).alias(
+                "contamination_rate"
+            ),
+        )
+    )

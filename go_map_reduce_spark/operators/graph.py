@@ -191,3 +191,89 @@ def bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE is the right tool for bounded-depth reachability."""
     register_views(spark, sf_dir)
     return spark.sql(_BFS_SQL)
+
+
+TRI_MIN_SHARED = 2  # co-supply edge requires ≥2 shared parts
+
+
+_TRI_SQL = f"""
+WITH sp AS (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s, CAST(l_partkey AS BIGINT) AS p
+  FROM lineitem
+),
+e AS (
+  SELECT a.s AS src, b.s AS dst
+  FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+  GROUP BY a.s, b.s
+  HAVING COUNT(*) >= {TRI_MIN_SHARED}
+),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1
+  JOIN e e2 ON e2.src = e1.dst
+  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+GROUP BY node
+"""
+
+
+@query("triangle_count", oracle=_TRI_SQL)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation on the supplier co-supply graph
+    (edge ⟺ two suppliers share ≥{TRI_MIN_SHARED} parts — the bipartite
+    supplier↔part graph itself is triangle-free, so the unipartite
+    projection is where cluster structure lives).
+
+    The count is the canonical ordered-edge join: with every edge
+    stored src < dst, each triangle a<b<c is emitted exactly once by
+    joining (a,b)⋈(b,c)⋈(a,c) — three hash joins on node keys, no
+    enumeration of neighborhoods in driver memory. At scale the classic
+    refinement is degree orientation (point each edge at the
+    higher-degree endpoint, bounding join fan-out by arboricity) plus
+    AQE skew splitting; id-ordering keeps the oracle twin trivial here.
+    The projection self-join fans out per part's supplier list — hub
+    parts are the known hazard; the HAVING threshold plus a per-part
+    supplier cap (same guard as the LSH bucket cap, dedup.py) bound it.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_suppkey").cast("long").alias("s"),
+            F.col("l_partkey").cast("long").alias("p"),
+        )
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= TRI_MIN_SHARED)
+        .select("src", "dst")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -409,3 +409,58 @@ def training_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("n_tokens").between(10, 10000)
         & (F.col("stopword_ratio") <= 0.5)
     ).select("doc_id", "n_tokens", "stopword_ratio")
+
+
+PACK_BUDGET = 512   # tokens per training sequence
+PACK_SHARD = 100    # docs per packing shard (keys doc_id DIV 100)
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(len({_sql_toks('text')}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens, doc_id // {PACK_SHARD} AS shard,
+             SUM(n_tokens) OVER (PARTITION BY doc_id // {PACK_SHARD}
+                                 ORDER BY doc_id) - n_tokens AS start_off
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, shard,
+           shard * 1000000 + start_off // {PACK_BUDGET} AS seq_id,
+           start_off % {PACK_BUDGET} AS off_in_seq
+    FROM cum
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing — the concat-and-chunk layout step
+    before LLM training: documents are concatenated in deterministic
+    doc_id order and cut into {PACK_BUDGET}-token sequences; each doc
+    reports the sequence it starts in and its offset inside it.
+
+    Packing is SHARD-LOCAL ({PACK_SHARD} docs per shard): the running
+    token offset is a window partitioned by shard, so the cumsum is a
+    per-shard sort — never the single-partition global-ORDER-BY window
+    that would serialize the corpus through one task. Sequence ids
+    namespace by shard (shard × 1e6 + local chunk), exactly how a
+    1000-executor packing job shards its output. All-integer
+    arithmetic — bit-stable across engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.size(_toks(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    shard = (F.col("doc_id") / PACK_SHARD).cast("long")
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = toks.select(
+        "doc_id", "n_tokens", shard.alias("shard")
+    ).withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        "shard",
+        (F.col("shard") * 1_000_000
+         + (F.col("start_off") / PACK_BUDGET).cast("long")).alias("seq_id"),
+        (F.col("start_off") % PACK_BUDGET).alias("off_in_seq"),
+    )

@@ -16,7 +16,19 @@ DEDUP = [
     "ngram_jaccard_pairs",
     "lsh_bucket_stats",
     "lsh_template_clusters",
+    "contamination_check",
 ]
+
+
+def test_contamination_bounds(spark, sf_dir):
+    """Structural invariants: only test-split docs appear, overlap never
+    exceeds the n-gram count, rate is the exact quotient."""
+    rows = QUERIES["contamination_check"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % 10 == 0
+        assert 0 <= r["n_overlap"] <= r["n_ngrams"]
+        assert r["contamination_rate"] == r["n_overlap"] / r["n_ngrams"]
 
 
 @pytest.mark.parametrize("name", DEDUP)

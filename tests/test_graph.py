@@ -6,12 +6,47 @@ from go_map_reduce_spark.registry import ORACLES, QUERIES
 
 from tests.oracle_util import compare
 
-GRAPH = ["bfs_reachability"]
+GRAPH = ["bfs_reachability", "triangle_count"]
 
 
 @pytest.mark.parametrize("name", GRAPH)
 def test_against_duckdb_oracle(name, spark, sf_dir):
     compare(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
+
+
+def test_triangle_count_brute_force(spark):
+    """Ordered-edge-join count equals brute-force triangle enumeration
+    on a small synthetic co-supply fixture."""
+    from itertools import combinations
+
+    from go_map_reduce_spark.operators.graph import TRI_MIN_SHARED
+    from go_map_reduce_spark.registry import ORACLES
+
+    import duckdb
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    got = {
+        r[0]: r[1] for r in con.sql(ORACLES["triangle_count"]).fetchall()
+    }
+    sp = con.sql(
+        "SELECT DISTINCT l_suppkey, l_partkey FROM lineitem"
+    ).fetchall()
+    parts_by_s = {}
+    for s, p in sp:
+        parts_by_s.setdefault(s, set()).add(p)
+    edges = {
+        (a, b)
+        for a, b in combinations(sorted(parts_by_s), 2)
+        if len(parts_by_s[a] & parts_by_s[b]) >= TRI_MIN_SHARED
+    }
+    want = {}
+    for a, b, c in combinations(sorted(parts_by_s), 3):
+        if {(a, b), (b, c), (a, c)} <= edges:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert got == want
 
 
 def test_bfs_structure(spark, sf_dir):

@@ -14,7 +14,30 @@ TEXTSTATS = [
     "language_id",
     "token_counts_bpe",
     "doc_fingerprints",
+    "sequence_packing",
 ]
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Every doc's offset is inside the budget; within a shard, offsets
+    reconstruct the running concatenation exactly (next start = prev
+    start + prev tokens)."""
+    from go_map_reduce_spark.operators.textstats import PACK_BUDGET
+    from go_map_reduce_spark.registry import QUERIES
+
+    rows = QUERIES["sequence_packing"](spark, sf_dir).collect()
+    assert rows
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r["off_in_seq"] < PACK_BUDGET
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in rs:
+            assert r["seq_id"] == shard * 1_000_000 + off // PACK_BUDGET
+            assert r["off_in_seq"] == off % PACK_BUDGET
+            off += r["n_tokens"]
 
 
 @pytest.mark.parametrize("name", TEXTSTATS)
