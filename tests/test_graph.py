@@ -16,10 +16,11 @@ def test_against_duckdb_oracle(name, spark, sf_dir):
 
 def test_triangle_count_brute_force(spark):
     """Ordered-edge-join count equals brute-force triangle enumeration
-    on a small synthetic co-supply fixture."""
+    over the same k-NN-sparsified co-supply graph, rebuilt in plain
+    Python from the raw lineitem pairs."""
     from itertools import combinations
 
-    from go_map_reduce_spark.operators.graph import TRI_MIN_SHARED
+    from go_map_reduce_spark.operators.graph import TRI_KNN, TRI_PART_MOD
     from go_map_reduce_spark.registry import ORACLES
 
     import duckdb
@@ -31,16 +32,21 @@ def test_triangle_count_brute_force(spark):
         r[0]: r[1] for r in con.sql(ORACLES["triangle_count"]).fetchall()
     }
     sp = con.sql(
-        "SELECT DISTINCT l_suppkey, l_partkey FROM lineitem"
+        "SELECT DISTINCT l_suppkey, l_partkey FROM lineitem "
+        f"WHERE l_partkey % {TRI_PART_MOD} = 0"
     ).fetchall()
     parts_by_s = {}
     for s, p in sp:
         parts_by_s.setdefault(s, set()).add(p)
-    edges = {
-        (a, b)
-        for a, b in combinations(sorted(parts_by_s), 2)
-        if len(parts_by_s[a] & parts_by_s[b]) >= TRI_MIN_SHARED
-    }
+    edges = set()
+    for src in parts_by_s:
+        nbrs = sorted(
+            ((len(parts_by_s[src] & parts_by_s[d]), d) for d in parts_by_s
+             if d != src and parts_by_s[src] & parts_by_s[d]),
+            key=lambda t: (-t[0], t[1]),
+        )[:TRI_KNN]
+        for _, d in nbrs:
+            edges.add((min(src, d), max(src, d)))
     want = {}
     for a, b, c in combinations(sorted(parts_by_s), 3):
         if {(a, b), (b, c), (a, c)} <= edges:
