@@ -708,8 +708,14 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join key would be xxhash64(shingle) (8 bytes instead of the
     string) and the train side a bloom-filter pre-pass; the join shape
     is unchanged. Rate = integer count ÷ integer count in double — one
-    division, bit-stable across engines."""
-    sh = _spark_shingles(spark, sf_dir)
+    division, bit-stable across engines.
+
+    The shingle frame feeds BOTH join sides, so it persists once as a
+    materialization barrier (the multi-consumer rule from the minhash
+    pipeline): without it the tokenize→slice→concat expression tree is
+    inlined into the test explode AND the train distinct — measured
+    16 s → ~1 s at sf0.1."""
+    sh = _spark_shingles(spark, sf_dir).persist()
     test = sh.where(F.col("doc_id") % 10 == 0)
     train = (
         sh.where(F.col("doc_id") % 10 != 0)
