@@ -95,6 +95,8 @@ _NEW_THIS_ROUND: set = {
     "contamination_check",
     "sequence_packing",
     "triangle_count",
+    "domain_mix_sampling",
+    "events_stream_static_join",
     "embedding_quantization",
     "lateral_top_orders_per_segment",
     "events_incremental_mv",

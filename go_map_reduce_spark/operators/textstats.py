@@ -464,3 +464,70 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
          + (F.col("start_off") / PACK_BUDGET).cast("long")).alias("seq_id"),
         (F.col("start_off") % PACK_BUDGET).alias("off_in_seq"),
     )
+
+
+# Target sampling rate per language domain — the "data diet" mix. Rates
+# are exact per-domain fractions of that domain's doc count.
+MIX_RATES = {"en": 0.5, "zh": 0.3, "fr": 0.2, "es": 0.2, "de": 0.1}
+MIX_DEFAULT_RATE = 0.1
+
+_MIX_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in MIX_RATES.items())
+    + f" ELSE {MIX_DEFAULT_RATE} END"
+)
+
+
+@query(
+    "domain_mix_sampling",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+    FROM ranked
+    WHERE rk <= CEIL(({_MIX_CASE}) * n_lang)
+    """,
+)
+def domain_mix_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix (data-diet) sampling: each language domain is
+    downsampled to its target rate by keeping the first
+    ceil(rate × |domain|) docs in md5(doc_id) order — a deterministic,
+    retry-stable permutation, so the sample is reproducible across
+    runs, engines, AND scale-factor-independent of partitioning
+    (the same property as deterministic_sample_orders, but with
+    per-domain quotas — how a training pipeline reweighs sources).
+
+    One window per domain (hash shuffle on lang); at 100 TB the skew
+    concern is a mega-domain (one lang = 90% of docs) — the md5 order
+    lets the window be replaced by a pure filter on the hash value
+    (md5 < rate-quantile threshold), which needs no sort at all; the
+    window form is kept here because it makes the quota exact rather
+    than expected."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    w_n = Window.partitionBy("lang")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v)).otherwise(F.lit(None))
+            for k, v in MIX_RATES.items()
+        ],
+        F.lit(MIX_DEFAULT_RATE),
+    )
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w_rank).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(w_n).alias("n_lang"),
+        rate.alias("rate"),
+    )
+    return ranked.where(
+        F.col("rk") <= F.ceil(F.col("rate") * F.col("n_lang"))
+    ).select("doc_id", "lang", "rk")

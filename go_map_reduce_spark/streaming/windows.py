@@ -299,3 +299,50 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     return spark.table(name)
+
+
+@query(
+    "events_stream_static_join",
+    oracle=f"""
+    SELECT c.c_mktsegment, e.event_type,
+           COUNT(*) AS n,
+           {sql_dsum('e.value')} AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static enrichment: the event stream joins the static
+    customer dimension per micro-batch (the canonical streaming-ETL
+    enrich step), then aggregates by segment × event type — run BY THE
+    STREAMING ENGINE to a memory sink and checked against the plain
+    batch-join oracle.
+
+    Unlike stream–stream joins, the static side needs no watermark or
+    state: each micro-batch hash-joins against the dimension, which
+    Spark broadcasts when small — at 1000 executors the dimension scan
+    is re-planned per batch, so a refreshed dim parquet is picked up
+    between batches (slowly-changing enrichment for free). State here
+    is only the downstream aggregation (4 segments × event types)."""
+    from go_map_reduce_spark.catalog import load_table as _lt
+
+    events = read_events_stream(spark, sf_dir)
+    cust = _lt(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        events.join(cust, events.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+    )
+    name = f"enrich_{uuid.uuid4().hex[:12]}"
+    with _stream_state_partitions(spark, 8):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)

@@ -13,7 +13,38 @@ NAMES = [
     "events_session_windows",
     "events_stream_dedup",
     "events_incremental_mv",
+    "events_stream_static_join",
 ]
+
+
+def test_domain_mix_quotas(spark, sf_dir):
+    """Per-domain sample counts equal ceil(rate × domain size) exactly,
+    and the kept set is the md5-order prefix (rk dense from 1)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from go_map_reduce_spark.catalog import load_table
+    from go_map_reduce_spark.operators.textstats import (
+        MIX_DEFAULT_RATE,
+        MIX_RATES,
+    )
+
+    totals = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rows = QUERIES["domain_mix_sampling"](spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["rk"])
+    for lang, rks in by_lang.items():
+        want = math.ceil(MIX_RATES.get(lang, MIX_DEFAULT_RATE) * totals[lang])
+        assert len(rks) == want
+        assert sorted(rks) == list(range(1, want + 1))
 
 
 @pytest.mark.parametrize("name", NAMES)
