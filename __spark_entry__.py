@@ -97,6 +97,8 @@ _NEW_THIS_ROUND: set = {
     "triangle_count",
     "domain_mix_sampling",
     "events_stream_static_join",
+    "events_variant_extract",
+    "doc_chunks_udtf",
     "embedding_quantization",
     "lateral_top_orders_per_segment",
     "events_incremental_mv",

@@ -286,3 +286,37 @@ def funnel_click_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("t_view").isNotNull(), F.col("t_purchase"))
         ).alias("n_then_purchased"),
     )
+
+
+@query(
+    "events_variant_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(COUNT(CASE WHEN json_extract_string(props, '$.missing')
+                           IS NULL THEN NULL ELSE 1 END) AS BIGINT) AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4):
+    parse_json(props) materializes the open-schema document once as a
+    binary variant, then variant_get extracts typed paths — the
+    shredded-encoding path for schema-on-read at scale, where one parse
+    feeds many extractions instead of re-parsing the JSON string per
+    path (get_json_object) or freezing a schema up front (from_json).
+    try_variant_get returns NULL (not an error) for absent paths. The
+    oracle is the equivalent JSON-string formulation — the values must
+    agree regardless of encoding."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("variant_get(v, '$.k', 'bigint')")).alias("sum_k"),
+        F.count(F.expr("try_variant_get(v, '$.missing', 'string')")).alias(
+            "n_missing"
+        ),
+    )

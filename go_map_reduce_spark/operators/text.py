@@ -182,3 +182,74 @@ def sorted_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("source").alias("n_sources"),
         F.concat_ws(" ", F.sort_array(F.collect_set("source"))).alias("sources"),
     )
+
+
+CHUNK_TOKENS = 20  # tokens per chunk in the UDTF chunker
+
+
+@query(
+    "doc_chunks_udtf",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             UNNEST(range(1, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0)
+                                  AS BIGINT) + 1)) AS i
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           CAST(least(i * {CHUNK_TOKENS}, len(toks))
+                - (i - 1) * {CHUNK_TOKENS} AS BIGINT) AS n_tokens,
+           array_to_string(
+             toks[(i - 1) * {CHUNK_TOKENS} + 1 : i * {CHUNK_TOKENS}],
+             ' ') AS chunk_text
+    FROM c
+    """,
+)
+def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking via a Python UDTF (Spark 4 user-defined TABLE
+    function): each doc expands to ceil(n_tokens/{CHUNK_TOKENS}) chunk
+    rows through a SQL LATERAL join — the chunking step in front of an
+    embedding/RAG pipeline. Arrow-optimized (useArrow) so batches cross
+    the Python boundary columnar; the UDTF runs per-partition with no
+    shuffle (plan: scan → Python eval → project, mapInPandas execution
+    with SQL-lateral ergonomics). The same expansion is expressible
+    natively (slice + posexplode) — the UDTF spelling pins Spark's
+    Python-UDTF execution against the native DuckDB oracle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="doc_id bigint, chunk_idx int, n_tokens bigint,"
+        " chunk_text string",
+        useArrow=True,
+    )
+    class DocChunks:
+        def eval(self, doc_id, text):  # noqa: ANN001 — UDTF signature
+            import re
+
+            toks = [t for t in re.split("[^A-Za-z]+", text or "") if t]
+            for i in range(0, len(toks), CHUNK_TOKENS):
+                yield (
+                    doc_id,
+                    i // CHUNK_TOKENS + 1,
+                    len(toks[i : i + CHUNK_TOKENS]),
+                    " ".join(toks[i : i + CHUNK_TOKENS]),
+                )
+
+    spark.udtf.register("doc_chunks", DocChunks)
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("_docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.n_tokens, c.chunk_text
+        FROM _docs_for_udtf d,
+             LATERAL doc_chunks(d.doc_id, d.text) c
+        """
+    )

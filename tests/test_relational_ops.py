@@ -33,3 +33,11 @@ def test_against_duckdb_oracle(name, spark, sf_dir):
 
 def test_events_json_typed_oracle(spark, sf_dir):
     compare(QUERIES["events_json_typed"](spark, sf_dir), ORACLES["events_json_typed"], sf_dir)
+
+
+def test_events_variant_extract_oracle(spark, sf_dir):
+    compare(
+        QUERIES["events_variant_extract"](spark, sf_dir),
+        ORACLES["events_variant_extract"],
+        sf_dir,
+    )

@@ -6,7 +6,7 @@ from go_map_reduce_spark.registry import ORACLES, QUERIES
 
 from tests.oracle_util import compare
 
-TEXT_QUERIES = ["wordcount", "inverted_index", "inverted_index_topdocs", "doc_token_counts", "sorted_string_agg"]
+TEXT_QUERIES = ["wordcount", "inverted_index", "inverted_index_topdocs", "doc_token_counts", "sorted_string_agg", "doc_chunks_udtf"]
 
 
 @pytest.mark.parametrize("name", TEXT_QUERIES)
