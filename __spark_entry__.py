@@ -99,6 +99,7 @@ _NEW_THIS_ROUND: set = {
     "events_stream_static_join",
     "events_variant_extract",
     "doc_chunks_udtf",
+    "custom_source_scan",
     "embedding_quantization",
     "lateral_top_orders_per_segment",
     "events_incremental_mv",

@@ -170,3 +170,38 @@ def test_corrupt_record_modes(spark, tmp_path):
         read_json_with_corrupt_records(
             spark, path, "id long, v long", mode="FAILFAST"
         ).collect()
+
+
+def test_custom_python_datasource(spark, sf_dir):
+    """Python DataSource API: split planning yields the requested
+    partition count, rows are deterministic, and the registered query
+    matches its DuckDB range() oracle."""
+    from go_map_reduce_spark.registry import ORACLES, QUERIES
+    from go_map_reduce_spark.sources.pydatasource import (
+        REPLAY_PARTS,
+        register_replay_source,
+    )
+
+    from tests.oracle_util import compare
+
+    register_replay_source(spark)
+    df = (
+        spark.read.format("replay")
+        .option("n", "100").option("parts", "5").load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    rows = {r["id"]: (r["h"], r["grp"]) for r in df.collect()}
+    import hashlib
+
+    assert len(rows) == 100
+    assert rows[7] == (hashlib.md5(b"7").hexdigest(), 7)
+
+    full = (
+        spark.read.format("replay").load()
+    )
+    assert full.rdd.getNumPartitions() == REPLAY_PARTS
+    compare(
+        QUERIES["custom_source_scan"](spark, sf_dir),
+        ORACLES["custom_source_scan"],
+        sf_dir,
+    )
