@@ -100,6 +100,7 @@ _NEW_THIS_ROUND: set = {
     "events_variant_extract",
     "doc_chunks_udtf",
     "custom_source_scan",
+    "zorder_layout_keys",
     "embedding_quantization",
     "lateral_top_orders_per_segment",
     "events_incremental_mv",

@@ -55,3 +55,100 @@ def compact(
 
     shutil.rmtree(backup)
     return n_files
+
+
+# ---------------------------------------------------------------- Z-order
+
+ZORDER_BITS = 16  # bits kept per dimension (2 dims → 32-bit z-value)
+
+
+def _interleave_sql(x: str, y: str, bits: int = ZORDER_BITS) -> str:
+    """Bit-interleave SQL (x gets even positions, y odd) — valid in both
+    DuckDB and Spark SQL. Every term is fully parenthesized: Postgres
+    (and DuckDB) give <<, >>, &, | ONE precedence level, left-assoc, so
+    an unwrapped `a << 2 | b << 3` parses as `((a << 2) | b) << 3`."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((({x}) >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((({y}) >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_value(x, y, bits: int = ZORDER_BITS):
+    """Morton/Z-curve value of two non-negative int columns — the
+    multi-dimensional clustering key: sorting by it co-locates rows
+    close in BOTH dimensions, so parquet row-group min/max stats stay
+    tight on each dimension and scans with a predicate on either column
+    skip most files. The lakehouse `OPTIMIZE ZORDER BY` primitive,
+    computed as a plain codegen expression (32 shift/mask terms — no
+    UDF)."""
+    from pyspark.sql import functions as F
+
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        acc = acc.bitwiseOR(
+            F.shiftleft(F.shiftright(x.cast("long"), b).bitwiseAND(F.lit(1)), 2 * b)
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftright(y.cast("long"), b).bitwiseAND(F.lit(1)), 2 * b + 1
+            )
+        )
+    return acc
+
+
+def _register_zorder_query() -> None:
+    from pyspark.sql import functions as F
+
+    from go_map_reduce_spark.catalog import load_table
+    from go_map_reduce_spark.registry import query
+
+    # Both dimensions quantized to comparable bit widths before
+    # interleaving — with unbalanced widths the wider dimension's high
+    # bits dominate the curve and the narrow dimension gets no
+    # locality (measured: day spans 12 bits vs custkey's 8 here, and
+    # per-file custkey ranges stayed full-width until day was coarsened
+    # to 16-day buckets).
+    mask = (1 << ZORDER_BITS) - 1
+    sql_x = f"(o_custkey & {mask})"
+    sql_y = (
+        f"((datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
+        f" >> 4) & {mask})"
+    )
+
+    @query(
+        "zorder_layout_keys",
+        oracle=f"""
+        SELECT o_orderkey,
+               CAST({_interleave_sql(sql_x, sql_y)} AS BIGINT) AS zval,
+               CAST({_interleave_sql(sql_x, sql_y)} >> {ZORDER_BITS}
+                    AS BIGINT) AS zbucket
+        FROM orders
+        """,
+    )
+    def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Z-order clustering keys over orders on (customer, 16-day
+        date bucket):
+        the write-side layout step — `df.repartitionByRange(zbucket)
+        .sortWithinPartitions(zval).write...` — that makes BOTH
+        per-customer and per-date scans prune row groups. zbucket
+        (the z-value's high bits) is the coarse cluster ≈ one output
+        file's key range. The z-value is 32 inlined shift/mask terms
+        (whole-stage codegen, no UDF); the oracle computes the
+        identical interleave in DuckDB."""
+        orders = load_table(spark, sf_dir, "orders")
+        x = F.col("o_custkey").bitwiseAND(F.lit(mask))
+        y = F.shiftright(
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")),
+            4,
+        ).bitwiseAND(F.lit(mask))
+        z = zorder_value(x, y)
+        return orders.select(
+            "o_orderkey",
+            z.alias("zval"),
+            F.shiftright(z, ZORDER_BITS).cast("long").alias("zbucket"),
+        )
+
+    _ = zorder_layout_keys
+
+
+_register_zorder_query()
