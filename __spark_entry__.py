@@ -69,17 +69,39 @@ _GATE_PRIORITY = [
 
 
 def _ordered(mapping: dict) -> dict:
-    first = {n: mapping[n] for n in _GATE_PRIORITY if n in mapping}
-    # Queries registered after round 1 also need their first driver row —
-    # slot them right after the round-1 ungated block.
-    new = {n: mapping[n] for n in mapping if n not in first and n in _NEW_THIS_ROUND}
-    rest = {n: mapping[n] for n in mapping if n not in first and n not in new}
-    return {**first, **new, **rest}
+    # Newest-round queries first (they have no CORRECTNESS row yet), then
+    # the round-2 additions (no r2 artifact was recorded, so still
+    # unevidenced), then the round-1 ungated block, then the rest.
+    r3 = {n: mapping[n] for n in mapping if n in _NEW_ROUND3}
+    r2 = {n: mapping[n] for n in mapping if n not in r3 and n in _NEW_ROUND2}
+    first = {
+        n: mapping[n]
+        for n in _GATE_PRIORITY
+        if n in mapping and n not in r3 and n not in r2
+    }
+    rest = {
+        n: mapping[n]
+        for n in mapping
+        if n not in r3 and n not in r2 and n not in first
+    }
+    return {**r3, **r2, **first, **rest}
 
+
+# Names registered for the first time in round 3.
+_NEW_ROUND3: set = {
+    "q4_priority_late_orders",
+    "q6_forecast_revenue",
+    "q10_returned_revenue",
+    "q12_priority_linestatus",
+    "q14_promo_share",
+    "q16_supplier_part_variety",
+    "q19_disjunctive_revenue",
+    "q21_sole_late_suppliers",
+}
 
 # Names registered for the first time in round 2 (kept in sync as queries
 # are added; anything listed here but not registered is ignored).
-_NEW_THIS_ROUND: set = {
+_NEW_ROUND2: set = {
     "lsh_bucket_stats",
     "lsh_template_clusters",
     "inverted_index_topdocs",

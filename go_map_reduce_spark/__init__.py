@@ -42,6 +42,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     relational,
     relational2,
     relational3,
+    relational4,
     reshape,
     similarity,
     text,

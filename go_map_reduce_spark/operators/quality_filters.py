@@ -1,0 +1,227 @@
+"""Repetition / language-model quality filters for pretraining corpora.
+
+The Gopher and C4 pipelines filter documents on repetition signals
+(duplicate-token fraction, adjacent repeats, fraction of the document
+covered by its most frequent n-gram) and on language-model plausibility
+(mean unigram log-probability); a vocabulary-coverage curve drives
+tokenizer/vocab sizing. These generalize the reference's wordcount
+analytics (SURVEY.md §2b A1) into the corpus-hygiene operators a 100 TB
+text pipeline runs before training.
+
+Scale design:
+- Per-document signals (distinct fraction, adjacent repeats) are pure
+  per-row array expressions — zero shuffle, whole-stage codegen.
+- The top-bigram signal aggregates (doc_id, bigram) — a shuffle whose
+  key cardinality is bounded by corpus token count, the same cost class
+  as wordcount; the per-doc max then reuses the doc_id partitioning.
+- Unigram log-prob broadcasts the vocabulary frequency table (vocab ≪
+  corpus — Heaps' law) and shuffles only the per-doc mean aggregation.
+- Vocabulary coverage windows over the *aggregated* vocab frame (one
+  row per distinct word), never over the corpus — the unpartitioned
+  cumulative window is safe because its input is post-aggregation and
+  orders of magnitude smaller than the data.
+
+Determinism: counts are exact integers; log-probs are rounded per-row
+to 6 dp before an exact decimal mean (functions/numeric.dsum), the same
+transcendental-tail discipline as tfidf_top_terms (relational3.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from go_map_reduce_spark.catalog import load_table
+from go_map_reduce_spark.functions.numeric import dsum, sql_dsum
+from go_map_reduce_spark.registry import query
+
+TOK_SQL = "list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')"
+
+
+def _toks() -> F.Column:
+    return F.filter(F.split("text", "[^A-Za-z]+"), lambda x: x != "")
+
+
+# --------------------------------------------------------------------------
+# Repetition filters (Gopher-style)
+# --------------------------------------------------------------------------
+@query(
+    "repetition_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {TOK_SQL} AS toks FROM documents
+    ),
+    perdoc AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+               AS dup_token_frac,
+             CAST(len(list_filter(range(1, len(toks)),
+                                  i -> toks[i] = toks[i+1])) AS BIGINT)
+               AS adjacent_repeats
+      FROM tok WHERE len(toks) >= 2
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM tok WHERE len(toks) >= 2
+    ),
+    bgc AS (
+      SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY doc_id, bigram
+    ),
+    top AS (
+      SELECT doc_id, MAX(n) AS top_bigram_n FROM bgc GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_tokens, p.dup_token_frac, p.adjacent_repeats,
+           CAST(t.top_bigram_n AS DOUBLE) / (p.n_tokens - 1) AS top_bigram_frac
+    FROM perdoc p JOIN top t ON p.doc_id = t.doc_id
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals: duplicate-token fraction,
+    adjacent same-token repeats, and the share of bigram slots taken by
+    the document's most frequent bigram (Gopher's "top n-gram
+    fraction"). The first two are per-row array expressions; the third
+    is a (doc_id, bigram) count whose per-doc max reuses the doc_id
+    hash partitioning (Catalyst plans one exchange for both aggs)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = _toks()
+    perdoc = (
+        docs.select(
+            "doc_id",
+            toks.alias("toks"),
+        )
+        .where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "toks",
+            F.size("toks").cast("long").alias("n_tokens"),
+            (
+                1.0
+                - F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
+            ).alias("dup_token_frac"),
+            F.expr(
+                "CAST(size(filter(sequence(0, size(toks)-2),"
+                " i -> toks[i] = toks[i+1])) AS BIGINT)"
+            ).alias("adjacent_repeats"),
+        )
+    )
+    bigrams = F.expr(
+        "transform(sequence(0, size(toks)-2), i -> toks[i] || ' ' || toks[i+1])"
+    )
+    top = (
+        perdoc.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_bigram_n"))
+    )
+    return perdoc.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        "adjacent_repeats",
+        (F.col("top_bigram_n").cast("double") / (F.col("n_tokens") - 1)).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Unigram language-model scoring
+# --------------------------------------------------------------------------
+@query(
+    "unigram_logprob_scores",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({TOK_SQL}) AS word FROM documents
+    ),
+    freq AS (SELECT word, COUNT(*) AS n_w FROM tok GROUP BY word),
+    total AS (SELECT COUNT(*) AS n_total FROM tok)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           {sql_dsum('round(ln(CAST(f.n_w AS DOUBLE) / n_total), 6)')} / COUNT(*)
+             AS mean_logprob
+    FROM tok t JOIN freq f ON t.word = f.word CROSS JOIN total
+    GROUP BY t.doc_id
+    """,
+)
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document — the cheap
+    language-model plausibility score (CCNet/Gopher use a 5-gram LM;
+    the unigram variant is the same dataflow with a smaller model).
+    The corpus vocabulary with counts IS the model: built in one
+    wordcount pass, broadcast back onto the token stream (vocab ≪
+    corpus), so the only big shuffle is the per-doc mean. Per-token
+    ln() is rounded to 6 dp, then the mean is an exact decimal sum —
+    deterministic across engines and partitionings."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(_toks()).alias("word"))
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("n_w"))
+    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    logp = F.round(F.log(F.col("n_w").cast("double") / F.col("n_total")), 6)
+    return (
+        tok.join(F.broadcast(freq), "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (dsum(logp) / F.count(F.lit(1))).alias("mean_logprob"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage curve
+# --------------------------------------------------------------------------
+TOP_VOCAB = 50
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({TOK_SQL}) AS word FROM documents
+    ),
+    freq AS (SELECT word, COUNT(*) AS n FROM tok GROUP BY word),
+    total AS (SELECT SUM(n) AS n_total FROM freq)
+    SELECT word, n AS n_occurrences,
+           CAST(rank AS BIGINT) AS rank,
+           CAST(cum AS DOUBLE) / n_total AS coverage
+    FROM (
+      SELECT word, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rank,
+             SUM(n) OVER (ORDER BY n DESC, word
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM freq
+    ) r CROSS JOIN total
+    WHERE rank <= {TOP_VOCAB}
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-coverage curve of the top-{TOP_VOCAB} vocabulary: what
+    fraction of all corpus tokens the k most frequent words cover —
+    the tokenizer/vocab-sizing diagnostic. The unpartitioned cumulative
+    window runs over the POST-AGGREGATION vocab frame (one row per
+    distinct word), never the corpus; coverage is an exact integer
+    cumsum divided once per row."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    tok = docs.select(F.explode(_toks()).alias("word"))
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n").alias("n_total"))
+    w = W.orderBy(F.col("n").desc(), F.col("word"))
+    ranked = freq.select(
+        "word",
+        "n",
+        F.row_number().over(w).alias("rank"),
+        F.sum("n").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias(
+            "cum"
+        ),
+    ).where(F.col("rank") <= TOP_VOCAB)
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "word",
+        F.col("n").alias("n_occurrences"),
+        F.col("rank").cast("long").alias("rank"),
+        (F.col("cum").cast("double") / F.col("n_total")).alias("coverage"),
+    )
