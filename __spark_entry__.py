@@ -97,6 +97,9 @@ _NEW_ROUND3: set = {
     "q16_supplier_part_variety",
     "q19_disjunctive_revenue",
     "q21_sole_late_suppliers",
+    "repetition_stats",
+    "unigram_logprob_scores",
+    "vocab_coverage",
 }
 
 # Names registered for the first time in round 2 (kept in sync as queries
