@@ -106,9 +106,9 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adjacent_repeats"),
         )
     )
-    bigrams = F.expr(
-        "transform(sequence(0, size(toks)-2), i -> toks[i] || ' ' || toks[i+1])"
-    )
+    from go_map_reduce_spark.functions.texttok import kgrams
+
+    bigrams = kgrams(F.col("toks"), 2)
     top = (
         perdoc.select("doc_id", F.explode(bigrams).alias("bigram"))
         .groupBy("doc_id", "bigram")

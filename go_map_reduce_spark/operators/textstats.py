@@ -229,17 +229,16 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle fingerprint (min hash over 5-token shingles — the rolling-
     hash-min idea with md5 as the portable hash). Used downstream as the
     exact-dedup key and as a stable doc identity across recrawls."""
+    from go_map_reduce_spark.functions.texttok import kgrams
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = _toks(F.col("text"))
+    tk = F.col("__toks")
     shingles = F.when(
-        F.size(toks) < 5, F.array(F.concat_ws(" ", toks))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 5),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 5)),
-        )
-    )
+        F.size(tk) < 5, F.array(F.concat_ws(" ", tk))
+    ).otherwise(kgrams(tk, 5))
     return docs.select(
+        "doc_id", "text", _toks(F.col("text")).alias("__toks")
+    ).select(
         "doc_id",
         F.md5("text").alias("content_hash"),
         F.array_min(F.transform(shingles, F.md5)).alias("winnow_fp"),
@@ -281,14 +280,13 @@ def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_min_parallelism(
         spark, load_table(spark, sf_dir, "documents").select("text")
     )
+    from go_map_reduce_spark.functions.texttok import kgrams
+
     toks = F.filter(F.split("text", "[^A-Za-z]+"), lambda x: x != "")
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
-    )
     bg = (
-        docs.where(F.size(toks) >= 2)
-        .select(F.explode(bigrams).alias("bigram"))
+        docs.select(toks.alias("__toks"))
+        .where(F.size("__toks") >= 2)
+        .select(F.explode(kgrams(F.col("__toks"), 2)).alias("bigram"))
         .select(
             F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
             F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
