@@ -100,6 +100,9 @@ _NEW_ROUND3: set = {
     "repetition_stats",
     "unigram_logprob_scores",
     "vocab_coverage",
+    "events_sliding_stream",
+    "events_purchase_click_outer_join",
+    "higher_order_array_ops",
 }
 
 # Names registered for the first time in round 2 (kept in sync as queries

@@ -126,3 +126,64 @@ def aggregate_function_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_custkey", "o_orderkey").alias("earliest_custkey"),
         (F.max("o_orderkey") - F.min("o_orderkey")).alias("key_span"),
     )
+
+
+@query(
+    "higher_order_array_ops",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+             AS total_chars,
+           CAST(len(list_filter(toks, x -> length(x) > 4)) AS BIGINT) AS n_long,
+           len(list_filter(toks, x -> x LIKE 'th%')) > 0 AS any_th,
+           len(list_filter(toks, x -> length(x) >= 20)) = 0 AS all_short,
+           -- first max-length token; expressed positionally because
+           -- DuckDB 1.0 mis-evaluates list_reduce when other lambdas
+           -- share the same subquery column (verified: standalone
+           -- list_reduce agrees, the combined query does not)
+           toks[list_position(list_transform(toks, x -> length(x)),
+                              list_max(list_transform(toks, x -> length(x))))]
+             AS longest_tok,
+           array_to_string(list_transform(range(1, least(len(toks), 3) + 1),
+                                          i -> (i - 1) || ':' || toks[i]),
+                           ',') AS first3_indexed
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> '')
+                   AS toks
+          FROM documents)
+    WHERE len(toks) > 0
+    """,
+)
+def higher_order_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order lambda-function surface (SURVEY.md §2c scalar fns):
+    aggregate (fold), filter, exists, forall, and an index-aware
+    transform — all Catalyst lambda expressions evaluated JVM-side per
+    row, zero shuffle. The fold initializes with 0/'' so empty-ish
+    inputs are total; longest_tok resolves ties to the FIRST
+    max-length token on both engines (fold order is left-to-right by
+    definition, which is what makes a fold deterministic where a
+    max_by on length would be tie-arbitrary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", "[^A-Za-z]+"), lambda x: x != "")
+    t = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
+    tk = F.col("toks")
+    return t.select(
+        "doc_id",
+        F.aggregate(
+            tk, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("total_chars"),
+        F.size(F.filter(tk, lambda x: F.length(x) > 4)).cast("long").alias("n_long"),
+        F.exists(tk, lambda x: x.startswith("th")).alias("any_th"),
+        F.forall(tk, lambda x: F.length(x) < 20).alias("all_short"),
+        F.aggregate(
+            tk,
+            F.lit(""),
+            lambda acc, x: F.when(F.length(x) > F.length(acc), x).otherwise(acc),
+        ).alias("longest_tok"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(tk, 1, 3), lambda x, i: F.concat(i.cast("string"), F.lit(":"), x)
+            ),
+        ).alias("first3_indexed"),
+    )

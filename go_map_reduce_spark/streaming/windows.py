@@ -346,3 +346,152 @@ def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     return spark.table(name)
+
+
+@query(
+    "events_sliding_stream",
+    oracle=f"""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS tb, event_type, value
+      FROM events
+    ),
+    s AS (
+      SELECT unnest([tb, tb - INTERVAL 30 MINUTE]) AS ws, event_type, value
+      FROM b
+    )
+    SELECT CAST(ws AS TIMESTAMP) AS window_start,
+           CAST(ws + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM s
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window aggregation executed by the streaming engine:
+    1-hour windows every 30 minutes — each event belongs to exactly 2
+    overlapping windows (window length / slide), which the engine
+    expands BEFORE the shuffle, so state is 2× the tumbling case, not
+    per-pair. Complete output mode emits the final window set; the
+    oracle replays the expansion relationally (each event duplicated
+    into its two candidate window starts via time_bucket)."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("window.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    name = f"sliding_{uuid.uuid4().hex[:12]}"
+    with _stream_state_partitions(spark, 8):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
+# Left-outer comparisons exclude the stream's trailing 2 days: a
+# left-outer stream-stream join withholds unmatched rows whose join
+# window the final watermark (min over both sides of max event time -
+# 10 min) has not yet passed. The exact emission boundary is engine
+# state-cleanup arithmetic; excluding a tail ≫ (watermark delay + join
+# window) from BOTH the streamed result and the oracle makes the
+# comparison exact without modeling that boundary.
+_OUTER_TAIL = "INTERVAL 2 DAY"
+
+
+@query(
+    "events_purchase_click_outer_join",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events, mx
+      WHERE event_type = 'purchase' AND ts <= max_ts - {_OUTER_TAIL}
+    ),
+    c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+          FROM events WHERE event_type = 'click')
+    SELECT p.purchase_id, c.click_id, p.user_id,
+           CAST(p.p_ts AS TIMESTAMP) AS purchase_ts,
+           CAST(c.c_ts AS TIMESTAMP) AS click_ts
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE AND c.c_ts <= p.p_ts
+    """,
+)
+def events_purchase_click_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER join run by the engine: purchases with
+    their preceding-30-minute clicks, or NULL click columns once the
+    watermark proves no match can arrive. Outer stream-stream joins are
+    the semantics watermarks exist for — an unmatched left row can only
+    be emitted when the global watermark passes its join window, so the
+    null rows materialize in the watermark-advance batch after the data
+    batch (processAllAvailable runs both). The trailing 2 days are
+    excluded from the comparison on both sides (see _OUTER_TAIL)."""
+    events = read_events_stream(spark, sf_dir)
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL '30' MINUTE"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        F.col("c_ts").cast("timestamp_ntz").alias("click_ts"),
+    )
+    name = f"ssouter_{uuid.uuid4().hex[:12]}"
+    with _stream_state_partitions(spark, 8):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    max_ts = load_table(spark, sf_dir, "events").agg(
+        F.max("ts").alias("max_ts")
+    )
+    return (
+        spark.table(name)
+        .crossJoin(F.broadcast(max_ts))
+        .where(F.col("purchase_ts") <= F.col("max_ts") - F.expr(_OUTER_TAIL))
+        .drop("max_ts")
+    )

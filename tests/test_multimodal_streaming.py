@@ -14,6 +14,8 @@ NAMES = [
     "events_stream_dedup",
     "events_incremental_mv",
     "events_stream_static_join",
+    "events_sliding_stream",
+    "events_purchase_click_outer_join",
 ]
 
 
