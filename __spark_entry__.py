@@ -103,6 +103,10 @@ _NEW_ROUND3: set = {
     "events_sliding_stream",
     "events_purchase_click_outer_join",
     "higher_order_array_ops",
+    "cohort_retention",
+    "scd2_customer_upsert",
+    "bloom_contamination_prefilter",
+    "winsorized_price_stats",
 }
 
 # Names registered for the first time in round 2 (kept in sync as queries

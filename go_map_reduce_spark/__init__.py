@@ -39,6 +39,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     graph,
     kmeans,
     multimodal,
+    pipeline2,
     quality_filters,
     relational,
     relational2,

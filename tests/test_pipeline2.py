@@ -1,0 +1,51 @@
+"""Differential tests for pipeline batch 2 (cohort/SCD2/bloom/winsorize)."""
+
+import pytest
+
+from go_map_reduce_spark.registry import ORACLES, QUERIES
+
+from tests.oracle_util import compare
+
+NAMES = [
+    "cohort_retention",
+    "scd2_customer_upsert",
+    "bloom_contamination_prefilter",
+    "winsorized_price_stats",
+]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_against_duckdb_oracle(name, spark, sf_dir):
+    compare(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """A bloom filter may overestimate membership, never underestimate:
+    n_maybe >= n_exact for every test document."""
+    df = QUERIES["bloom_contamination_prefilter"](spark, sf_dir).toPandas()
+    assert (df.n_maybe >= df.n_exact).all()
+    assert (df.n_ngrams >= df.n_maybe).all()
+
+
+def test_scd2_key_versioning(spark, sf_dir):
+    """Updated keys have exactly versions {1 closed, 2 current};
+    untouched keys exactly one current version-1 row."""
+    import pandas as pd
+
+    df = QUERIES["scd2_customer_upsert"](spark, sf_dir).toPandas()
+    per_key = df.groupby("c_custkey").agg(
+        n=("version", "size"),
+        n_current=("is_current", "sum"),
+        max_v=("version", "max"),
+    )
+    updated = per_key.index % 7 == 0
+    assert (per_key.loc[updated, "n"] == 2).all()
+    assert (per_key.loc[updated, "max_v"] == 2).all()
+    assert (per_key.loc[~updated, "n"] == 1).all()
+    assert (per_key.n_current == 1).all()
+
+
+def test_winsorized_mean_within_bounds(spark, sf_dir):
+    df = QUERIES["winsorized_price_stats"](spark, sf_dir).toPandas()
+    assert ((df.winsorized_mean >= df.p05) & (df.winsorized_mean <= df.p95)).all()
+    assert (df.n_clipped > 0).all()
