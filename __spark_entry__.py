@@ -107,6 +107,8 @@ _NEW_ROUND3: set = {
     "scd2_customer_upsert",
     "bloom_contamination_prefilter",
     "winsorized_price_stats",
+    "cogroup_purchase_click_profile",
+    "events_transform_with_state",  # registered only where protobuf exists
 }
 
 # Names registered for the first time in round 2 (kept in sync as queries

@@ -33,6 +33,7 @@ from go_map_reduce_spark import registry  # noqa: F401
 from go_map_reduce_spark.operators import (  # noqa: F401,E402
     advanced,
     analytics,
+    cogroup,
     dedup,
     events,
     functions_depth,

@@ -110,3 +110,123 @@ def events_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "_s.n_events", "_s.sum_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState — the typed-state successor API (Spark 4)
+# ---------------------------------------------------------------------------
+class _TypeValueCounter:
+    """StatefulProcessor: per-user MAP state keyed by event_type holding
+    (count, integer cents) — exercises the composite state primitives
+    (MapState) the old GroupState API lacks. Emits nothing per batch;
+    the final state is read out in close-less complete style by
+    emitting updated rows each batch (update mode) and taking the last
+    emit per (user, type) — same discipline as
+    events_stateful_user_totals."""
+
+    def init(self, handle) -> None:
+        self._m = handle.getMapState("per_type", "event_type string", "n bigint, cents bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        agg: dict[str, list[int]] = {}
+        for pdf in rows:
+            cents = pdf["value"].mul(100).round().astype("int64")
+            for et, grp in cents.groupby(pdf["event_type"]):
+                cur = agg.setdefault(et, [0, 0])
+                cur[0] += len(grp)
+                cur[1] += int(grp.sum())
+        out = []
+        for et, (dn, dc) in agg.items():
+            prev = self._m.getValue((et,)) if self._m.containsKey((et,)) else (0, 0)
+            n, cents_total = prev[0] + dn, prev[1] + dc
+            self._m.updateValue((et,), (n, cents_total))
+            out.append((key[0], et, n, cents_total / 100.0))
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_type", "n_events", "sum_value"]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _protobuf_available() -> bool:
+    """transformWithState's Python runner speaks protobuf to the JVM;
+    without the google.protobuf package the streaming runner crashes at
+    init. Gate registration (the environment rule: gate missing deps
+    behind an import-try) — the operator code itself is complete and
+    runs wherever protobuf exists."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_TWS_ORACLE = """
+    SELECT user_id, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_value
+    FROM events
+    GROUP BY user_id, event_type
+    """
+
+
+def events_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas (the Spark 4 typed-state API): per-user
+    MapState keyed by event_type accumulating (count, cents). Composite
+    state (maps/lists with per-entry access) is the API's advance over
+    applyInPandasWithState's single value tuple — state entries are
+    read/written individually, so a hot user's state isn't rewritten
+    wholesale per batch. Executed by the streaming engine to
+    completion; cents-integer accumulation keeps the result independent
+    of batch order, so the batch SQL oracle matches exactly."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from go_map_reduce_spark.shipping import ensure_package_shipped
+    from go_map_reduce_spark.streaming.windows import (
+        _stream_state_partitions,
+        read_events_stream,
+    )
+
+    ensure_package_shipped(spark)
+    events = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_type", "value"
+    )
+    out = events.groupBy("user_id").transformWithStateInPandas(
+        _TypeValueCounter(),
+        outputStructType=(
+            "user_id bigint, event_type string, n_events bigint, sum_value double"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+    name = f"tws_{uuid.uuid4().hex[:12]}"
+    with _stream_state_partitions(spark, 8):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    sink = spark.table(name)
+    return (
+        sink.groupBy("user_id", "event_type")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("_s"))
+        .select("user_id", "event_type", "_s.n_events", "_s.sum_value")
+    )
+
+
+if _protobuf_available():  # pragma: no cover - environment-dependent
+    query("events_transform_with_state", oracle=_TWS_ORACLE)(
+        events_transform_with_state
+    )

@@ -49,3 +49,19 @@ def test_winsorized_mean_within_bounds(spark, sf_dir):
     df = QUERIES["winsorized_price_stats"](spark, sf_dir).toPandas()
     assert ((df.winsorized_mean >= df.p05) & (df.winsorized_mean <= df.p95)).all()
     assert (df.n_clipped > 0).all()
+
+
+def test_cogroup_profile_oracle(spark, sf_dir):
+    compare(
+        QUERIES["cogroup_purchase_click_profile"](spark, sf_dir),
+        ORACLES["cogroup_purchase_click_profile"],
+        sf_dir,
+    )
+
+
+def test_transform_with_state_gated():
+    """transformWithState registers only where protobuf exists; in this
+    container it must be absent (gated), not broken."""
+    from go_map_reduce_spark.streaming.stateful import _protobuf_available
+
+    assert ("events_transform_with_state" in QUERIES) == _protobuf_available()
