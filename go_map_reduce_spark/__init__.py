@@ -46,6 +46,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     relational2,
     relational3,
     relational4,
+    relational5,
     reshape,
     similarity,
     text,

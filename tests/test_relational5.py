@@ -1,0 +1,38 @@
+"""Differential tests for the TPC-H shape batch 3 (Q8/Q9/Q11/Q15/Q17/Q20)."""
+
+import pytest
+
+from go_map_reduce_spark.registry import ORACLES, QUERIES
+
+from tests.oracle_util import compare
+
+NAMES = [
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q20_promotion_suppliers",
+]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_against_duckdb_oracle(name, spark, sf_dir):
+    compare(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
+
+
+@pytest.mark.parametrize(
+    "name", ["q8_market_share", "q11_important_parts", "q20_promotion_suppliers"]
+)
+def test_nonempty(name, spark, sf_dir):
+    assert QUERIES[name](spark, sf_dir).count() > 0
+
+
+def test_q11_no_job_at_construction(spark, sf_dir):
+    """The global-total threshold must be a lazy broadcast cross join,
+    not a driver-side .collect()/.count() at query-construction time."""
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    QUERIES["q11_important_parts"](spark, sf_dir)
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after
