@@ -30,8 +30,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from go_map_reduce_spark.registry import query
 from go_map_reduce_spark.session import ensure_session_confs
 from go_map_reduce_spark.streaming.windows import (
-    EVENTS_RAW_SCHEMA,
     _stream_state_partitions,
+    events_raw_schema,
 )
 
 N_SPLITS = 4  # micro-batches the source is split into (one file each)
@@ -60,15 +60,16 @@ def events_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         src_dir = os.path.join(tmp, "src")
         mv_root = os.path.join(tmp, "mv")
+        schema = events_raw_schema(spark, sf_dir)
         raw = (
-            spark.read.schema(EVENTS_RAW_SCHEMA)
+            spark.read.schema(schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )
         raw.repartition(N_SPLITS).write.parquet(src_dir)
 
         stream = (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(src_dir)
         )

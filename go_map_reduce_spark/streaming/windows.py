@@ -34,18 +34,20 @@ from go_map_reduce_spark.functions.numeric import dsum, sql_dsum
 from go_map_reduce_spark.registry import query
 from go_map_reduce_spark.session import ensure_session_confs
 
-# Parquet physical schema of events.parquet (ts = INT64 epoch-nanos once
-# nanosAsLong is set; streaming sources require an explicit schema).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# Streaming file sources require an explicit schema. The driver has
+# shipped events.parquet with two different ts encodings across rounds —
+# INT64 TIMESTAMP(NANOS) (reads as long under nanosAsLong) and plain
+# timestamp[us] — so the schema is probed from the parquet footer of the
+# actual file rather than hardcoded (a schema-only batch read; no data
+# job). Hardcoding LongType against a timestamp[us] file silently
+# misinterprets the values (micros reinterpreted as nanos), which is why
+# this probes instead of assuming.
+def events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Footer-derived schema of events.parquet for the stream source."""
+    ensure_session_confs(spark)
+    import os as _os
+
+    return spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
 
 _NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
@@ -69,21 +71,29 @@ def _stream_state_partitions(spark: SparkSession, n: int):
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the same ts normalization
-    as the batch catalog (epoch-nanos long → TIMESTAMP_NTZ)."""
+    """readStream over the events parquet with ts normalized to TIMESTAMP.
+
+    Watermarks require TIMESTAMP (with local timezone); the session is
+    pinned to UTC, making the later LTZ→NTZ output cast the identity on
+    wall-clock values. Handles both ts encodings the driver has shipped:
+    INT64 epoch-nanos (→ long under nanosAsLong) and timestamp[us].
+    """
     ensure_session_confs(spark)
+    schema = events_raw_schema(spark, sf_dir)
     # The file stream source requires a directory; glob-filter the events
     # table out of the shared sf dir.
     raw = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_RAW_SCHEMA)
+        .schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    # Watermarks require TIMESTAMP (with local timezone), so the stream
-    # keeps LTZ; ensure_session_confs pinned the session to UTC, making
-    # the later LTZ→NTZ output cast the identity on wall-clock values.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = dict((f.name, f.dataType) for f in schema.fields)["ts"]
+    if isinstance(ts_type, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 @query(
