@@ -427,8 +427,8 @@ PACK_SHARD = 100    # docs per packing shard (keys doc_id DIV 100)
       FROM toks
     )
     SELECT doc_id, n_tokens, shard,
-           shard * 1000000 + start_off // {PACK_BUDGET} AS seq_id,
-           start_off % {PACK_BUDGET} AS off_in_seq
+           CAST(shard * 1000000 + start_off // {PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(start_off % {PACK_BUDGET} AS BIGINT) AS off_in_seq
     FROM cum
     """,
 )
