@@ -64,20 +64,78 @@ _GATE_PRIORITY = [
 ]
 
 
-def _evidenced() -> set:
-    """Names with any recorded row in a prior round's CORRECTNESS artifact.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _git(*args: str) -> str | None:
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", _HERE, *args],
+            capture_output=True, text=True, timeout=30,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    return out.stdout if out.returncode == 0 else None
+
+
+import functools  # noqa: E402
+
+
+@functools.lru_cache(maxsize=None)
+def _artifact_commit(relpath: str) -> str | None:
+    """Commit that last touched a CORRECTNESS artifact (the round's tree)."""
+    out = _git("log", "-n", "1", "--format=%H", "--", relpath)
+    return out.strip() if out else None
+
+
+@functools.lru_cache(maxsize=None)
+def _blob_at(commit: str, relpath: str) -> str | None:
+    out = _git("show", f"{commit}:{relpath}")
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _current_source(relpath: str) -> str | None:
+    try:
+        with open(os.path.join(_HERE, relpath)) as f:
+            return f.read()
+    except OSError:
+        return None
+
+
+def _module_relpath(name: str) -> str | None:
+    """Repo-relative path of the module implementing a registered query."""
+    fn = QUERIES.get(name)
+    if fn is None:
+        return None
+    mod = sys.modules.get(getattr(fn, "__module__", None) or "")
+    file = getattr(mod, "__file__", None)
+    if not file:
+        return None
+    return os.path.relpath(os.path.abspath(file), _HERE)
+
+
+@functools.lru_cache(maxsize=1)
+def _evidenced() -> frozenset:
+    """Names whose prior-round CORRECTNESS evidence is still valid.
 
     A row counts as evidence if it is green (rows+schema+hash match) or is
-    the deliberate rows-only shape (err == 'no_oracle'); a row with a real
-    failure does NOT count, so a failed query automatically re-enters the
-    front of the gate window next round.
+    the deliberate rows-only shape (err == 'no_oracle' AND spark_rows > 0 —
+    a rows-only query that produced nothing is a failure, not evidence).
+    Evidence goes STALE when the query's implementing module changed since
+    the round that produced it: the module's source at the artifact's
+    commit is compared (via git) against the current working tree, and a
+    mismatch re-enters the query into the gate window. Cached per process
+    so queries() and oracle_sql() share one snapshot (the driver calls
+    both; a disk change between the calls must not diverge their orders).
     """
     import glob
     import json
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    seen: set = set()
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    latest: dict = {}
+    for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -93,22 +151,51 @@ def _evidenced() -> set:
                 and row.get("schema_match")
                 and row.get("hash_match")
             )
-            rows_only = row.get("err") == "no_oracle"
+            rows_only = (
+                row.get("err") == "no_oracle"
+                and isinstance(row.get("spark_rows"), int)
+                and row["spark_rows"] > 0
+            )
             if green or rows_only:
-                seen.add(name)
-    return seen
+                latest[name] = os.path.basename(path)
+    seen: set = set()
+    stale: set = set()
+    for name, artifact in latest.items():
+        relpath = _module_relpath(name)
+        commit = _artifact_commit(artifact)
+        if relpath is None or commit is None:
+            seen.add(name)  # can't attribute — keep the evidence
+            continue
+        then = _blob_at(commit, relpath.replace(os.sep, "/"))
+        now = _current_source(relpath)
+        if then is None or now is None or then == now:
+            seen.add(name)
+        else:
+            stale.add(name)  # module changed since evidence round
+    return frozenset(seen), frozenset(stale)
 
 
 def _ordered(mapping: dict) -> dict:
-    seen = _evidenced()
+    """Gate-window ordering: never-evidenced queries first (priority names
+    leading), then stale-evidence queries (module changed since their
+    evidence round — the gate re-verifies them as window space allows),
+    then currently-evidenced ones. Never-evidenced strictly precede stale
+    so a wave of module edits can't crowd a brand-new query out of the
+    ~50-row window; stale evidence self-drains over subsequent rounds."""
+    seen, stale = _evidenced()
     pri = {
-        n: mapping[n] for n in _GATE_PRIORITY if n in mapping and n not in seen
+        n: mapping[n]
+        for n in _GATE_PRIORITY
+        if n in mapping and n not in seen and n not in stale
     }
     fresh = {
-        n: mapping[n] for n in mapping if n not in seen and n not in pri
+        n: mapping[n]
+        for n in mapping
+        if n not in seen and n not in stale and n not in pri
     }
+    regate = {n: mapping[n] for n in mapping if n in stale}
     rest = {n: mapping[n] for n in mapping if n in seen}
-    return {**pri, **fresh, **rest}
+    return {**pri, **fresh, **regate, **rest}
 
 
 def entry(spark: SparkSession) -> DataFrame:

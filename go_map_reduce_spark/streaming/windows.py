@@ -42,12 +42,24 @@ from go_map_reduce_spark.session import ensure_session_confs
 # job). Hardcoding LongType against a timestamp[us] file silently
 # misinterprets the values (micros reinterpreted as nanos), which is why
 # this probes instead of assuming.
+_SCHEMA_CACHE: dict[str, T.StructType] = {}
+
+
 def events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
-    """Footer-derived schema of events.parquet for the stream source."""
+    """Footer-derived schema of events.parquet for the stream source.
+
+    Memoized per resolved path: several streaming queries (and
+    events_stream_dedup twice per call) re-probe the identical footer
+    within one run; the file is driver-generated and immutable for a
+    round, so one probe per path per process suffices.
+    """
     ensure_session_confs(spark)
     import os as _os
 
-    return spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+    path = _os.path.realpath(_os.path.join(sf_dir, "events.parquet"))
+    if path not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[path] = spark.read.parquet(path).schema
+    return _SCHEMA_CACHE[path]
 
 _NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
