@@ -6,7 +6,7 @@ from go_map_reduce_spark.registry import ORACLES, QUERIES
 
 from tests.oracle_util import compare
 
-GRAPH = ["bfs_reachability", "triangle_count"]
+GRAPH = ["bfs_reachability", "bfs_frontier_iterative", "triangle_count"]
 
 
 @pytest.mark.parametrize("name", GRAPH)
@@ -53,6 +53,21 @@ def test_triangle_count_brute_force(spark):
             for n in (a, b, c):
                 want[n] = want.get(n, 0) + 1
     assert got == want
+
+
+def test_bfs_variants_agree(spark, sf_dir):
+    """The recursive-CTE and anti-join-frontier BFS are row-identical:
+    first-discovery level (pruned loop) equals MIN(hop) over all
+    rediscoveries (CTE)."""
+    cte = {
+        (r["node"], r["hop"])
+        for r in QUERIES["bfs_reachability"](spark, sf_dir).collect()
+    }
+    loop = {
+        (r["node"], r["hop"])
+        for r in QUERIES["bfs_frontier_iterative"](spark, sf_dir).collect()
+    }
+    assert cte == loop
 
 
 def test_bfs_structure(spark, sf_dir):
