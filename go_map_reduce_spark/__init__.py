@@ -41,6 +41,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     kmeans,
     multimodal,
     pipeline2,
+    pipeline3,
     quality_filters,
     relational,
     relational2,
