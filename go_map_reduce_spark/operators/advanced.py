@@ -234,6 +234,115 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels
 
 
+@query(
+    "dedup_clusters_largestar",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (SELECT doc_a, doc_b FROM ({_pairs_oracle_sql()})),
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+)
+def dedup_clusters_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star / small-star —
+    the O(log n)-round algorithm (Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond"; public literature) that
+    replaces dedup_clusters' O(diameter) min-label propagation at
+    scale.
+
+    Each half-round is ONE shuffle: group the symmetric edge list by
+    node, take m = min(neighborhood ∪ self), then re-point neighbors at
+    m — large-star re-points only larger neighbors (v > u), small-star
+    the rest. Alternating the two contracts every component to a star
+    rooted at its minimum in logarithmically many rounds regardless of
+    diameter — the property propagation lacks on chain-shaped
+    components. Same verified-pair input, same output contract, same
+    recursive-CTE oracle as dedup_clusters; registered separately so
+    both round-complexity tiers stay independently gated."""
+    from go_map_reduce_spark.operators.dedup import minhash_near_dup_pairs
+
+    pairs = (
+        minhash_near_dup_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    return _cc_largestar(pairs)
+
+
+def _cc_largestar(pairs: DataFrame) -> DataFrame:
+    """Large-star/small-star core over any (doc_a, doc_b) pair frame
+    (synthetic deep-chain graphs in tests drive this directly)."""
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Symmetric, self-loop-free, distinct edge list (u, v).
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        m = e.groupBy("u").agg(
+            F.least(F.min("v"), F.min("u")).alias("m")  # min(N(u) ∪ {u})
+        )
+        cond = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        repointed = (
+            e.join(m, "u")
+            .where(cond)
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        kept = e.join(m, "u").where(~cond).select("u", "v")
+        out = repointed.union(kept).where(F.col("u") != F.col("v"))
+        # re-symmetrize: star steps emit directed re-pointings
+        return (
+            out.union(out.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    prev_n = edges.count()
+    for _ in range(12):  # log2 bound with slack; components are shallow
+        edges = star(star(edges, large=True), large=False)
+        n = edges.count()
+        if n == prev_n:
+            # edge set size is stable; verify true fixpoint cheaply by
+            # one more half-round only when sizes keep matching
+            nxt = star(edges, large=True)
+            if nxt.exceptAll(edges).limit(1).count() == 0:
+                break
+            edges = star(nxt, large=False)
+            n = edges.count()
+        prev_n = n
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(
+            F.col("u").alias("doc_id"),
+            F.least("u", "mn").alias("cluster_id"),
+        )
+    )
+    # Star roots label themselves; nodes isolated by contraction too.
+    return (
+        nodes.join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+        )
+    )
+
+
 def _zscore_group(pdf):
     """Per-language z-scores of document length. Determinism: mean and
     variance come from EXACT integer sums (n_chars is int64), so the

@@ -209,6 +209,54 @@ def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shard count for the deterministic training-order writer.
+N_SHARDS = 16
+
+
+@query(
+    "training_shard_assignment",
+    oracle=f"""
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (
+                  PARTITION BY shard
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                AS BIGINT) AS pos
+    FROM (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+                  AS BIGINT) % {N_SHARDS} AS shard
+      FROM documents
+    )
+    """,
+)
+def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding — the layout step that
+    fixes a training run's data order: every doc gets a pseudorandom
+    64-bit-ish key (md5 of its id), a shard (key prefix mod
+    {N_SHARDS}), and a position within its shard (rank by key).
+
+    Reproducibility is the point: the permutation is a pure function of
+    doc_id — stable across runs, task retries, partitioning, and
+    engines (the oracle computes the identical md5 ordering), which is
+    what makes a training run resumable ("start at shard 7 pos 1.2M")
+    and ablations comparable. Execution is one hash shuffle on shard +
+    a per-shard sort — md5 balances shard sizes, so the window has no
+    skewed partition; at 100 TB this is exactly a sort-within-partitions
+    write (`repartition(shard).sortWithinPartitions(key)`), no global
+    sort anywhere."""
+    key = F.md5(F.col("doc_id").cast("string"))
+    shard = F.conv(F.substring(key, 1, 7), 16, 10).cast("long") % N_SHARDS
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", shard.alias("shard"), key.alias("__key")
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("shard").orderBy("__key", "doc_id")
+    )
+    return docs.select(
+        "doc_id", "shard", pos.cast("long").alias("pos")
+    )
+
+
 @query(
     "semantic_dedup_survivors",
     oracle=f"""

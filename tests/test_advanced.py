@@ -11,6 +11,7 @@ NAMES = [
     "asof_join_user_orders",
     "range_join_price_bands",
     "dedup_clusters",
+    "dedup_clusters_largestar",
     "doc_length_zscores",
 ]
 
@@ -32,6 +33,40 @@ def test_clusters_are_consistent_with_pairs(spark, sf_dir):
         assert labels[p["doc_a"]] == labels[p["doc_b"]]
     for doc, cl in labels.items():
         assert cl <= doc
+
+
+def test_largestar_agrees_with_propagation(spark, sf_dir):
+    """Both connected-components tiers produce identical labelings."""
+    a = sorted(
+        map(tuple, QUERIES["dedup_clusters"](spark, sf_dir).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            QUERIES["dedup_clusters_largestar"](spark, sf_dir).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_largestar_deep_chain(spark):
+    """A 64-node chain (diameter 63) — the shape where min-label
+    propagation needs O(diameter) rounds — must still collapse to one
+    component rooted at 0 within large-star's logarithmic budget.
+    Plus a disjoint triangle and an isolated pair as control."""
+    from go_map_reduce_spark.operators.advanced import _cc_largestar
+
+    chain = [(i, i + 1) for i in range(63)]
+    extra = [(100, 101), (101, 102), (100, 102), (200, 201)]
+    pairs = spark.createDataFrame(
+        chain + extra, "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in _cc_largestar(pairs).collect()
+    }
+    assert all(got[i] == 0 for i in range(64))
+    assert got[100] == got[101] == got[102] == 100
+    assert got[200] == got[201] == 200
 
 
 def test_merge_upsert_oracle(spark, sf_dir):

@@ -12,7 +12,19 @@ NAMES = [
     "near_dup_survivors",
     "boilerplate_shingles",
     "semantic_dedup_survivors",
+    "training_shard_assignment",
 ]
+
+
+def test_shard_assignment_is_permutation(spark, sf_dir):
+    """Shard/pos form a permutation: every doc appears once, positions
+    within a shard are 1..n contiguous, and shard sizes are balanced
+    (max/min within 3x at 500+ docs)."""
+    df = QUERIES["training_shard_assignment"](spark, sf_dir).toPandas()
+    assert df.doc_id.is_unique
+    sizes = df.groupby("shard")["pos"].agg(["max", "size"])
+    assert (sizes["max"] == sizes["size"]).all()
+    assert sizes["size"].max() <= 3 * max(sizes["size"].min(), 1)
 
 
 @pytest.mark.parametrize("name", NAMES)
