@@ -104,3 +104,93 @@ def custom_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").alias("min_h"),
         F.max("h").alias("max_h"),
     )
+
+
+# --------------------------------------------------------------------------
+# Custom SINK via the Python Data Source writer API — the modern analog
+# of the reference's text sink + atomic commit (mr/worker.go writes
+# mr-out-* through a temp file + rename so a re-executed task can never
+# leave a half-written partition; SURVEY.md §2a F9/F11/F15).
+# --------------------------------------------------------------------------
+
+import os  # noqa: E402
+import uuid  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class KVCommit(WriterCommitMessage):
+    """Per-task commit message: (temp path, final name, row count)."""
+
+    def __init__(self, tmp, final, rows):
+        self.tmp = tmp
+        self.final = final
+        self.rows = rows
+
+
+class KVTextWriter(DataSourceWriter):
+    """Task side writes "key<TAB>value" lines to a UNIQUELY-NAMED temp
+    file (task retries/speculative copies never collide); the DRIVER
+    side commit renames exactly one temp per partition into place and
+    writes a _SUCCESS manifest listing the committed files — readers
+    that trust the manifest never observe a loser's output. abort()
+    removes temps. This is the reference's temp+rename discipline
+    (mr/worker.go) and Spark's own FileOutputCommitter v1 contract,
+    expressed through the Python writer API."""
+
+    def __init__(self, path, overwrite):
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        attempt = uuid.uuid4().hex[:12]
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-{pid:05d}-{attempt}")
+        final = f"part-{pid:05d}.txt"
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(f"{row[0]}\t{row[1]}\n")
+                n += 1
+        return KVCommit(tmp, final, n)
+
+    def commit(self, messages):
+        committed = []
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(m.tmp, os.path.join(self.path, m.final))  # atomic
+            committed.append((m.final, m.rows))
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            for name, rows in sorted(committed):
+                f.write(f"{name}\t{rows}\n")
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp):
+                os.remove(m.tmp)
+
+
+class KVTextSink(DataSource):
+    """`df.write.format("kvtext").option("path", dir).save()` — a
+    two-column (key, value) text sink with manifest commit."""
+
+    @classmethod
+    def name(cls):
+        return "kvtext"
+
+    def writer(self, schema, overwrite):
+        if len(schema.fields) != 2:
+            raise ValueError("kvtext sink expects exactly (key, value)")
+        return KVTextWriter(self.options.get("path"), overwrite)
+
+
+def register_kvtext_sink(spark: SparkSession) -> None:
+    spark.dataSource.register(KVTextSink)

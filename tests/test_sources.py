@@ -205,3 +205,41 @@ def test_custom_python_datasource(spark, sf_dir):
         ORACLES["custom_source_scan"],
         sf_dir,
     )
+
+
+def test_custom_kvtext_sink_commit_protocol(spark, tmp_path):
+    """The Python-DataSource sink writes through temp files and commits
+    via manifest: part files match the _SUCCESS manifest exactly, no
+    temp residue survives, and the rows round-trip."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from go_map_reduce_spark.sources.pydatasource import register_kvtext_sink
+
+    register_kvtext_sink(spark)
+    out = str(tmp_path / "kvsink")
+    df = spark.range(100).select(
+        F.concat(F.lit("k"), (F.col("id") % 7).cast("string")).alias("key"),
+        F.col("id").cast("string").alias("value"),
+    )
+    df.write.format("kvtext").option("path", out).mode("append").save()
+
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    assert not any(n.startswith(".tmp-") for n in names)
+    manifest = {}
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        for line in f:
+            name, rows = line.strip().split("\t")
+            manifest[name] = int(rows)
+    parts = [n for n in names if n.startswith("part-")]
+    assert sorted(manifest) == parts
+    got = []
+    for p in parts:
+        with open(os.path.join(out, p)) as f:
+            lines = f.read().splitlines()
+        assert len(lines) == manifest[p]
+        got += [tuple(ln.split("\t")) for ln in lines]
+    expected = {(f"k{i % 7}", str(i)) for i in range(100)}
+    assert set(got) == expected and len(got) == 100
