@@ -232,3 +232,146 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _decode_bmp_batch,
         schema="doc_id long, width long, height long, bpp long, pixel_sum long",
     )
+
+
+# --- pure-Python WAV (RIFF/PCM-16) codec ----------------------------------
+# The audio tier's real decoder: actual RIFF chunk walking, fmt parsing,
+# and little-endian PCM frame extraction — dependency-free, so audio
+# decode works in codec-less containers exactly like the BMP tier.
+
+WAV_RATE = 8000
+
+
+def encode_wav(channels: int, rate: int, frames: list[list[int]]) -> bytes:
+    """Encode interleaved PCM-16 frames (each frame = one int per
+    channel) as a canonical RIFF/WAVE file."""
+    import struct
+
+    body = b"".join(
+        struct.pack(f"<{channels}h", *fr) for fr in frames
+    )
+    block = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, 16)
+    data = struct.pack("<4sI", b"data", len(body)) + body
+    riff_body = b"WAVE" + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt + data
+    return struct.pack("<4sI", b"RIFF", len(riff_body)) + riff_body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a RIFF/WAVE PCM-16 payload by walking its chunks: returns
+    (sample_rate, n_channels, n_frames, raw little-endian sample bytes).
+    Raises on non-PCM or missing chunks — a misread header can't pass
+    silently."""
+    import struct
+
+    magic, _size, wave = struct.unpack_from("<4sI4s", payload, 0)
+    if magic != b"RIFF" or wave != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _brate, block, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    return rate, channels, len(data) // block, data
+
+
+def _synth_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One deterministic WAV per doc: channel count, frame count, and
+    every sample value are closed-form in doc_id, so the SQL oracle can
+    predict the decoded features without any audio library."""
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            channels = 1 + doc_id % 2
+            n_frames = 64 + doc_id % 33
+            frames = [
+                [
+                    ((doc_id + 13 * i + 7 * c) % 2048) - 1024
+                    for c in range(channels)
+                ]
+                for i in range(n_frames)
+            ]
+            payloads.append(encode_wav(channels, WAV_RATE, frames))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _decode_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The decode stage: chunk-walk each WAV and emit typed audio
+    features (rate, channels, frames, integer-exact mean-abs energy)."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {
+            "doc_id": [],
+            "sample_rate": [],
+            "n_channels": [],
+            "n_frames": [],
+            "sum_abs": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rate, channels, n_frames, data = decode_wav(bytes(payload))
+            samples = np.frombuffer(data, dtype="<i2").astype("int64")
+            out["doc_id"].append(doc_id)
+            out["sample_rate"].append(rate)
+            out["n_channels"].append(channels)
+            out["n_frames"].append(n_frames)
+            out["sum_abs"].append(int(np.abs(samples).sum()))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_audio_decode",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, 1 + doc_id % 2 AS channels, 64 + doc_id % 33 AS f
+      FROM documents
+    ),
+    samples AS (
+      SELECT d.doc_id, d.channels, d.f,
+             abs(((d.doc_id + 13 * i.i + 7 * c.c) % 2048) - 1024) AS a
+      FROM dims d,
+           LATERAL (SELECT unnest(range(d.f)) AS i) i,
+           LATERAL (SELECT unnest(range(d.channels)) AS c) c
+    )
+    SELECT doc_id,
+           CAST({WAV_RATE} AS BIGINT) AS sample_rate,
+           CAST(channels AS BIGINT) AS n_channels,
+           CAST(f AS BIGINT) AS n_frames,
+           CAST(SUM(a) AS BIGINT) AS sum_abs
+    FROM samples
+    GROUP BY doc_id, channels, f
+    """,
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the multimodal path: synthesize a
+    RIFF/WAVE PCM-16 payload per document (mono or stereo, closed-form
+    samples), then parse it back — actual chunk walking, fmt parsing,
+    and frame extraction via ``decode_wav`` — into typed audio features.
+    The oracle predicts rate/channels/frames/energy from the synthesis
+    closed form; a mis-walked chunk or byte-order slip diverges sum_abs.
+
+    Same execution shape as the image tier: two narrow mapInPandas
+    stages (encode, decode), zero shuffle, Arrow-batched binary
+    columns. Compressed codecs (mp3/flac) stay gated behind import-try
+    exactly like non-BMP images."""
+    from go_map_reduce_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = ids.mapInPandas(_synth_wav_batch, schema="doc_id long, payload binary")
+    return media.mapInPandas(
+        _decode_wav_batch,
+        schema=(
+            "doc_id long, sample_rate long, n_channels long, "
+            "n_frames long, sum_abs long"
+        ),
+    )

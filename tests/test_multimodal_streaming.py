@@ -132,3 +132,39 @@ def test_stream_stream_join_oracle(spark, sf_dir):
         ORACLES["events_purchase_click_stream_join"],
         sf_dir,
     )
+
+
+def test_wav_codec_roundtrip():
+    """encode_wav → decode_wav is the identity on rate/channels/frames
+    and sample bytes, including odd-length (word-padded) data chunks."""
+    import struct
+
+    from go_map_reduce_spark.operators.multimodal import decode_wav, encode_wav
+
+    frames = [[i * 3 - 40, -i] for i in range(11)]
+    payload = encode_wav(2, 16000, frames)
+    rate, channels, n_frames, data = decode_wav(payload)
+    assert (rate, channels, n_frames) == (16000, 2, 11)
+    got = list(struct.unpack(f"<{2 * 11}h", data))
+    assert got == [v for fr in frames for v in fr]
+
+
+def test_wav_decoder_rejects_garbage():
+    import pytest as _pytest
+
+    from go_map_reduce_spark.operators.multimodal import decode_wav
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"not a riff file at all....")
+
+
+def test_audio_decode_oracle(spark, sf_dir):
+    from go_map_reduce_spark.registry import ORACLES, QUERIES
+
+    from tests.oracle_util import compare
+
+    compare(
+        QUERIES["multimodal_audio_decode"](spark, sf_dir),
+        ORACLES["multimodal_audio_decode"],
+        sf_dir,
+    )
