@@ -375,3 +375,140 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_frames long, sum_abs long"
         ),
     )
+
+
+# --- video tier: frame container + sampled decode -------------------------
+# No pure-Python video codec exists, so the container is an honest
+# invented format (magic, frame count, offset table, BMP frames) and the
+# SAMPLING + per-frame decode is the real machinery: offset-table walk,
+# every-Kth-frame selection, full BMP parse per sampled frame. Compressed
+# video (h264 etc.) stays gated exactly like compressed images/audio.
+
+VID_MAGIC = b"GMRV"
+VID_SAMPLE_EVERY = 2  # decode every 2nd frame
+
+
+def encode_video(frames: list[bytes]) -> bytes:
+    """Container layout: magic, u32 frame count, u32 offset per frame
+    (from payload start), then the concatenated BMP frames."""
+    import struct
+
+    header = struct.pack("<4sI", VID_MAGIC, len(frames))
+    table_size = 4 * len(frames)
+    offsets, pos = [], len(header) + table_size
+    for fr in frames:
+        offsets.append(pos)
+        pos += len(fr)
+    table = struct.pack(f"<{len(frames)}I", *offsets) if frames else b""
+    return header + table + b"".join(frames)
+
+
+def decode_video_frames(payload: bytes, every: int = VID_SAMPLE_EVERY):
+    """Walk the offset table and yield (frame_index, decoded BMP) for
+    every ``every``-th frame — the frame-sampling read pattern: only
+    sampled frames are parsed, the rest are skipped by offset."""
+    import struct
+
+    magic, n = struct.unpack_from("<4sI", payload, 0)
+    if magic != VID_MAGIC:
+        raise ValueError("not a GMRV container")
+    offsets = struct.unpack_from(f"<{n}I", payload, 8)
+    bounds = list(offsets) + [len(payload)]
+    for idx in range(0, n, every):
+        frame = payload[bounds[idx] : bounds[idx + 1]]
+        yield idx, decode_bmp(frame)
+
+
+def _synth_video_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One deterministic clip per doc: frame count and every frame's
+    dims/pixels are closed-form in (doc_id, frame index)."""
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            n_frames = 4 + doc_id % 5
+            frames = []
+            for t in range(n_frames):
+                w, h = 4 + (doc_id + t) % 5, 3 + (doc_id + t) % 4
+                rows = [
+                    bytes([(doc_id + t + y) % 256] * (3 * w)) for y in range(h)
+                ]
+                frames.append(encode_bmp(w, h, rows))
+            payloads.append(encode_video(frames))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _framesample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {
+            "doc_id": [],
+            "n_frames": [],
+            "n_sampled": [],
+            "sampled_pixel_sum": [],
+        }
+        import struct
+
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            _, n = struct.unpack_from("<4sI", payload, 0)
+            total, count = 0, 0
+            for _idx, (w, h, _bpp, px) in decode_video_frames(payload):
+                total += sum(px)
+                count += 1
+            out["doc_id"].append(doc_id)
+            out["n_frames"].append(n)
+            out["n_sampled"].append(count)
+            out["sampled_pixel_sum"].append(total)
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_video_framesample",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 5 AS n_frames FROM documents
+    ),
+    sampled AS (
+      SELECT d.doc_id, d.n_frames, t.t,
+             4 + (d.doc_id + t.t) % 5 AS w,
+             3 + (d.doc_id + t.t) % 4 AS h
+      FROM dims d, LATERAL (SELECT unnest(range(d.n_frames)) AS t) t
+      WHERE t.t % {VID_SAMPLE_EVERY} = 0
+    ),
+    px AS (
+      SELECT doc_id, n_frames, t, w, h,
+             ((doc_id + t + y.y) % 256) * 3 * w AS row_sum
+      FROM sampled, LATERAL (SELECT unnest(range(h)) AS y) y
+    )
+    SELECT doc_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(COUNT(DISTINCT t) AS BIGINT) AS n_sampled,
+           CAST(SUM(row_sum) AS BIGINT) AS sampled_pixel_sum
+    FROM px
+    GROUP BY doc_id, n_frames
+    """,
+)
+def multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampled video decode through the multimodal path: build a
+    per-doc frame container (magic + offset table + BMP frames), then
+    sample every {VID_SAMPLE_EVERY}nd frame by OFFSET — unsampled frames
+    are never parsed, the sampling cost is proportional to frames kept,
+    exactly how production frame samplers seek keyframes — and fully
+    decode each sampled frame. The oracle predicts frame count, sampled
+    count, and the sampled pixel mass from the synthesis closed form.
+
+    Same scale shape as the other decode tiers: narrow mapInPandas
+    stages, zero shuffle."""
+    from go_map_reduce_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = ids.mapInPandas(
+        _synth_video_batch, schema="doc_id long, payload binary"
+    )
+    return media.mapInPandas(
+        _framesample_batch,
+        schema=(
+            "doc_id long, n_frames long, n_sampled long, "
+            "sampled_pixel_sum long"
+        ),
+    )

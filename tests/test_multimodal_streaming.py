@@ -168,3 +168,35 @@ def test_audio_decode_oracle(spark, sf_dir):
         ORACLES["multimodal_audio_decode"],
         sf_dir,
     )
+
+
+def test_video_container_roundtrip():
+    """encode_video → decode_video_frames yields exactly the sampled
+    frames with intact dims and pixels."""
+    from go_map_reduce_spark.operators.multimodal import (
+        decode_video_frames,
+        encode_bmp,
+        encode_video,
+    )
+
+    frames = [
+        encode_bmp(w, 2, [bytes([10 * w] * (3 * w)), bytes([7] * (3 * w))])
+        for w in (3, 4, 5, 6, 7)
+    ]
+    clip = encode_video(frames)
+    got = list(decode_video_frames(clip, every=2))
+    assert [i for i, _ in got] == [0, 2, 4]
+    assert [d[0] for _, d in got] == [3, 5, 7]
+    assert all(d[1] == 2 for _, d in got)
+
+
+def test_video_framesample_oracle(spark, sf_dir):
+    from go_map_reduce_spark.registry import ORACLES, QUERIES
+
+    from tests.oracle_util import compare
+
+    compare(
+        QUERIES["multimodal_video_framesample"](spark, sf_dir),
+        ORACLES["multimodal_video_framesample"],
+        sf_dir,
+    )
