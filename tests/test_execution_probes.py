@@ -133,3 +133,29 @@ def test_rtiming_reduce_tasks_overlap(spark, probe_files):
     intervals = [tuple(map(float, r["value"].split(":"))) for r in rows]
     assert len(intervals) == len(probe_files)
     assert _max_overlap(intervals) > 1, "reduce tasks ran sequentially"
+
+
+def test_observe_metrics_jobcount_native(spark, sf_dir):
+    """A4 jobcount, native tier: `df.observe` attaches aggregate metrics
+    to a query's OWN execution (no second job, unlike accumulators which
+    need a separate probe pass) — the Observation API reports rows seen
+    and value mass for exactly the rows the action consumed."""
+    from pyspark.sql import Observation, functions as F
+
+    from go_map_reduce_spark.catalog import load_table
+
+    obs = Observation("probe")
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_seen"),
+            F.sum((F.col("o_totalprice") > 0).cast("long")).alias("positive"),
+        )
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    per_prio = {r["o_orderpriority"]: r["count"] for r in df.collect()}
+    n = sum(per_prio.values())
+    assert obs.get["rows_seen"] == n
+    assert obs.get["positive"] == n  # all totalprices positive
