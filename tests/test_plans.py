@@ -93,3 +93,18 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
             continue  # these run a streaming query on construction
         plan = _plan(spark, name, sf_dir)
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_broadcast_hint_is_honored(spark, sf_dir):
+    """The SQL BROADCAST hint must produce a BroadcastHashJoin (no
+    sort-merge fallback) — the optimizer-control contract."""
+    from go_map_reduce_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["sql_hint_broadcast"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -79,3 +79,11 @@ def test_median_mode_semantics(spark, sf_dir):
         )  # max count, min value
         assert got[f]["mode_qty"] == best / 100.0
         assert got[f]["mode_count"] == counts[best]
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["group_by_all_revenue", "union_by_name_mix", "sql_hint_broadcast"],
+)
+def test_sqlsurface_against_oracle(name, spark, sf_dir):
+    compare(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
