@@ -253,3 +253,52 @@ def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL doc_chunks(d.doc_id, d.text) c
         """
     )
+
+
+def _arrow_token_stats(batches):
+    """pyarrow-native batch transform: token-run count and byte length
+    per doc, computed entirely in Arrow compute kernels — no pandas
+    conversion, no Python per-row loop. The cheapest Python tier for
+    simple columnar ops."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        texts = batch.column("text")
+        n_tokens = pc.cast(
+            pc.count_substring_regex(texts, pattern="[A-Za-z]+"), pa.int64()
+        )
+        n_bytes = pc.cast(
+            pc.binary_length(pc.cast(texts, pa.binary())), pa.int64()
+        )
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("doc_id"), n_tokens, n_bytes],
+            names=["doc_id", "n_tokens", "n_bytes"],
+        )
+
+
+@query(
+    "arrow_batch_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+             AS n_tokens,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def arrow_batch_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow surface — the fourth Python-execution tier beside
+    row-Python UDF, pandas UDF, and mapInPandas: RecordBatches flow
+    straight from the JVM into pyarrow compute kernels and back, no
+    pandas materialization. Right when the per-batch work is itself
+    vectorized columnar ops (regex counts, lengths) — measured to skip
+    the Arrow→pandas→Arrow double conversion mapInPandas pays. Narrow
+    stage, zero shuffle; the oracle recomputes both stats in SQL."""
+    from go_map_reduce_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        _arrow_token_stats, schema="doc_id long, n_tokens long, n_bytes long"
+    )

@@ -20,3 +20,15 @@ def test_wordcount_sanity(spark, sf_dir):
     assert len(rows) > 0
     assert all(cnt > 0 for cnt in rows.values())
     assert "" not in rows
+
+
+def test_arrow_batch_token_stats_oracle(spark, sf_dir):
+    from go_map_reduce_spark.registry import ORACLES, QUERIES
+
+    from tests.oracle_util import compare
+
+    compare(
+        QUERIES["arrow_batch_token_stats"](spark, sf_dir),
+        ORACLES["arrow_batch_token_stats"],
+        sf_dir,
+    )
