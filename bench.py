@@ -72,6 +72,8 @@ def main() -> None:
         "minhash_near_dup_pairs",
         "custom_source_scan",
         "cheapest_supplier_per_part",
+        "dedup_clusters_largestar",
+        "heavy_hitters_exact",
     }
     for name in names:
         fn = QUERIES[name]

@@ -299,13 +299,17 @@ def _cc_largestar(pairs: DataFrame) -> DataFrame:
             F.least(F.min("v"), F.min("u")).alias("m")  # min(N(u) ∪ {u})
         )
         cond = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
-        repointed = (
+        # One join; the re-point/keep split is a conditional projection
+        # (repointed rows become (v, m), kept rows stay (u, v)) — half
+        # the join work of the two-branch formulation.
+        out = (
             e.join(m, "u")
-            .where(cond)
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .select(
+                F.when(cond, F.col("v")).otherwise(F.col("u")).alias("u"),
+                F.when(cond, F.col("m")).otherwise(F.col("v")).alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
         )
-        kept = e.join(m, "u").where(~cond).select("u", "v")
-        out = repointed.union(kept).where(F.col("u") != F.col("v"))
         # re-symmetrize: star steps emit directed re-pointings
         return (
             out.union(out.select(F.col("v").alias("u"), F.col("u").alias("v")))
