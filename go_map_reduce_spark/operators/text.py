@@ -302,3 +302,62 @@ def arrow_batch_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         _arrow_token_stats, schema="doc_id long, n_tokens long, n_bytes long"
     )
+
+
+UDTF_LEAD_K = 4
+
+
+@query(
+    "doc_leading_tokens_udtf",
+    oracle=f"""
+    SELECT doc_id,
+           {", ".join(f"toks[{i + 1}] AS tok_{i + 1}" for i in range(UDTF_LEAD_K))}
+    FROM (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    )
+    """,
+)
+def doc_leading_tokens_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF: the output schema (tok_1..tok_k string)
+    is derived at ANALYSIS time from the constant `k` argument via the
+    static `analyze()` hook — Spark 4's dynamic-schema table-function
+    surface, one step past the fixed-schema UDTF (doc_chunks_udtf).
+    Out-of-range positions null-fill, matching the oracle's list
+    indexing. Arrow-batched; narrow stage, no shuffle."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+
+    @udtf(useArrow=True)
+    class LeadingTokens:
+        @staticmethod
+        def analyze(doc_id, text, k):
+            schema = StructType().add("doc_id", "long")
+            for i in range(int(k.value)):
+                schema = schema.add(f"tok_{i + 1}", StringType())
+            from pyspark.sql.udtf import AnalyzeResult
+
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, doc_id, text, k):  # noqa: ANN001 — UDTF signature
+            import re
+
+            toks = [t for t in re.split("[^A-Za-z]+", text or "") if t]
+            yield (
+                doc_id,
+                *(toks[i] if i < len(toks) else None for i in range(k)),
+            )
+
+    spark.udtf.register("leading_tokens", LeadingTokens)
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("_docs_for_lead_udtf")
+    return spark.sql(
+        f"""
+        SELECT t.*
+        FROM _docs_for_lead_udtf d,
+             LATERAL leading_tokens(d.doc_id, d.text, {UDTF_LEAD_K}) t
+        """
+    )
