@@ -75,3 +75,30 @@ def test_merge_upsert_oracle(spark, sf_dir):
         ORACLES["merge_upsert_balances"],
         sf_dir,
     )
+
+
+def test_reliable_checkpoint_truncates_lineage(spark, tmp_path):
+    """checkpoint() to a reliable dir (the cluster-mode replacement for
+    localCheckpoint named in dedup_clusters' docstring): data survives,
+    the checkpointed plan no longer embeds the original lineage, and the
+    checkpoint files exist on disk."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    df = (
+        spark.range(1000)
+        .select(F.col("id"), (F.col("id") % 7).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cp = df.checkpoint(eager=True)
+    assert sorted(map(tuple, cp.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    plan = cp._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan and "Aggregate" not in plan
+    ckpt_root = str(tmp_path / "ckpt")
+    found = any(files for _, _, files in os.walk(ckpt_root))
+    assert found, "no checkpoint files written"
