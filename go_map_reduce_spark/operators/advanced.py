@@ -101,6 +101,75 @@ def asof_join_user_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_TOLERANCE_DAYS = 30
+
+
+@query(
+    "asof_join_tolerance",
+    oracle=f"""
+    WITH o AS ({_SQL_DEDUP_ORDERS})
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           CASE WHEN e.ts <= o.o_orderdate + INTERVAL {ASOF_TOLERANCE_DAYS} DAY
+                THEN o.o_orderkey END AS last_orderkey,
+           CASE WHEN e.ts <= o.o_orderdate + INTERVAL {ASOF_TOLERANCE_DAYS} DAY
+                THEN o.o_totalprice END AS last_totalprice
+    FROM events e
+    ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness TOLERANCE — the feature-store knob:
+    an event only inherits its user's most recent order if that order is
+    at most {ASOF_TOLERANCE_DAYS} days old; staler matches null out
+    (pandas.merge_asof's `tolerance`, absent from both Spark and plain
+    ASOF SQL).
+
+    Same union-sort single-shuffle shape as asof_join_user_orders, with
+    the matched order's TIMESTAMP carried alongside its attributes so
+    the staleness test is one row-local comparison after the window —
+    the tolerance adds zero extra shuffles. (A forward as-of — first
+    order AT/after the event — is the same construction with the window
+    ordered descending.) The oracle applies the identical staleness CASE
+    on top of DuckDB's native ASOF join."""
+    o = _dedup_orders(spark, sf_dir).select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(0).alias("tag"),
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(1).alias("tag"),
+    )
+    u = o.unionByName(e, allowMissingColumns=True).withColumn(
+        "order_t", F.when(F.col("tag") == 0, F.col("t"))
+    )
+    w = (
+        W.partitionBy("k")
+        .orderBy("t", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = u.select(
+        "*",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("last_orderkey"),
+        F.last("o_totalprice", ignorenulls=True).over(w).alias("last_totalprice"),
+        F.last("order_t", ignorenulls=True).over(w).alias("last_order_t"),
+    )
+    fresh = F.col("t") <= F.col("last_order_t") + F.expr(
+        f"INTERVAL {ASOF_TOLERANCE_DAYS} DAYS"
+    )
+    return carried.where(F.col("tag") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("t").alias("ts"),
+        F.when(fresh, F.col("last_orderkey")).alias("last_orderkey"),
+        F.when(fresh, F.col("last_totalprice")).alias("last_totalprice"),
+    )
+
+
 PRICE_BANDS = [
     ("band_0_100k", 0.0, 100_000.0),
     ("band_100k_200k", 100_000.0, 200_000.0),

@@ -102,3 +102,35 @@ def test_reliable_checkpoint_truncates_lineage(spark, tmp_path):
     ckpt_root = str(tmp_path / "ckpt")
     found = any(files for _, _, files in os.walk(ckpt_root))
     assert found, "no checkpoint files written"
+
+
+def test_asof_tolerance_oracle(spark, sf_dir):
+    compare(
+        QUERIES["asof_join_tolerance"](spark, sf_dir),
+        ORACLES["asof_join_tolerance"],
+        sf_dir,
+    )
+
+
+def test_asof_tolerance_nulls_only_stale(spark, sf_dir):
+    """Tolerance only NULLs matches, never changes them: rows agree with
+    the tolerance-free as-of wherever the tolerance version is
+    non-null, and every nulled row was stale (>30 days) in the free
+    version."""
+    import datetime
+
+    free = {
+        r["event_id"]: r
+        for r in QUERIES["asof_join_user_orders"](spark, sf_dir).collect()
+    }
+    tol = QUERIES["asof_join_tolerance"](spark, sf_dir).collect()
+    lim = datetime.timedelta(days=30)
+    n_nulled = 0
+    for r in tol:
+        f = free[r["event_id"]]
+        if r["last_orderkey"] is not None:
+            assert r["last_orderkey"] == f["last_orderkey"]
+            assert r["last_totalprice"] == f["last_totalprice"]
+        elif f["last_orderkey"] is not None:
+            n_nulled += 1
+    assert n_nulled > 0  # the tolerance actually bites on this data
