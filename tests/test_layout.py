@@ -103,3 +103,37 @@ def test_zorder_improves_two_dim_locality(spark, sf_dir, tmp_path):
     by_z = worst_dim_span(with_z, "zval")
     assert by_date > 0.9  # the failure mode z-order exists to fix
     assert by_z < 0.75 * by_date
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """INSERT OVERWRITE one partition without clobbering siblings —
+    `partitionOverwriteMode=dynamic` replaces only the partitions
+    present in the incoming frame (static mode would truncate the whole
+    table). The incremental-reload write mode of every partitioned
+    lake table."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "dyn")
+    base = spark.range(100).select(
+        (F.col("id") % 4).alias("p"), F.col("id").alias("v")
+    )
+    base.write.partitionBy("p").parquet(out)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patch = spark.createDataFrame(
+            [(2, 10_000), (2, 10_001)], "p long, v long"
+        )
+        patch.write.mode("overwrite").partitionBy("p").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    got = spark.read.parquet(out)
+    by_p = {
+        r["p"]: r["n"]
+        for r in got.groupBy("p").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # partition 2 fully replaced; 0/1/3 untouched
+    assert by_p == {0: 25, 1: 25, 2: 2, 3: 25}
+    assert {
+        r["v"] for r in got.where(F.col("p") == 2).collect()
+    } == {10_000, 10_001}
