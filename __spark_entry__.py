@@ -117,19 +117,42 @@ def _module_relpath(name: str) -> str | None:
     return os.path.relpath(os.path.abspath(file), _HERE)
 
 
+import re  # noqa: E402
+
+
+@functools.lru_cache(maxsize=None)
+def _tracked_paths(relpath: str) -> tuple:
+    """The module paths a query's behavior depends on: its own module
+    plus every go_map_reduce_spark module its SOURCE references (function
+    bodies import lazily, so a text scan catches `from ... import` at
+    any nesting — this is what attributes a dedup.py edit to the
+    pipeline3/advanced queries composed on top of it)."""
+    src = _current_source(relpath) or ""
+    deps = {relpath}
+    for dotted in re.findall(r"go_map_reduce_spark(?:\.\w+)*", src):
+        cand = dotted.replace(".", os.sep) + ".py"
+        if _current_source(cand) is not None:
+            deps.add(cand)
+    return tuple(sorted(deps))
+
+
 @functools.lru_cache(maxsize=1)
-def _evidenced() -> frozenset:
-    """Names whose prior-round CORRECTNESS evidence is still valid.
+def _evidenced() -> tuple[frozenset, frozenset]:
+    """(valid, stale) split of names with prior-round CORRECTNESS
+    evidence.
 
     A row counts as evidence if it is green (rows+schema+hash match) or is
     the deliberate rows-only shape (err == 'no_oracle' AND spark_rows > 0 —
     a rows-only query that produced nothing is a failure, not evidence).
-    Evidence goes STALE when the query's implementing module changed since
-    the round that produced it: the module's source at the artifact's
-    commit is compared (via git) against the current working tree, and a
-    mismatch re-enters the query into the gate window. Cached per process
-    so queries() and oracle_sql() share one snapshot (the driver calls
-    both; a disk change between the calls must not diverge their orders).
+    Evidence goes STALE when any module the query depends on (its own,
+    or an intra-package module its source references) changed since the
+    round that produced it: each dependency's source at the artifact's
+    commit is compared (via git) against the current working tree; a
+    mismatch — including a module that didn't exist at that commit, i.e.
+    a rename — re-enters the query into the gate window. Cached per
+    process so queries() and oracle_sql() share one snapshot (the driver
+    calls both; a disk change between the calls must not diverge their
+    orders).
     """
     import glob
     import json
@@ -166,12 +189,19 @@ def _evidenced() -> frozenset:
         if relpath is None or commit is None:
             seen.add(name)  # can't attribute — keep the evidence
             continue
-        then = _blob_at(commit, relpath.replace(os.sep, "/"))
-        now = _current_source(relpath)
-        if then is None or now is None or then == now:
-            seen.add(name)
-        else:
-            stale.add(name)  # module changed since evidence round
+        fresh = True
+        for dep in _tracked_paths(relpath):
+            then = _blob_at(commit, dep.replace(os.sep, "/"))
+            now = _current_source(dep)
+            if now is None:
+                continue  # dep vanished from the tree — unreadable, skip
+            if then is None or then != now:
+                # changed since the evidence round, or didn't exist at
+                # that commit (rename / new dependency) — either way the
+                # evidenced behavior isn't the current behavior
+                fresh = False
+                break
+        (seen if fresh else stale).add(name)
     return frozenset(seen), frozenset(stale)
 
 

@@ -326,15 +326,23 @@ def dedup_clusters_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces dedup_clusters' O(diameter) min-label propagation at
     scale.
 
-    Each half-round is ONE shuffle: group the symmetric edge list by
-    node, take m = min(neighborhood ∪ self), then re-point neighbors at
-    m — large-star re-points only larger neighbors (v > u), small-star
-    the rest. Alternating the two contracts every component to a star
+    Each half-round is ONE shuffle: group the symmetrized edge list by
+    node, take m = min(neighborhood ∪ self), and EMIT the re-pointed
+    edges — the emissions REPLACE the edge set (true contraction: the
+    frame shrinks toward one parent pointer per node, never
+    accumulates), with small-star also emitting each node's own
+    (u, m) pointer so non-roots stay attached as their original edges
+    drop. Alternating the two contracts every component to a star
     rooted at its minimum in logarithmically many rounds regardless of
     diameter — the property propagation lacks on chain-shaped
-    components. Same verified-pair input, same output contract, same
+    components; convergence is checked by edge-set equality and a
+    non-convergent run raises rather than emitting wrong labels.
+    Same verified-pair input, same output contract, same
     recursive-CTE oracle as dedup_clusters; registered separately so
-    both round-complexity tiers stay independently gated."""
+    both round-complexity tiers stay independently gated. Validated
+    four ways: DuckDB transitive-closure oracle, label agreement with
+    the propagation tier, a diameter-63 chain, and random graphs vs a
+    sequential union-find."""
     from go_map_reduce_spark.operators.dedup import minhash_near_dup_pairs
 
     pairs = (
@@ -364,41 +372,43 @@ def _cc_largestar(pairs: DataFrame) -> DataFrame:
     )
 
     def star(e: DataFrame, large: bool) -> DataFrame:
-        m = e.groupBy("u").agg(
+        """One star half-round, emission-only (the paper's contraction:
+        the OUTPUT REPLACES the edge set, it does not accumulate).
+        Neighborhoods are computed over the symmetrized list; large-star
+        re-points only larger neighbors at m = min(N(u) ∪ {u}),
+        small-star re-points the rest AND u itself (the self-pointer
+        emission is what keeps every non-root attached while original
+        edges are dropped). Self-loops are filtered — roots are covered
+        by the separate `nodes` frame at label extraction."""
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(
             F.least(F.min("v"), F.min("u")).alias("m")  # min(N(u) ∪ {u})
         )
         cond = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
-        # One join; the re-point/keep split is a conditional projection
-        # (repointed rows become (v, m), kept rows stay (u, v)) — half
-        # the join work of the two-branch formulation.
-        out = (
-            e.join(m, "u")
-            .select(
-                F.when(cond, F.col("v")).otherwise(F.col("u")).alias("u"),
-                F.when(cond, F.col("m")).otherwise(F.col("v")).alias("v"),
-            )
-            .where(F.col("u") != F.col("v"))
+        repointed = (
+            sym.join(m, "u")
+            .where(cond)
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        # re-symmetrize: star steps emit directed re-pointings
+        out = repointed if large else repointed.union(m.select("u", "m"))
         return (
-            out.union(out.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            out.where(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint(eager=True)
         )
 
-    prev_n = edges.count()
-    for _ in range(12):  # log2 bound with slack; components are shallow
-        edges = star(star(edges, large=True), large=False)
-        n = edges.count()
-        if n == prev_n:
-            # edge set size is stable; verify true fixpoint cheaply by
-            # one more half-round only when sizes keep matching
-            nxt = star(edges, large=True)
-            if nxt.exceptAll(edges).limit(1).count() == 0:
-                break
-            edges = star(nxt, large=False)
-            n = edges.count()
-        prev_n = n
+    converged = False
+    for _ in range(20):  # ≥ log₂(max id) with slack; components shallow
+        nxt = star(star(edges, large=True), large=False)
+        if (
+            nxt.exceptAll(edges).limit(1).count() == 0
+            and edges.exceptAll(nxt).limit(1).count() == 0
+        ):
+            converged = True
+            break
+        edges = nxt
+    if not converged:  # fail loudly rather than emit wrong labels
+        raise RuntimeError("large-star/small-star did not converge")
     labels = (
         edges.groupBy("u")
         .agg(F.min("v").alias("mn"))

@@ -144,6 +144,10 @@ class KVTextWriter(DataSourceWriter):
     def __init__(self, path, overwrite):
         self.path = path
         self.overwrite = overwrite
+        # One id per WRITE JOB (constructed on the driver, shipped in the
+        # pickled writer): append-mode part names are namespaced by it so
+        # two appends to the same directory never collide.
+        self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         from pyspark import TaskContext
@@ -153,7 +157,7 @@ class KVTextWriter(DataSourceWriter):
         attempt = uuid.uuid4().hex[:12]
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(self.path, f".tmp-{pid:05d}-{attempt}")
-        final = f"part-{pid:05d}.txt"
+        final = f"part-{self.job_id}-{pid:05d}.txt"
         n = 0
         with open(tmp, "w") as f:
             for row in iterator:
@@ -168,9 +172,26 @@ class KVTextWriter(DataSourceWriter):
                 continue
             os.replace(m.tmp, os.path.join(self.path, m.final))  # atomic
             committed.append((m.final, m.rows))
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
-            for name, rows in sorted(committed):
-                f.write(f"{name}\t{rows}\n")
+        manifest = dict(committed)
+        success = os.path.join(self.path, "_SUCCESS")
+        if self.overwrite:
+            # overwrite semantics finish at COMMIT time: once this job's
+            # files are in place, drop every part file it didn't write —
+            # readers that trust the manifest never see a mixed state,
+            # and a pre-commit failure leaves the old data intact.
+            for name in os.listdir(self.path):
+                if name.startswith("part-") and name not in manifest:
+                    os.remove(os.path.join(self.path, name))
+        elif os.path.exists(success):
+            # append merges the previous manifest (job-id-namespaced
+            # names guarantee no collision with this job's files)
+            with open(success) as f:
+                for line in f:
+                    name, rows = line.rstrip("\n").split("\t")
+                    manifest.setdefault(name, int(rows))
+        with open(success, "w") as f:
+            for name in sorted(manifest):
+                f.write(f"{name}\t{manifest[name]}\n")
 
     def abort(self, messages):
         for m in messages:
@@ -189,7 +210,10 @@ class KVTextSink(DataSource):
     def writer(self, schema, overwrite):
         if len(schema.fields) != 2:
             raise ValueError("kvtext sink expects exactly (key, value)")
-        return KVTextWriter(self.options.get("path"), overwrite)
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("kvtext sink requires .option('path', dir)")
+        return KVTextWriter(path, overwrite)
 
 
 def register_kvtext_sink(spark: SparkSession) -> None:

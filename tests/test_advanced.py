@@ -134,3 +134,44 @@ def test_asof_tolerance_nulls_only_stale(spark, sf_dir):
         elif f["last_orderkey"] is not None:
             n_nulled += 1
     assert n_nulled > 0  # the tolerance actually bites on this data
+
+
+def test_largestar_random_graphs_vs_union_find(spark):
+    """Property check on random graphs: the distributed contraction's
+    labels equal a sequential union-find's component minima."""
+    import random
+
+    rng = random.Random(42)
+    from go_map_reduce_spark.operators.advanced import _cc_largestar
+
+    for trial in range(3):
+        n = 60
+        pairs = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(20, 80))
+            }
+        )
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {
+            x: find(x)
+            for x in {v for p in pairs for v in p}
+        }
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in _cc_largestar(
+                spark.createDataFrame(pairs, "doc_a long, doc_b long")
+            ).collect()
+        }
+        assert got == want, f"trial {trial} mismatch"

@@ -243,3 +243,69 @@ def test_custom_kvtext_sink_commit_protocol(spark, tmp_path):
         got += [tuple(ln.split("\t")) for ln in lines]
     expected = {(f"k{i % 7}", str(i)) for i in range(100)}
     assert set(got) == expected and len(got) == 100
+
+
+def _read_kv_dir(out):
+    import os
+
+    manifest = {}
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        for line in f:
+            name, rows = line.strip().split("\t")
+            manifest[name] = int(rows)
+    parts = sorted(n for n in os.listdir(out) if n.startswith("part-"))
+    rows = []
+    for p in parts:
+        with open(os.path.join(out, p)) as f:
+            rows += [tuple(ln.split("\t")) for ln in f.read().splitlines()]
+    return manifest, parts, rows
+
+
+def test_kvtext_sink_overwrite_prunes_stale_parts(spark, tmp_path):
+    """mode('overwrite') must not leave parts from a previous wider
+    write: a 16-partition write followed by a 2-partition overwrite
+    leaves exactly the 2 new files, manifest-matched."""
+    from pyspark.sql import functions as F
+
+    from go_map_reduce_spark.sources.pydatasource import register_kvtext_sink
+
+    register_kvtext_sink(spark)
+    out = str(tmp_path / "kvow")
+    wide = spark.range(64).repartition(16).select(
+        F.lit("a").alias("k"), F.col("id").cast("string").alias("v")
+    )
+    wide.write.format("kvtext").option("path", out).mode("overwrite").save()
+    narrow = spark.createDataFrame(
+        [("x", "1"), ("y", "2")], "k string, v string"
+    ).coalesce(1)
+    narrow.write.format("kvtext").option("path", out).mode("overwrite").save()
+    manifest, parts, rows = _read_kv_dir(out)
+    assert sorted(manifest) == parts and len(parts) == 1
+    assert sorted(rows) == [("x", "1"), ("y", "2")]
+
+
+def test_kvtext_sink_append_merges_manifest(spark, tmp_path):
+    """Two appends to one directory: job-id-namespaced part names never
+    collide and the manifest accumulates both jobs' files."""
+    from go_map_reduce_spark.sources.pydatasource import register_kvtext_sink
+
+    register_kvtext_sink(spark)
+    out = str(tmp_path / "kvap")
+    a = spark.createDataFrame([("a", "1")], "k string, v string").coalesce(1)
+    b = spark.createDataFrame([("b", "2")], "k string, v string").coalesce(1)
+    a.write.format("kvtext").option("path", out).mode("append").save()
+    b.write.format("kvtext").option("path", out).mode("append").save()
+    manifest, parts, rows = _read_kv_dir(out)
+    assert sorted(manifest) == parts and len(parts) == 2
+    assert sorted(rows) == [("a", "1"), ("b", "2")]
+
+
+def test_kvtext_sink_requires_path(spark, tmp_path):
+    import pytest as _pytest
+
+    from go_map_reduce_spark.sources.pydatasource import register_kvtext_sink
+
+    register_kvtext_sink(spark)
+    df = spark.createDataFrame([("a", "1")], "k string, v string")
+    with _pytest.raises(Exception, match="path"):
+        df.write.format("kvtext").mode("append").save()

@@ -14,8 +14,6 @@ with no green row in any CORRECTNESS_r*.json)
 
 from __future__ import annotations
 
-import glob
-import json
 import math
 import os
 import sys
@@ -57,22 +55,13 @@ def _rows(df: pd.DataFrame) -> list[tuple]:
 
 
 def _ungated() -> list[str]:
-    seen: set = set()
-    for path in sorted(glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json"))):
-        try:
-            rows = json.load(open(path))
-        except (OSError, ValueError):
-            continue
-        for name, row in rows.items():
-            if not isinstance(row, dict):
-                continue
-            if (
-                row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match")
-            ) or row.get("err") == "no_oracle":
-                seen.add(name)
-    return [n for n in QUERIES if n not in seen]
+    """Queries the driver's gate will actually (re-)check: never-evidenced
+    plus stale-evidence — taken from the gate's OWN logic so this tool
+    can't diverge from the window it claims to replay."""
+    import __spark_entry__ as gate
+
+    valid, _stale = gate._evidenced()
+    return [n for n in QUERIES if n not in valid]
 
 
 def main() -> int:
