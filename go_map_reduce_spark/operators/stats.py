@@ -235,3 +235,179 @@ def quantity_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return med.join(mode, "l_returnflag")
+
+
+MAD_K = 3  # flag values more than K MADs from the median
+
+
+@query(
+    "events_anomaly_mad",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS vi, value
+      FROM events
+    ),
+    r1 AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY vi) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    ),
+    med AS (
+      SELECT event_type,
+             (CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN vi ELSE 0 END) AS DOUBLE)
+              + SUM(CASE WHEN rn = (n + 2) // 2 THEN vi ELSE 0 END)) / 2.0 AS m
+      FROM r1 GROUP BY event_type
+    ),
+    d AS (
+      SELECT c.event_id, c.event_type, c.value, abs(c.vi - med.m) AS dev
+      FROM c JOIN med USING (event_type)
+    ),
+    r2 AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM d
+    ),
+    mad AS (
+      SELECT event_type,
+             (SUM(CASE WHEN rn = (n + 1) // 2 THEN dev ELSE 0 END)
+              + SUM(CASE WHEN rn = (n + 2) // 2 THEN dev ELSE 0 END)) / 2.0
+               AS mad
+      FROM r2 GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value, d.dev / 100.0 AS deviation
+    FROM d JOIN mad USING (event_type)
+    WHERE mad.mad > 0 AND d.dev > {MAD_K} * mad.mad
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: events whose value sits more than
+    {MAD_K} median-absolute-deviations from their type's median — the
+    outlier filter a data pipeline runs where mean/stddev would be
+    dragged by the very outliers it hunts.
+
+    Both medians are POSITIONAL over exact cent-ints (deviations
+    quantize to half-cents, still exact in double), so the flag
+    threshold compares identical values on both engines — no
+    distributional approximation anywhere. Two grouped median passes =
+    two window sorts within each event_type's hash partition; group
+    cardinality bounds the sort, nothing global."""
+    c = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("value") * 100).cast("long").alias("vi"),
+    )
+    def _group_median(df, val_col, out_name):
+        w = Window.partitionBy("event_type").orderBy(val_col)
+        ranked = df.select(
+            "event_type",
+            F.col(val_col),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("event_type"))
+            .alias("n"),
+        )
+        lo = F.floor((F.col("n") + 1) / 2).cast("long")
+        hi = F.floor((F.col("n") + 2) / 2).cast("long")
+        return ranked.groupBy("event_type").agg(
+            (
+                (
+                    F.sum(
+                        F.when(F.col("rn") == lo, F.col(val_col)).otherwise(
+                            F.lit(0)
+                        )
+                    ).cast("double")
+                    + F.sum(
+                        F.when(F.col("rn") == hi, F.col(val_col)).otherwise(
+                            F.lit(0)
+                        )
+                    )
+                )
+                / 2.0
+            ).alias(out_name)
+        )
+
+    med = _group_median(c.select("event_type", "vi"), "vi", "m")
+    d = c.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.abs(F.col("vi") - F.col("m")).alias("dev"),
+    )
+    mad = _group_median(d.select("event_type", "dev"), "dev", "mad")
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .where((F.col("mad") > 0) & (F.col("dev") > MAD_K * F.col("mad")))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (F.col("dev") / 100.0).alias("deviation"),
+        )
+    )
+
+
+@query(
+    "customer_pareto_share",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, cents,
+             row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+             SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cents) OVER () AS total
+      FROM rev
+    )
+    SELECT o_custkey,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(rk AS BIGINT) AS rk,
+           CAST(cum AS DOUBLE) / total AS cum_share
+    FROM ranked
+    WHERE (cum - cents) * 2 < total
+    """,
+)
+def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the Pareto question): the smallest set of
+    top customers covering 50% of total revenue, with each member's
+    rank and cumulative share.
+
+    All accumulation is integer cents — the running sum, the total, and
+    the INCLUSION TEST ((cum − own) × 2 < total, i.e. "the customers
+    above me don't reach half") are exact int64 comparisons; the only
+    float is the final share division, one identical op per row. The
+    per-customer aggregate shrinks input to |customers| rows first; the
+    ranking window is single-partition over THAT frame — fine while
+    customers fit one task's sort (millions), and the documented
+    two-phase variant (per-partition partial cumsums + offset join)
+    takes over beyond."""
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    ranked = rev.select(
+        "o_custkey",
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cents").over(Window.partitionBy()).alias("total"),
+    )
+    return ranked.where(
+        (F.col("cum") - F.col("cents")) * 2 < F.col("total")
+    ).select(
+        "o_custkey",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        F.col("rk").cast("long").alias("rk"),
+        (F.col("cum").cast("double") / F.col("total")).alias("cum_share"),
+    )

@@ -87,3 +87,51 @@ def test_median_mode_semantics(spark, sf_dir):
 )
 def test_sqlsurface_against_oracle(name, spark, sf_dir):
     compare(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
+
+
+@pytest.mark.parametrize("name", ["events_anomaly_mad", "customer_pareto_share"])
+def test_round3b_against_oracle(name, spark, sf_dir):
+    compare(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
+
+
+def test_pareto_is_minimal_prefix(spark, sf_dir):
+    """The returned set is exactly the minimal rank-prefix reaching 50%:
+    contiguous ranks from 1, the last member crosses half, the set
+    without it does not."""
+    rows = sorted(
+        QUERIES["customer_pareto_share"](spark, sf_dir).collect(),
+        key=lambda r: r["rk"],
+    )
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    assert rows[-1]["cum_share"] >= 0.5
+    if len(rows) > 1:
+        assert rows[-2]["cum_share"] < 0.5
+
+
+def test_mad_flags_are_extreme(spark, sf_dir):
+    """Every flagged event is strictly further from its type's median
+    than 3x the type's MAD, recomputed in plain Python."""
+    import statistics
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    by_type = {}
+    for t, v in con.sql("SELECT event_type, value FROM events").fetchall():
+        by_type.setdefault(t, []).append(round(v * 100))
+    flagged = QUERIES["events_anomaly_mad"](spark, sf_dir).collect()
+    stats_by_type = {}
+    for t, vals in by_type.items():
+        m = statistics.median(vals)
+        mad = statistics.median([abs(v - m) for v in vals])
+        stats_by_type[t] = (m, mad)
+    n_expected = 0
+    for t, vals in by_type.items():
+        m, mad = stats_by_type[t]
+        if mad > 0:
+            n_expected += sum(1 for v in vals if abs(v - m) > 3 * mad)
+    assert len(flagged) == n_expected
+    for r in flagged:
+        m, mad = stats_by_type[r["event_type"]]
+        assert mad > 0 and r["deviation"] * 100 > 3 * mad
