@@ -51,6 +51,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     relational4,
     relational5,
     reshape,
+    search,
     similarity,
     text,
     textstats,

@@ -320,3 +320,141 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_missing"
         ),
     )
+
+
+@query(
+    "max_concurrent_sessions",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_start
+      FROM gaps
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM marked
+    ),
+    sessions AS (
+      SELECT user_id, session_id,
+             min(ts) AS s_start, max(ts) AS s_end
+      FROM numbered GROUP BY user_id, session_id
+    ),
+    days AS (
+      SELECT DISTINCT CAST(u AS DATE) AS day
+      FROM (
+        SELECT unnest(generate_series(CAST(s_start AS DATE),
+                                      CAST(s_end AS DATE),
+                                      INTERVAL 1 DAY)) AS u
+        FROM sessions
+      )
+    ),
+    carry AS (
+      SELECT CAST(u AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS carry_in
+      FROM (
+        SELECT unnest(generate_series(CAST(s_start AS DATE) + 1,
+                                      CAST(s_end AS DATE),
+                                      INTERVAL 1 DAY)) AS u
+        FROM sessions
+        WHERE CAST(s_end AS DATE) > CAST(s_start AS DATE)
+      ) GROUP BY 1
+    ),
+    pts AS (
+      SELECT CAST(s_start AS DATE) AS day, s_start AS ts, 1 AS delta
+      FROM sessions
+      UNION ALL
+      SELECT CAST(s_end AS DATE) AS day, s_end AS ts, -1 AS delta
+      FROM sessions
+    ),
+    sweep AS (
+      SELECT day,
+             SUM(delta) OVER (
+               PARTITION BY day ORDER BY ts, delta DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS run
+      FROM pts
+    ),
+    peaks AS (
+      SELECT day, MAX(run) AS peak FROM sweep GROUP BY day
+    )
+    SELECT CAST(days.day AS TIMESTAMP) AS day,
+           COALESCE(carry.carry_in, 0) AS carry_in,
+           CAST(COALESCE(carry.carry_in, 0)
+                + GREATEST(COALESCE(peaks.peak, 0), 0) AS BIGINT)
+             AS max_concurrent
+    FROM days
+    LEFT JOIN carry ON days.day = carry.day
+    LEFT JOIN peaks ON days.day = peaks.day
+    """,
+)
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak session concurrency per day — the capacity-planning sweep
+    over the sessionized events (an interval-overlap max, the operator
+    behind "max simultaneous users").
+
+    Scale design: a naive sweep is ONE global running sum — an
+    unpartitioned window that serializes on a single task. This
+    implementation makes the sweep day-partitionable: sessions spanning
+    midnight contribute a per-day carry-in count (exploded over their
+    spanned days — fan-out bounded by session duration, here ≤ hours),
+    and each day's interior is swept independently with a window
+    PARTITIONED BY day (start events before end events at equal
+    timestamps, so instantaneous overlap counts both sides). Peak(day) =
+    carry_in + max(0, max prefix sum). All integers — bit-deterministic
+    at any parallelism."""
+    sessions = user_sessions(spark, sf_dir).select(
+        F.col("session_start").alias("s_start"),
+        F.col("session_end").alias("s_end"),
+        F.to_date("session_start").alias("d_start"),
+        F.to_date("session_end").alias("d_end"),
+    )
+    days = sessions.select(
+        F.explode(F.sequence("d_start", "d_end")).alias("day")
+    ).distinct()
+    carry = (
+        sessions.where(F.col("d_end") > F.col("d_start"))
+        .select(
+            F.explode(F.sequence(F.date_add("d_start", 1), "d_end")).alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("carry_in"))
+    )
+    pts = sessions.select(
+        F.col("d_start").alias("day"), F.col("s_start").alias("ts"),
+        F.lit(1).alias("delta"),
+    ).unionAll(
+        sessions.select(
+            F.col("d_end").alias("day"), F.col("s_end").alias("ts"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = W.partitionBy("day").orderBy(F.col("ts"), F.col("delta").desc())
+    peaks = (
+        pts.withColumn(
+            "run",
+            F.sum("delta").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .groupBy("day")
+        .agg(F.max("run").alias("peak"))
+    )
+    return (
+        days.join(carry, "day", "left")
+        .join(peaks, "day", "left")
+        .select(
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            F.coalesce(F.col("carry_in"), F.lit(0)).cast("long").alias("carry_in"),
+            (
+                F.coalesce(F.col("carry_in"), F.lit(0))
+                + F.greatest(F.coalesce(F.col("peak"), F.lit(0)), F.lit(0))
+            ).cast("long").alias("max_concurrent"),
+        )
+    )

@@ -172,6 +172,65 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Corpus-drift measurement: per-language unigram KL divergence
+# --------------------------------------------------------------------------
+@query(
+    "kl_divergence_by_lang",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest({TOK_SQL}) AS word FROM documents
+    ),
+    lw AS (SELECT lang, word, COUNT(*) AS n_lw FROM tok GROUP BY lang, word),
+    l AS (SELECT lang, SUM(n_lw) AS n_l FROM lw GROUP BY lang),
+    w AS (SELECT word, SUM(n_lw) AS n_w FROM lw GROUP BY word),
+    t AS (SELECT SUM(n_lw) AS n_total FROM lw),
+    terms AS (
+      SELECT lw.lang,
+             (CAST(n_lw AS DOUBLE) / n_l)
+               * round(ln((CAST(n_lw AS DOUBLE) / n_l)
+                          / (CAST(n_w AS DOUBLE) / n_total)), 6) AS term
+      FROM lw JOIN l ON lw.lang = l.lang
+              JOIN w ON lw.word = w.word
+              CROSS JOIN t
+    )
+    SELECT terms.lang,
+           CAST(l.n_l AS BIGINT) AS n_tokens,
+           {sql_dsum('term', 9)} AS kl_vs_corpus
+    FROM terms JOIN l ON terms.lang = l.lang
+    GROUP BY terms.lang, l.n_l
+    """,
+)
+def kl_divergence_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per language slice: KL(P_lang ‖ P_corpus) over
+    unigram distributions — the mixture-monitoring statistic a data
+    pipeline tracks when rebalancing sources. One (lang, word) count
+    pass; the language totals (|langs| rows) and word totals (vocab
+    rows, Heaps-bounded) re-aggregate FROM that frame — the corpus is
+    tokenized exactly once. Word totals join back on word (vocab-sized
+    shuffle, broadcast-eligible); per-term products are fixed-order IEEE
+    with a 6 dp ln(), summed exactly at scale 9."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    tok = docs.select("lang", F.explode(_toks()).alias("word"))
+    lw = tok.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n_lw"))
+    l_tot = lw.groupBy("lang").agg(F.sum("n_lw").alias("n_l"))
+    w_tot = lw.groupBy("word").agg(F.sum("n_lw").alias("n_w"))
+    total = lw.agg(F.sum("n_lw").alias("n_total"))
+    p = F.col("n_lw").cast("double") / F.col("n_l")
+    q = F.col("n_w").cast("double") / F.col("n_total")
+    term = p * F.round(F.log(p / q), 6)
+    return (
+        lw.join(F.broadcast(l_tot), "lang")
+        .join(F.broadcast(w_tot), "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("lang")
+        .agg(
+            F.max("n_l").cast("long").alias("n_tokens"),
+            dsum(term, 9).alias("kl_vs_corpus"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Vocabulary coverage curve
 # --------------------------------------------------------------------------
 TOP_VOCAB = 50

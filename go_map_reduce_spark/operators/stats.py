@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from go_map_reduce_spark.catalog import load_table
+from go_map_reduce_spark.functions.numeric import dsum
 from go_map_reduce_spark.registry import query
 
 
@@ -410,4 +411,86 @@ def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents").cast("double") / 100.0).alias("revenue"),
         F.col("rk").cast("long").alias("rk"),
         (F.col("cum").cast("double") / F.col("total")).alias("cum_share"),
+    )
+
+
+@query(
+    "chi2_lang_source",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source
+    ),
+    rt AS (SELECT lang, SUM(n) AS n_lang FROM o GROUP BY lang),
+    ct AS (SELECT source, SUM(n) AS n_source FROM o GROUP BY source),
+    t AS (SELECT SUM(n) AS n_total FROM o),
+    cells AS (
+      SELECT o.lang, o.source, o.n,
+             (CAST(n_lang AS DOUBLE) * n_source) / n_total AS expected
+      FROM o JOIN rt ON o.lang = rt.lang
+             JOIN ct ON o.source = ct.source
+             CROSS JOIN t
+    ),
+    terms AS (
+      SELECT (CAST(n AS DOUBLE) - expected) * (CAST(n AS DOUBLE) - expected)
+               / expected AS term
+      FROM cells
+    ),
+    dims AS (
+      SELECT (SELECT COUNT(*) FROM rt) AS n_rows,
+             (SELECT COUNT(*) FROM ct) AS n_cols
+    )
+    SELECT CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE) AS chi2,
+           (SELECT CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) FROM dims) AS dof,
+           (SELECT CAST(n_total AS BIGINT) FROM t) AS n_total
+    FROM terms
+    """,
+)
+def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence for the documents lang × source
+    contingency table — the mixture-health check (is provenance
+    independent of language?) run before rebalancing a pretraining mix.
+
+    Scale: ONE aggregation over the corpus builds the contingency cells
+    (|langs|·|sources| rows); the row/column marginals re-aggregate from
+    that tiny frame and broadcast back — the raw table is scanned once.
+    Expected counts and per-cell (O−E)²/E are fixed-order IEEE doubles
+    from exact integer marginals, summed exactly at scale 9 (dsum), so
+    the statistic is bit-identical across engines and partitionings."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    o = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rt = o.groupBy("lang").agg(F.sum("n").alias("n_lang"))
+    ct = o.groupBy("source").agg(F.sum("n").alias("n_source"))
+    t = o.agg(F.sum("n").alias("n_total"))
+    expected = (
+        F.col("n_lang").cast("double") * F.col("n_source")
+    ) / F.col("n_total")
+    term = (
+        (F.col("n").cast("double") - expected)
+        * (F.col("n").cast("double") - expected)
+        / expected
+    )
+    cells = (
+        o.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(t))
+    )
+    n_rows = rt.agg(F.count(F.lit(1)).alias("n_rows"))
+    n_cols = ct.agg(F.count(F.lit(1)).alias("n_cols"))
+    return (
+        cells.agg(
+            dsum(term, 9).alias("chi2"),
+            F.max("n_total").cast("long").alias("n_total"),
+        )
+        .crossJoin(F.broadcast(n_rows))
+        .crossJoin(F.broadcast(n_cols))
+        .select(
+            "chi2",
+            ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+            .cast("long")
+            .alias("dof"),
+            "n_total",
+        )
     )
