@@ -93,3 +93,97 @@ def sql_hint_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     stale (e.g. fresh tables with no ANALYZE)."""
     register_views(spark, sf_dir)
     return spark.sql(_HINT_SQL_SPARK)
+
+
+_PIPE_SQL_SPARK = """
+FROM lineitem
+|> WHERE l_shipdate >= DATE '1995-01-01'
+|> AGGREGATE COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+   GROUP BY l_returnflag, l_linestatus
+|> WHERE n_items > 0
+|> SELECT l_returnflag, l_linestatus, n_items, revenue
+"""
+
+_PIPE_SQL_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       {sql_dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01'
+GROUP BY l_returnflag, l_linestatus
+HAVING COUNT(*) > 0
+"""
+
+
+@query("sql_pipe_revenue", oracle=_PIPE_SQL_ORACLE)
+def sql_pipe_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4, SPARK-49555): the query is written as a
+    linear |> dataflow — scan |> filter |> aggregate |> filter |>
+    project — the textual form of the reference's map→shuffle→reduce
+    pipeline (SURVEY.md §3.3), with Catalyst planning it identically to
+    the nested-SQL oracle (same partial+final hash aggregate, same
+    pushed filter). The post-AGGREGATE WHERE is pipe-syntax HAVING."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PIPE_SQL_SPARK)
+
+
+_SQL_UDF_ORACLE = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       {sql_dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")}
+         AS net_revenue
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("sql_udf_net_revenue", oracle=_SQL_UDF_ORACLE)
+def sql_udf_net_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL UDF (Spark 4 CREATE FUNCTION ... RETURN expr) —
+    the modern analog of the reference's compiled-plugin registry
+    (main/mrworker.go:34-51, SURVEY.md §2a F19): the function body is a
+    SQL expression, so Catalyst INLINES it into the calling plan —
+    whole-stage codegen, no serialization boundary, unlike a Python UDF.
+    The oracle textually expands the body, which is exactly what the
+    optimizer does."""
+    register_views(spark, sf_dir)
+    spark.sql("DROP TEMPORARY FUNCTION IF EXISTS net_price")
+    spark.sql(
+        "CREATE TEMPORARY FUNCTION net_price(price DOUBLE, disc DOUBLE, tax DOUBLE) "
+        "RETURNS DOUBLE RETURN price * (1.0 - disc) * (1.0 + tax)"
+    )
+    return spark.sql(f"""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               {sql_dsum("net_price(l_extendedprice, l_discount, l_tax)")}
+                 AS net_revenue
+        FROM lineitem
+        GROUP BY l_returnflag
+    """)
+
+
+_LISTAGG_ORACLE = """
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+@query("listagg_nations", oracle=_LISTAGG_ORACLE)
+def listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG ... WITHIN GROUP (Spark 4, SQL:2016): ordered string
+    aggregation as a first-class aggregate — the reference's indexer
+    reduce (sorted comma-join, mrapps/indexer.go:36-39) as one SQL
+    function instead of sort_array(collect_list()). The WITHIN GROUP
+    order makes it deterministic per the engine-wide sorted-collection
+    rule; DuckDB's ordered string_agg is the oracle twin."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT n_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+        FROM nation
+        GROUP BY n_regionkey
+    """)

@@ -152,3 +152,104 @@ def _register_zorder_query() -> None:
 
 
 _register_zorder_query()
+
+
+# ------------------------------------------------- dynamic partition pruning
+
+_DPP_CACHE = "/tmp/gmrs_dpp"
+
+
+def _dpp_paths(sf_dir: str) -> tuple[str, str]:
+    base = os.path.join(_DPP_CACHE, os.path.basename(os.path.normpath(sf_dir)))
+    return os.path.join(base, "orders_by_year"), os.path.join(base, "years_dim")
+
+
+def _ensure_dpp_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize orders hive-partitioned by order year plus a tiny
+    year-dimension parquet, once per sf_dir (staging + rename so a
+    concurrent caller never reads a half-written table)."""
+    from pyspark.sql import functions as F
+
+    from go_map_reduce_spark.catalog import load_table
+
+    fact_path, dim_path = _dpp_paths(sf_dir)
+    for path, build in (
+        (
+            fact_path,
+            lambda: load_table(spark, sf_dir, "orders")
+            .withColumn("o_year", F.year("o_orderdate"))
+            .write.partitionBy("o_year"),
+        ),
+        (
+            dim_path,
+            lambda: load_table(spark, sf_dir, "orders")
+            .select(F.year("o_orderdate").alias("o_year"))
+            .distinct()
+            .withColumn(
+                "segment_flag",
+                F.when(F.col("o_year") % 3 == 0, "target").otherwise("other"),
+            )
+            .coalesce(1)
+            .write,
+        ),
+    ):
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            continue
+        staging = path + "__staging"
+        build().mode("overwrite").parquet(staging)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)  # lost the race
+    return fact_path, dim_path
+
+
+def _register_dpp_query() -> None:
+    from pyspark.sql import functions as F
+
+    from go_map_reduce_spark.functions.numeric import dsum, sql_dsum
+    from go_map_reduce_spark.registry import query
+
+    @query(
+        "dynamic_partition_pruning",
+        oracle=f"""
+        SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+               COUNT(*) AS n_orders,
+               {sql_dsum("o_totalprice")} AS revenue
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) % 3 = 0
+        GROUP BY 1
+        """,
+    )
+    def dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Dynamic partition pruning: the fact table is hive-partitioned
+        by o_year; the selective predicate lives on the DIMENSION
+        (segment_flag = 'target'), so static pruning can't help — at
+        planning time the fact predicate is unknown. Spark broadcasts
+        the filtered dim, REUSES the broadcast as a subquery filter on
+        the fact's partition column (`dynamicpruning` in the plan,
+        asserted in tests/test_layout.py), and the scan opens only the
+        matching year directories. THE mechanism that makes
+        star-schema joins over a 100 TB date-partitioned fact read only
+        the queried slice. Oracle: the dim is derived (year % 3), so
+        the semantics collapse to a plain year filter over raw orders."""
+        fact_path, dim_path = _ensure_dpp_layout(spark, sf_dir)
+        fact = spark.read.parquet(fact_path)
+        dim = spark.read.parquet(dim_path).where(
+            F.col("segment_flag") == "target"
+        )
+        return (
+            fact.join(F.broadcast(dim), "o_year")
+            .groupBy(F.col("o_year").cast("int").alias("o_year"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum(F.col("o_totalprice")).alias("revenue"),
+            )
+        )
+
+    _ = dynamic_partition_pruning
+
+
+_register_dpp_query()

