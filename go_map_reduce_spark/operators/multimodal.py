@@ -512,3 +512,76 @@ def multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sampled_pixel_sum long"
         ),
     )
+
+
+def resize_bmp_nearest(payload: bytes, factor: int = 2) -> bytes:
+    """Nearest-neighbor downsample of an uncompressed 24-bit BMP by an
+    integer factor: keep every ``factor``-th row and column (indices
+    0, factor, 2·factor, …), re-encode. Pure bytes — no codec library."""
+    w, h, _bpp, px = decode_bmp(payload)
+    new_w = (w + factor - 1) // factor
+    rows = []
+    for y in range(0, h, factor):
+        row = px[y * w * 3 : (y + 1) * w * 3]
+        rows.append(b"".join(row[3 * x : 3 * x + 3] for x in range(0, w, factor)))
+    return encode_bmp(new_w, len(rows), rows)
+
+
+def _resize_bmp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The resize stage: payload → smaller payload, still a valid BMP
+    (the downstream decode stage parses it like any other image)."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    resize_bmp_nearest(bytes(p)) for p in pdf["payload"]
+                ],
+            }
+        )
+
+
+@query(
+    "multimodal_image_resize",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+             (8 + doc_id % 9 + 1) // 2 AS w2,
+             (8 + doc_id % 7 + 1) // 2 AS h2
+      FROM documents
+    ),
+    rows_ AS (SELECT doc_id, w2, h2, unnest(range(h2)) AS j FROM dims)
+    SELECT doc_id,
+           CAST(w2 AS BIGINT) AS width,
+           CAST(h2 AS BIGINT) AS height,
+           CAST(24 AS BIGINT) AS bpp,
+           CAST(SUM(((doc_id + 2 * j) % 256) * 3 * w2) AS BIGINT) AS pixel_sum
+    FROM rows_
+    GROUP BY doc_id, w2, h2
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE through the multimodal path: synthesize a BMP per
+    document, nearest-neighbor-downsample it 2× (a real bytes-level
+    resample — row/column subsampling with re-encode, padding and all),
+    then decode the RESIZED payload into features. Three narrow
+    mapInPandas stages (synth → resize → decode), zero shuffles — the
+    standard shape of a media-preprocessing stage feeding a vision
+    tokenizer, where each stage stays Arrow-batched and per-partition.
+
+    The oracle predicts the resized dims (ceil-half) and the pixel
+    checksum of the sampled rows (row 2j keeps value (doc_id+2j)%256)
+    in closed form — a mis-sampled row or broken re-encode diverges."""
+    from go_map_reduce_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = ids.mapInPandas(_synth_bmp_batch, schema="doc_id long, payload binary")
+    resized = media.mapInPandas(
+        _resize_bmp_batch, schema="doc_id long, payload binary"
+    )
+    return resized.mapInPandas(
+        _decode_bmp_batch,
+        schema="doc_id long, width long, height long, bpp long, pixel_sum long",
+    )

@@ -250,3 +250,154 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("codes", 64).alias("code_last"),
         F.round(mse, 12).alias("mse"),
     )
+
+
+# ------------------------------------------------- product quantization
+
+PQ_M = 4          # subspaces
+PQ_SUBDIM = 16    # dims per subspace (4 × 16 = 64)
+PQ_K = 8          # centroids per subspace
+PQ_N_QUERY = 3    # query set: vec_id < 3
+PQ_TOP_K = 10
+
+
+def _sql_subdot(a: str, b: str, a_off: str, b_off: str, dims: int) -> str:
+    """In-order fold of Σ (a[a_off+i] − b[b_off+i])² as double."""
+    return (
+        f"list_reduce(list_transform(range(1, {dims + 1}), i -> "
+        f"CAST(({a}[{a_off} + i] - {b}[{b_off} + i]) * "
+        f"({a}[{a_off} + i] - {b}[{b_off} + i]) AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+@query(
+    "pq_ann_topk",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding
+      FROM embeddings
+      WHERE vec_id >= {PQ_N_QUERY} AND vec_id < {PQ_N_QUERY + PQ_K}
+    ),
+    subspaces AS (SELECT unnest(range({PQ_M})) AS m),
+    corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {PQ_N_QUERY}
+    ),
+    dists AS (
+      SELECT c.vec_id, s.m, cent.k,
+             {_sql_subdot('c.embedding', 'cent.embedding',
+                          f's.m * {PQ_SUBDIM}', f's.m * {PQ_SUBDIM}', PQ_SUBDIM)}
+               AS d
+      FROM corpus c CROSS JOIN subspaces s CROSS JOIN centroids cent
+    ),
+    mins AS (
+      SELECT vec_id, m, MIN(d) AS min_d FROM dists GROUP BY vec_id, m
+    ),
+    codes AS (
+      SELECT d.vec_id, d.m, MIN(d.k) AS code, MIN(mins.min_d) AS cell_d
+      FROM dists d JOIN mins ON d.vec_id = mins.vec_id AND d.m = mins.m
+                   AND d.d = mins.min_d
+      GROUP BY d.vec_id, d.m
+    ),
+    qtable AS (
+      SELECT q.vec_id AS query_id, s.m, cent.k,
+             {_sql_subdot('q.embedding', 'cent.embedding',
+                          f's.m * {PQ_SUBDIM}', f's.m * {PQ_SUBDIM}', PQ_SUBDIM)}
+               AS d
+      FROM embeddings q CROSS JOIN subspaces s CROSS JOIN centroids cent
+      WHERE q.vec_id < {PQ_N_QUERY}
+    ),
+    adc AS (
+      SELECT qt.query_id, codes.vec_id AS neighbor_id,
+             CAST(SUM(CAST(qt.d AS DECIMAL(38,6))) AS DOUBLE) AS adc_dist
+      FROM codes JOIN qtable qt ON codes.m = qt.m AND codes.code = qt.k
+      GROUP BY qt.query_id, codes.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+             ) AS rk
+      FROM adc
+    )
+    WHERE rk <= {PQ_TOP_K}
+    """,
+)
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI 2011): vectors are
+    encoded as {PQ_M} one-byte codes (argmin centroid per subspace) and
+    queries scan CODES, not vectors — the memory-bound regime that makes
+    billion-scale ANN fit a cluster. Asymmetric distance (ADC): each
+    query precomputes a {PQ_M}×{PQ_K} lookup table of subspace
+    distances; a neighbor's distance is the sum of {PQ_M} table cells.
+
+    Codebook: deterministic data sample (the {PQ_K} lowest non-query
+    vec_ids) — a production pipeline k-means-trains each subspace
+    (kmeans.py is that machinery) but the encode/ADC dataflow is
+    identical and that's what this operator pins.
+
+    Scale shape: the 32-row codebook and the query table broadcast;
+    encoding is one map-side pass over the corpus (per row: {PQ_M}×
+    {PQ_K} fixed-order folds, all codegen — no UDF, no shuffle); ADC
+    groups (query, neighbor) partial sums map-side. Nothing shuffles
+    except the final per-query top-k. Distances are sequential-fold
+    doubles (functions/vector discipline), ADC sums exact decimal."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = (
+        emb.where(
+            (F.col("vec_id") >= PQ_N_QUERY)
+            & (F.col("vec_id") < PQ_N_QUERY + PQ_K)
+        )
+        .select(
+            (
+                F.row_number().over(W.orderBy("vec_id")) - 1
+            ).alias("k"),
+            F.col("embedding").alias("cent"),
+        )
+    )
+    subspaces = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    cent_grid = F.broadcast(centroids.crossJoin(subspaces))
+
+    def subdist(vec: F.Column, cent: F.Column, m: F.Column) -> F.Column:
+        a = F.slice(vec, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        b = F.slice(cent, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        diffs = F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("double"))
+        return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+    corpus = emb.where(F.col("vec_id") >= PQ_N_QUERY)
+    codes = (
+        corpus.join(cent_grid)
+        .select(
+            "vec_id",
+            "m",
+            "k",
+            subdist(F.col("embedding"), F.col("cent"), F.col("m")).alias("d"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d", "k")).alias("best"))
+        .select("vec_id", "m", F.col("best.k").alias("code"))
+    )
+    qtable = (
+        emb.where(F.col("vec_id") < PQ_N_QUERY)
+        .join(cent_grid)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "k",
+            subdist(F.col("embedding"), F.col("cent"), F.col("m")).alias("d"),
+        )
+    )
+    from go_map_reduce_spark.functions.numeric import dsum
+
+    adc = (
+        codes.join(
+            F.broadcast(qtable),
+            (codes.m == qtable.m) & (codes.code == qtable.k),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(dsum(F.col("d")).alias("adc_dist"))
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= PQ_TOP_K)
+    )
