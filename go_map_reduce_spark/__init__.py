@@ -50,6 +50,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     relational3,
     relational4,
     relational5,
+    relational6,
     reshape,
     search,
     similarity,
