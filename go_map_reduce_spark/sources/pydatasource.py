@@ -24,7 +24,12 @@ from __future__ import annotations
 import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from go_map_reduce_spark.registry import query
 
@@ -218,3 +223,126 @@ class KVTextSink(DataSource):
 
 def register_kvtext_sink(spark: SparkSession) -> None:
     spark.dataSource.register(KVTextSink)
+
+
+# --------------------------------------------------------------------------
+# Custom STREAMING source via the Python Data Source stream-reader API —
+# the streaming analog of ReplaySource: offset tracking, per-microbatch
+# split planning on the driver, executor-side partition reads. This is
+# the extension point for "a queue/service Spark has no connector for",
+# with exactly-once delivery riding the engine's offset log.
+# --------------------------------------------------------------------------
+
+STREAM_N = 1200       # total rows the stream ever emits
+STREAM_CHUNK = 300    # rows admitted per latestOffset() call (per batch)
+STREAM_PARTS = 4      # executor splits per microbatch
+
+
+class ReplayStreamReader(DataSourceStreamReader):
+    """Offset-based replay: offsets are {"pos": n}; each latestOffset()
+    admits the next CHUNK rows (rate limiting lives exactly here in a
+    real connector), partitions() splits the admitted range for
+    executor-side reads, and commit() is where a real source would ack
+    upstream. State is offset-only — a restart resumes from the
+    checkpoint's committed offset, nothing else to recover."""
+
+    def __init__(self, options):
+        self._n = int(options.get("n", STREAM_N))
+        self._chunk = int(options.get("chunk", STREAM_CHUNK))
+        self._parts = int(options.get("parts", STREAM_PARTS))
+        self._latest = 0
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        self._latest = min(self._latest + self._chunk, self._n)
+        return {"pos": self._latest}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["pos"], end["pos"]
+        if hi <= lo:
+            return [RangePartition(lo, lo)]
+        step = max(1, (hi - lo) // self._parts)
+        bounds = list(range(lo, hi, step)) + [hi]
+        return [
+            RangePartition(a, b) for a, b in zip(bounds, bounds[1:])
+        ]
+
+    def read(self, part):
+        for i in range(part.lo, part.hi):
+            yield (i, hashlib.md5(str(i).encode()).hexdigest(), i % REPLAY_GROUPS)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class RangePartition(InputPartition):
+    def __init__(self, lo, hi):
+        self.lo, self.hi = lo, hi
+
+
+class ReplayStreamSource(DataSource):
+    """Streaming variant of ReplaySource (same row universe)."""
+
+    @classmethod
+    def name(cls):
+        return "replay_stream"
+
+    def schema(self):
+        return "id bigint, h string, grp bigint"
+
+    def streamReader(self, schema):
+        return ReplayStreamReader(self.options)
+
+
+def register_replay_stream_source(spark: SparkSession) -> None:
+    spark.dataSource.register(ReplayStreamSource)
+
+
+@query(
+    "stream_source_groups",
+    oracle=f"""
+    SELECT CAST(i % {REPLAY_GROUPS} AS BIGINT) AS grp,
+           COUNT(*) AS n,
+           CAST(SUM(i) AS BIGINT) AS id_sum,
+           MIN(md5(CAST(i AS VARCHAR))) AS min_h
+    FROM range({STREAM_N}) t(i)
+    GROUP BY 1
+    """,
+)
+def stream_source_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming ingest through the CUSTOM Python streaming
+    source: the engine drives initialOffset → latestOffset →
+    partitions → executor read per microbatch ({STREAM_N} rows admitted
+    {STREAM_CHUNK} per batch), aggregated in complete mode. The oracle
+    regenerates the identical row universe from range() — offset
+    planning, split fan-out and batch boundaries cannot change the
+    result (integer counts/sums only). `sf_dir` unused (generative
+    source)."""
+    import uuid as _uuid
+
+    from go_map_reduce_spark.shipping import ensure_package_shipped
+    from go_map_reduce_spark.streaming.windows import _stream_state_partitions
+
+    ensure_package_shipped(spark)
+    register_replay_stream_source(spark)
+    stream = spark.readStream.format("replay_stream").load()
+    agg = stream.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("id").cast("long").alias("id_sum"),
+        F.min("h").alias("min_h"),
+    )
+    name = f"streamsrc_{_uuid.uuid4().hex[:12]}"
+    with _stream_state_partitions(spark, 8):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)

@@ -76,3 +76,44 @@ def test_try_divide_null_on_zero(spark, sf_dir):
             assert r["purchase_per_click"] == pytest.approx(
                 r["n_purchases"] / r["n_clicks"]
             )
+
+
+def test_stream_source_against_oracle(spark, sf_dir):
+    compare(
+        QUERIES["stream_source_groups"](spark, sf_dir),
+        ORACLES["stream_source_groups"],
+        sf_dir,
+    )
+
+
+def test_stream_source_runs_multiple_microbatches(spark, tmp_path):
+    """The source must be consumed incrementally (offset pacing), not
+    as one giant batch: 1200 rows at 300/batch → ≥ 4 microbatches."""
+    from pyspark.sql import functions as F
+
+    from go_map_reduce_spark.shipping import ensure_package_shipped
+    from go_map_reduce_spark.sources.pydatasource import (
+        STREAM_N,
+        register_replay_stream_source,
+    )
+
+    ensure_package_shipped(spark)
+    register_replay_stream_source(spark)
+    stream = spark.readStream.format("replay_stream").load()
+    agg = stream.agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("streamsrc_batches")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = q.lastProgress["batchId"] + 1
+    finally:
+        q.stop()
+    row = spark.table("streamsrc_batches").collect()[0]
+    assert row["n"] == STREAM_N
+    assert row["s"] == STREAM_N * (STREAM_N - 1) // 2
+    assert n_batches >= 4
