@@ -42,6 +42,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     multimodal,
     pipeline2,
     pipeline3,
+    pipeline4,
     sqlsurface,
     stats,
     quality_filters,
