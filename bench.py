@@ -74,6 +74,16 @@ def main() -> None:
         "cheapest_supplier_per_part",
         "dedup_clusters_largestar",
         "heavy_hitters_exact",
+        "bfs_frontier_iterative",
+        "bloom_contamination_prefilter",
+        "events_incremental_mv",
+        "events_stream_dedup",
+        "events_sliding_stream",
+        "events_stream_static_join",
+        "events_purchase_click_outer_join",
+        "stream_source_groups",
+        "pq_ann_topk",
+        "dynamic_partition_pruning",
     }
     for name in names:
         fn = QUERIES[name]

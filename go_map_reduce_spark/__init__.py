@@ -43,6 +43,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline2,
     pipeline3,
     pipeline4,
+    pipeline5,
     sqlsurface,
     stats,
     quality_filters,
