@@ -44,6 +44,8 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline3,
     pipeline4,
     pipeline5,
+    pipeline6,
+    pipeline7,
     sqlsurface,
     stats,
     quality_filters,
@@ -56,6 +58,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     reshape,
     search,
     similarity,
+    similarity2,
     text,
     textstats,
 )
