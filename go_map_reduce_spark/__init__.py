@@ -46,6 +46,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline5,
     pipeline6,
     pipeline7,
+    pipeline8,
     sqlsurface,
     stats,
     quality_filters,
