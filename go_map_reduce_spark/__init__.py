@@ -47,6 +47,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline6,
     pipeline7,
     pipeline8,
+    pipeline9,
     sqlsurface,
     stats,
     quality_filters,
