@@ -84,6 +84,11 @@ def main() -> None:
         "stream_source_groups",
         "pq_ann_topk",
         "dynamic_partition_pruning",
+        "kcore_suppliers",
+        "label_propagation_communities",
+        "bpe_merge_training",
+        "schema_evolution_read",
+        "fuzzy_match_names",
     }
     for name in names:
         fn = QUERIES[name]

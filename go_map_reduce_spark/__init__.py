@@ -48,6 +48,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline7,
     pipeline8,
     pipeline9,
+    pipeline10,
     sqlsurface,
     stats,
     quality_filters,

@@ -108,3 +108,49 @@ def test_broadcast_hint_is_honored(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_uses_window_group_limit(spark, sf_dir):
+    """rank≤n per stratum must pre-prune per-partition (WindowGroupLimit)
+    — no stratum ever sorts in full before the filter."""
+    plan = _plan(spark, "stratified_fixed_n_sample", sf_dir)
+    assert "WindowGroupLimit" in plan
+
+
+def test_phrase_dictionary_joins_broadcast(spark, sf_dir):
+    """The dictionary must be the broadcast side of a hash join; growing
+    it cannot introduce a shuffle of the exploded bigram frame."""
+    plan = _plan(spark, "phrase_match_dictionary", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_market_basket_prunes_with_broadcast_semi_join(spark, sf_dir):
+    """A-priori item prune = broadcast LEFT SEMI before the pair
+    self-join fan-out."""
+    plan = _plan(spark, "market_basket_pairs", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_copresence_is_equality_hash_join(spark, sf_dir):
+    """The interval self-join must run as an equality join on the time
+    cell — never a nested-loop theta join over the time predicate."""
+    plan = _plan(spark, "events_copresence_pairs", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_blocking_is_equality_join(spark, sf_dir):
+    """Deletion-neighborhood blocking joins on variant keys by equality;
+    the quadratic form would surface as a nested-loop join."""
+    plan = _plan(spark, "fuzzy_match_names", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_revenue_share_dims_broadcast(spark, sf_dir):
+    """The q5-style star join keeps all three dims broadcast; lineitem
+    shuffles only into the nation aggregate."""
+    plan = _plan(spark, "revenue_share_within_region", sf_dir)
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
