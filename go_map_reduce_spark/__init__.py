@@ -49,6 +49,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline8,
     pipeline9,
     pipeline10,
+    pipeline11,
     sqlsurface,
     stats,
     quality_filters,
