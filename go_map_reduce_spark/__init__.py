@@ -50,6 +50,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline9,
     pipeline10,
     pipeline11,
+    pipeline12,
     sqlsurface,
     stats,
     quality_filters,
