@@ -51,6 +51,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline10,
     pipeline11,
     pipeline12,
+    pipeline13,
     sqlsurface,
     stats,
     quality_filters,
