@@ -52,6 +52,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline11,
     pipeline12,
     pipeline13,
+    pipeline14,
     sqlsurface,
     stats,
     quality_filters,

@@ -269,32 +269,76 @@ TRI_KNN = 3       # each node keeps its 3 strongest co-supply neighbors
 TRI_PART_MOD = 4  # weigh co-supply on a deterministic 1/4 part sample
 
 
+def knn_cosupply_edges(
+    spark: SparkSession, sf_dir: str, knn: int = TRI_KNN,
+    part_mod: int = TRI_PART_MOD,
+) -> DataFrame:
+    """Shared k-NN co-supply graph construction (used by
+    triangle_count here and kcore_suppliers / label_propagation_
+    communities in pipeline7/pipeline8): deterministic 1/part_mod part
+    sample → distinct (s, p) → shared-part weighted self-join →
+    per-src top-knn picks (shared desc, dst asc) → symmetrized,
+    deduplicated undirected edge set as (src, dst) with src < dst.
+    The (s, p) frame persists internally (it is self-joined); callers
+    persist the returned edge frame if they consume it repeatedly."""
+    sp = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") % part_mod == 0)
+        .select(
+            F.col("l_suppkey").cast("long").alias("s"),
+            F.col("l_partkey").cast("long").alias("p"),
+        )
+        .distinct()
+        .persist()
+    )
+    a, b = sp.alias("a"), sp.alias("b")
+    w = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") != F.col("b.s")))
+        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.desc("shared"), F.asc("dst"))
+    )
+    picks = w.withColumn("rk", rk).where(F.col("rk") <= knn)
+    return picks.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).distinct()
+
+
+def sql_knn_graph_ctes(knn: int = TRI_KNN, part_mod: int = TRI_PART_MOD) -> str:
+    """DuckDB twin of knn_cosupply_edges as CTE text: defines sp, w,
+    knn, eu — append further CTEs and select from eu (src < dst)."""
+    return f"""
+  sp AS (
+    SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s, CAST(l_partkey AS BIGINT) AS p
+    FROM lineitem WHERE l_partkey % {part_mod} = 0
+  ),
+  w AS (
+    SELECT a.s AS src, b.s AS dst, COUNT(*) AS shared
+    FROM sp a JOIN sp b ON a.p = b.p AND a.s <> b.s
+    GROUP BY a.s, b.s
+  ),
+  knn AS (
+    SELECT src, dst FROM (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY shared DESC, dst) AS rk
+      FROM w
+    ) WHERE rk <= {knn}
+  ),
+  eu AS (
+    SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst FROM knn
+  )"""
+
+
 _TRI_SQL = f"""
-WITH sp AS (
-  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s, CAST(l_partkey AS BIGINT) AS p
-  FROM lineitem WHERE l_partkey % {TRI_PART_MOD} = 0
-),
-w AS (
-  SELECT a.s AS src, b.s AS dst, COUNT(*) AS shared
-  FROM sp a JOIN sp b ON a.p = b.p AND a.s <> b.s
-  GROUP BY a.s, b.s
-),
-knn AS (
-  SELECT src, dst FROM (
-    SELECT src, dst,
-           row_number() OVER (PARTITION BY src
-                              ORDER BY shared DESC, dst) AS rk
-    FROM w
-  ) WHERE rk <= {TRI_KNN}
-),
-e AS (
-  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst FROM knn
-),
+WITH {sql_knn_graph_ctes(TRI_KNN, TRI_PART_MOD)},
 tri AS (
   SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
-  FROM e e1
-  JOIN e e2 ON e2.src = e1.dst
-  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+  FROM eu e1
+  JOIN eu e2 ON e2.src = e1.dst
+  JOIN eu e3 ON e3.src = e1.src AND e3.dst = e2.dst
 )
 SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM (
@@ -332,32 +376,11 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction), and a per-part cap (same guard as the LSH bucket
     cap, dedup.py) bounds any residual hub at scale.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_partkey") % TRI_PART_MOD == 0)
-        .select(
-            F.col("l_suppkey").cast("long").alias("s"),
-            F.col("l_partkey").cast("long").alias("p"),
-        )
-        .distinct()
-        .persist()  # self-joined below: one distinct shuffle, not two
-    )
-    a, b = li.alias("a"), li.alias("b")
-    w = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") != F.col("b.s")))
-        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    rk = F.row_number().over(
-        Window.partitionBy("src").orderBy(F.desc("shared"), F.asc("dst"))
-    )
-    knn = w.withColumn("rk", rk).where(F.col("rk") <= TRI_KNN)
-    # e is consumed three times by the triangle join — persist it (it is
-    # tiny by construction: ≤ TRI_KNN·|nodes| rows) so the projection +
-    # window pipeline above runs once, not three times.
-    e = knn.select(
-        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
-    ).distinct().persist()
+    # shared construction (also kcore_suppliers, label_propagation_
+    # communities); e is consumed three times by the triangle join —
+    # persist it (tiny by construction: ≤ TRI_KNN·|nodes| rows) so the
+    # projection + window pipeline runs once, not three times.
+    e = knn_cosupply_edges(spark, sf_dir, TRI_KNN, TRI_PART_MOD).persist()
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.src") == F.col("e1.dst"))

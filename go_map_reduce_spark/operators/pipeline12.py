@@ -270,10 +270,18 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole two-pipeline comparison. Recall/precision ratios are left
     to the consumer (two bigints divide; emitting counts keeps the
     row integer-exact)."""
-    mh = QUERIES["minhash_near_dup_pairs"](spark, sf_dir).select(
-        "doc_a", "doc_b"
+    # persist both pair frames: three counts below would otherwise
+    # re-execute the LSH candidate join / PPJoin verify tails twice each
+    mh = (
+        QUERIES["minhash_near_dup_pairs"](spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .persist()
     )
-    ex = QUERIES["ngram_jaccard_pairs"](spark, sf_dir).select("doc_a", "doc_b")
+    ex = (
+        QUERIES["ngram_jaccard_pairs"](spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
     n_hit = mh.join(ex, ["doc_a", "doc_b"]).count()
     return spark.createDataFrame(
         [(ex.count(), mh.count(), n_hit)],

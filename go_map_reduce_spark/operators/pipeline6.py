@@ -229,15 +229,18 @@ def events_copresence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _snapshot_v2(cust: DataFrame) -> DataFrame:
     """Deterministic second snapshot: rows with custkey%13==0 deleted,
     acctbal bumped +100 where custkey%7==0, and a cloned insert (key
-    offset by 1e6, balance reset) for custkey%17==0."""
+    offset by 1e12, balance reset) for custkey%17==0."""
     survivors = cust.where(F.col("c_custkey") % 13 != 0).withColumn(
         "c_acctbal",
         F.when(
             F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0
         ).otherwise(F.col("c_acctbal")),
     )
+    # insert-clone keys offset by 1e12: beyond any customer key at any
+    # realistic SF (150k×SF), so simulated inserts can never collide
+    # with a real primary key and corrupt the classification
     inserts = cust.where(F.col("c_custkey") % 17 == 0).select(
-        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        (F.col("c_custkey") + 1_000_000_000_000).alias("c_custkey"),
         "c_name",
         "c_nationkey",
         F.lit(0.0).alias("c_acctbal"),
@@ -253,7 +256,7 @@ _SQL_V2 = """
          c_mktsegment
   FROM customer WHERE c_custkey % 13 <> 0
   UNION ALL
-  SELECT c_custkey + 1000000, c_name, c_nationkey, 0.0, c_mktsegment
+  SELECT c_custkey + 1000000000000, c_name, c_nationkey, 0.0, c_mktsegment
   FROM customer WHERE c_custkey % 17 = 0
 """
 

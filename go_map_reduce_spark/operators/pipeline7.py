@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from go_map_reduce_spark.catalog import load_table
+from go_map_reduce_spark.operators.graph import sql_knn_graph_ctes
 from go_map_reduce_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -47,28 +48,8 @@ def _sql_peel(prev: str, it: int) -> str:
 @query(
     "kcore_suppliers",
     oracle=f"""
-    WITH spk AS (
-      SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
-                      CAST(l_partkey AS BIGINT) AS p
-      FROM lineitem WHERE l_partkey % {KCORE_PART_MOD} = 0
-    ),
-    w AS (
-      SELECT a.s AS src, b.s AS dst, COUNT(*) AS shared
-      FROM spk a JOIN spk b ON a.p = b.p AND a.s <> b.s
-      GROUP BY a.s, b.s
-    ),
-    knn AS (
-      SELECT src, dst FROM (
-        SELECT src, dst,
-               row_number() OVER (PARTITION BY src
-                                  ORDER BY shared DESC, dst) AS rk
-        FROM w
-      ) WHERE rk <= {KCORE_KNN}
-    ),
-    eu AS (
-      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM knn
-    ),
-    edges AS (SELECT a AS src, b AS dst FROM eu UNION ALL SELECT b, a FROM eu),
+    WITH {sql_knn_graph_ctes(KCORE_KNN, KCORE_PART_MOD)},
+    edges AS (SELECT src, dst FROM eu UNION ALL SELECT dst, src FROM eu),
     k0 AS (SELECT src AS node FROM edges GROUP BY src),
     {','.join(_sql_peel(f'k{i}', i + 1) for i in range(KCORE_ROUNDS))}
     SELECT node, CAST(deg AS BIGINT) AS deg
@@ -98,34 +79,11 @@ def kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     loops stay un-checkpointed (plan depth is bounded); an
     until-fixpoint peel would take the PR_CKPT_EVERY cadence
     (graph.py:133) plus a per-round survivor count as the stop test."""
-    from pyspark.sql import Window
+    from go_map_reduce_spark.operators.graph import knn_cosupply_edges
 
-    sp = (
-        load_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_partkey") % KCORE_PART_MOD == 0)
-        .select(
-            F.col("l_suppkey").cast("long").alias("s"),
-            F.col("l_partkey").cast("long").alias("p"),
-        )
-        .distinct()
-        .persist()  # self-joined below
-    )
-    a, b = sp.alias("a"), sp.alias("b")
-    w = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") != F.col("b.s")))
-        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    rk = F.row_number().over(
-        Window.partitionBy("src").orderBy(F.desc("shared"), F.asc("dst"))
-    )
-    knn = w.withColumn("rk", rk).where(F.col("rk") <= KCORE_KNN)
-    eu = knn.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
+    eu = knn_cosupply_edges(spark, sf_dir, KCORE_KNN, KCORE_PART_MOD)
     edges = (
-        eu.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .union(eu.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        eu.union(eu.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .persist()  # re-filtered every round
     )
     alive = edges.select(F.col("src").alias("node")).distinct()

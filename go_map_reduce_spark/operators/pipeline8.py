@@ -259,29 +259,14 @@ LPA_ROUNDS = 3
 LPA_KNN = 3
 LPA_PART_MOD = 4
 
+from go_map_reduce_spark.operators.graph import (  # noqa: E402
+    knn_cosupply_edges,
+    sql_knn_graph_ctes,
+)
+
 _SQL_LPA_GRAPH = f"""
-    spg AS (
-      SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
-                      CAST(l_partkey AS BIGINT) AS p
-      FROM lineitem WHERE l_partkey % {LPA_PART_MOD} = 0
-    ),
-    wg AS (
-      SELECT a.s AS src, b.s AS dst, COUNT(*) AS shared
-      FROM spg a JOIN spg b ON a.p = b.p AND a.s <> b.s
-      GROUP BY a.s, b.s
-    ),
-    knng AS (
-      SELECT src, dst FROM (
-        SELECT src, dst,
-               row_number() OVER (PARTITION BY src
-                                  ORDER BY shared DESC, dst) AS rk
-        FROM wg
-      ) WHERE rk <= {LPA_KNN}
-    ),
-    eug AS (
-      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM knng
-    ),
-    edges AS (SELECT a AS src, b AS dst FROM eug UNION ALL SELECT b, a FROM eug),
+    {sql_knn_graph_ctes(LPA_KNN, LPA_PART_MOD)},
+    edges AS (SELECT src, dst FROM eu UNION ALL SELECT dst, src FROM eu),
     l0 AS (SELECT src AS node, src AS label FROM edges GROUP BY src)
 """
 
@@ -330,32 +315,9 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     all partitioned by node key, layout reused across rounds. Fixed
     depth ⇒ bounded plan; an until-stable run takes the checkpoint
     cadence + vote-change count as the stop test (graph.py:133)."""
-    sp = (
-        load_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_partkey") % LPA_PART_MOD == 0)
-        .select(
-            F.col("l_suppkey").cast("long").alias("s"),
-            F.col("l_partkey").cast("long").alias("p"),
-        )
-        .distinct()
-        .persist()
-    )
-    a, b = sp.alias("a"), sp.alias("b")
-    wcount = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") != F.col("b.s")))
-        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    rk = F.row_number().over(
-        W.partitionBy("src").orderBy(F.desc("shared"), F.asc("dst"))
-    )
-    knn = wcount.withColumn("rk", rk).where(F.col("rk") <= LPA_KNN)
-    eu = knn.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
+    eu = knn_cosupply_edges(spark, sf_dir, LPA_KNN, LPA_PART_MOD)
     edges = (
-        eu.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .union(eu.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        eu.union(eu.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .persist()  # joined every round
     )
     labels = edges.select(F.col("src").alias("node")).distinct().select(

@@ -126,6 +126,11 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"))
         )
         win = pairs.orderBy(F.desc("n"), "a", "b").first()
+        if win is None:
+            # corpus degenerated to single-token sequences: no pairs
+            # left to merge — stop emitting rounds (the SQL oracle's
+            # empty win{it} CTEs degrade identically)
+            break
         a, b, n = win["a"], win["b"], int(win["n"])
         out_rows.append((rnd, f"{a} {b}", n))
         merged = F.aggregate(
@@ -252,8 +257,13 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    # path scoped by the Spark application id: two concurrent sessions
+    # (bench + pytest, parallel CI jobs) can never overwrite each
+    # other's generations mid-scan, while repeat executions within one
+    # session still reuse (and idempotently overwrite) the same dir
     base = os.path.join(
         tempfile.gettempdir(), "gmrs_schema_evolution",
+        spark.sparkContext.applicationId,
         os.path.basename(sf_dir.rstrip("/")),
     )
     cust = load_table(spark, sf_dir, "customer")

@@ -63,6 +63,9 @@ def pruned_exact_topk(
     registered query binds it to the parquet corpus; the pruning pytest
     binds it to a constructed clustered corpus where the bound bites.
     Returns (query_id, neighbor_id, cos_sim, rk)."""
+    # clamp the split so dims <= head_dims can't produce a zero/negative
+    # tail slice (degenerates gracefully: tiny tail → bound ≈ exact)
+    head_dims = max(1, min(head_dims, dims - 1))
     e = emb.select(
         "vec_id",
         "embedding",
@@ -98,7 +101,12 @@ def pruned_exact_topk(
         .groupBy("query_id")
         .agg(F.min("cos_sim").alias("tau"))
     )
-    qt = q.join(tau, "query_id")  # n_query rows: vectors + their floors
+    # LEFT join + coalesce below -1 (the cosine floor): a query whose
+    # probe subset is empty must fall back to brute force (keep every
+    # candidate), not silently vanish from the result
+    qt = q.join(tau, "query_id", "left").withColumn(
+        "tau", F.coalesce(F.col("tau"), F.lit(-2.0))
+    )
     # Stage 2 — bound: head dot + Cauchy–Schwarz tail cap, head_dims/dims
     # of the full multiply-adds. Probes re-enter unconditionally (τ's own
     # evidence must stay in the pool even when its bound is slack-tight).
