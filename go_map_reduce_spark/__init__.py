@@ -53,6 +53,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline12,
     pipeline13,
     pipeline14,
+    pipeline15,
     sqlsurface,
     stats,
     quality_filters,
