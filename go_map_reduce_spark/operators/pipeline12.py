@@ -283,7 +283,12 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     n_hit = mh.join(ex, ["doc_a", "doc_b"]).count()
+    n_exact, n_minhash = ex.count(), mh.count()
+    # counts are materialized — release the cached pair frames so they
+    # don't stay pinned in the CacheManager for the rest of the session
+    mh.unpersist()
+    ex.unpersist()
     return spark.createDataFrame(
-        [(ex.count(), mh.count(), n_hit)],
+        [(n_exact, n_minhash, n_hit)],
         "n_exact: long, n_minhash: long, n_hit: long",
     )

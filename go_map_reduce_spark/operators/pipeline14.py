@@ -59,6 +59,9 @@ def global_price_rank_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
     )
     edges = li.agg(F.percentile("l_extendedprice", F.lit(_BIN_QS)).alias("e"))
+    # consumed twice (per-bin counts + the ranked output): persist so
+    # the scan + bin assignment runs once, and both consumers see the
+    # identical binning
     binned = li.crossJoin(F.broadcast(edges)).select(
         "l_orderkey",
         "l_linenumber",
@@ -66,7 +69,7 @@ def global_price_rank_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             1 + F.size(F.filter("e", lambda x: x < F.col("l_extendedprice")))
         ).alias("bin"),
-    )
+    ).persist()
     counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
     offsets = counts.select(
         "bin",
@@ -96,7 +99,6 @@ def global_price_rank_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 FH_DIM = 1024
-_FH_SPAN = 16**7
 
 
 @query(

@@ -16,7 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from go_map_reduce_spark.catalog import load_table
-from go_map_reduce_spark.operators.graph import sql_knn_graph_ctes
+from go_map_reduce_spark.operators.graph import (
+    knn_cosupply_edges,
+    sql_knn_graph_ctes,
+)
 from go_map_reduce_spark.registry import query
 
 # --------------------------------------------------------------------------
@@ -79,8 +82,6 @@ def kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     loops stay un-checkpointed (plan depth is bounded); an
     until-fixpoint peel would take the PR_CKPT_EVERY cadence
     (graph.py:133) plus a per-round survivor count as the stop test."""
-    from go_map_reduce_spark.operators.graph import knn_cosupply_edges
-
     eu = knn_cosupply_edges(spark, sf_dir, KCORE_KNN, KCORE_PART_MOD)
     edges = (
         eu.union(eu.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

@@ -261,11 +261,25 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (bench + pytest, parallel CI jobs) can never overwrite each
     # other's generations mid-scan, while repeat executions within one
     # session still reuse (and idempotently overwrite) the same dir
-    base = os.path.join(
-        tempfile.gettempdir(), "gmrs_schema_evolution",
-        spark.sparkContext.applicationId,
-        os.path.basename(sf_dir.rstrip("/")),
-    )
+    root = os.path.join(tempfile.gettempdir(), "gmrs_schema_evolution")
+    app_id = spark.sparkContext.applicationId
+    # best-effort cleanup of STALE sessions' dirs, else every run leaves
+    # its generations in /tmp forever. Staleness = dir untouched for 6 h:
+    # a live concurrent session's dir is minutes old, so this never
+    # deletes under an active writer (deleting by app-id != ours alone
+    # would — a foreign id can belong to a session that is still alive)
+    try:
+        import shutil
+        import time
+
+        cutoff = time.time() - 6 * 3600
+        for entry in os.listdir(root):
+            p = os.path.join(root, entry)
+            if entry != app_id and os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+    base = os.path.join(root, app_id, os.path.basename(sf_dir.rstrip("/")))
     cust = load_table(spark, sf_dir, "customer")
     v1 = cust.where(F.col("c_custkey") % 2 == 0).select(
         "c_custkey", "c_mktsegment"

@@ -36,9 +36,13 @@ def test_global_rank_is_a_permutation_and_avoids_global_window(spark, sf_dir):
     )
     import re
 
-    wins = re.findall(r"Arguments:.*windowspecdefinition\(([^)]*)\)", plan)
-    # every window over more than the counts frame carries a partition key
-    assert any("bin" in w for w in wins)
+    wins = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert wins
+    # the window ordering the full total-order key (price column) is the
+    # data-sized one — it MUST carry the bin partition key; the tiny
+    # offsets window (orders by bin alone) is exempt by construction
+    data_wins = [w for w in wins if "l_extendedprice" in w]
+    assert data_wins and all("bin" in w for w in data_wins), wins
 
 
 def test_feature_hashing_reconstructs_token_counts(spark, sf_dir):
