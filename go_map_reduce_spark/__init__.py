@@ -54,6 +54,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline13,
     pipeline14,
     pipeline15,
+    pipeline16,
     sqlsurface,
     stats,
     quality_filters,
