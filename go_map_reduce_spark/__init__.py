@@ -55,6 +55,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline14,
     pipeline15,
     pipeline16,
+    pipeline17,
     sqlsurface,
     stats,
     quality_filters,
