@@ -56,6 +56,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline15,
     pipeline16,
     pipeline17,
+    pipeline18,
     sqlsurface,
     stats,
     quality_filters,
