@@ -57,6 +57,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline16,
     pipeline17,
     pipeline18,
+    pipeline19,
     sqlsurface,
     stats,
     quality_filters,
