@@ -35,32 +35,81 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # previously-green queries out of the window is fine: their evidence
 # persists in the earlier round's artifact.
 _GATE_PRIORITY = [
-    # §2b core apps (reference mrapps/wc.go, mrapps/indexer.go)
-    "wordcount",
-    "inverted_index",
-    "doc_token_counts",
-    "sorted_string_agg",
-    # subquery shapes (TPC-H Q2/Q13/Q18/Q22 analogs)
-    "order_count_distribution",
-    "large_quantity_orders",
-    "idle_rich_customers",
-    "cheapest_supplier_per_part",
-    # text-analysis family
-    "text_quality_scores",
-    "language_id",
-    "token_counts_bpe",
-    "token_array_functions",
-    "doc_fingerprints",
-    "bigram_stats",
-    "tfidf_top_terms",
-    # ANN
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    # streaming
-    "events_stateful_user_totals",
-    "events_hourly_stream",
-    "events_session_windows",
-    "events_purchase_click_stream_join",
+    # -- round-4 window (the 50 rows the r04 gate should spend) --------
+    # the only driver-red row ever (r02, DuckDB HUGEINT dtype artifact;
+    # oracle fixed in-round at operators/relational4.py — this green row
+    # is the proof the fix landed)
+    "q12_priority_linestatus",
+    # TPC-H analogs a reference user hits first (relational5/relational6)
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_promotion_suppliers",
+    "q21_sole_late_suppliers",
+    # closes the A2 scale-weak mark (WindowGroupLimit top-K postings)
+    "inverted_index_topdocs",
+    # the ANN-fed purity tier that replaces the demoted quadratic one
+    "knn_label_purity_ann",
+    # partition-pruning + streaming surface (pytest-green, never gated)
+    "dynamic_partition_pruning",
+    "events_stream_dedup",
+    "events_stream_static_join",
+    "events_sliding_stream",
+    "events_purchase_click_outer_join",
+    "events_incremental_mv",
+    "stream_source_groups",
+    "custom_source_scan",
+    # ungated ANN / retrieval tier
+    "pq_ann_topk",
+    "ann_pruned_exact_topk",
+    "bm25_search_topk",
+    # Spark-4 SQL surface
+    "sql_pipe_revenue",
+    "sql_udf_net_revenue",
+    "listagg_nations",
+    "group_by_all_revenue",
+    "map_functions_surface",
+    "try_arithmetic_ratios",
+    "null_safe_join_segments",
+    "sql_hint_broadcast",
+    "intersect_all_priorities",
+    "union_by_name_mix",
+    "unpivot_lineitem_measures",
+    "null_handling_profile",
+    "quantity_median_mode",
+    # LLM-pipeline operators
+    "pii_redaction",
+    "training_corpus_selection",
+    "sequence_packing",
+    "domain_mix_sampling",
+    "asof_join_nearest",
+    # round-5 analytics batches
+    "trending_parts_weekly",
+    "events_latest_per_user_type",
+    "rfm_customer_segments",
+    "watermark_loss_report",
+    "supplier_concentration_hhi",
+    "regression_price_on_quantity",
+    "events_anomaly_mad",
+    "customer_pareto_share",
+    "chi2_lang_source",
+    "kl_divergence_by_lang",
+    # -- deliberate r05 leftovers (window holds ~50; these 9 are the
+    # least load-bearing — profile/layout/UDTF utilities, each already
+    # pinned by its own differential pytest — and they LEAD r05's
+    # window ahead of any stale-evidence re-gates) ---------------------
+    "feature_hashing_vectors",
+    "orders_column_profile",
+    "region_nation_matrix",
+    "zorder_layout_keys",
+    "embedding_quantization",
+    "doc_chunks_udtf",
+    "doc_leading_tokens_udtf",
+    "arrow_batch_token_stats",
+    "gdpr_erasure_cascade",
 ]
 
 

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from go_map_reduce_spark.catalog import ensure_min_parallelism, load_table
 from go_map_reduce_spark.functions.vector import cosine, norm_sq, sql_cosine, sql_dot
-from go_map_reduce_spark.registry import query
+from go_map_reduce_spark.registry import query, track_cache
 
 # MinHash/LSH configuration: H = B × R signatures; bands of R rows catch
 # pairs with Jaccard ≳ (1/B)^(1/R) ≈ 0.63 with high probability.
@@ -187,7 +187,7 @@ def _spark_bands(sigs: DataFrame) -> DataFrame:
     # the per-row md5/array_min pipeline into EVERY reference (B×R
     # re-evaluations per row — measured 10× slowdown). The signature
     # frame is H×8 bytes/doc, the cheapest thing in the pipeline to hold.
-    sigs = sigs.persist()
+    sigs = sigs.persist().transform(track_cache)
     band_keys = F.array(
         *[
             F.concat_ws(",", *[F.col(f"mh{b * R + r}") for r in range(R)])
@@ -305,7 +305,7 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # smaller than the exploded (doc, shingle) form. At 100 TB the same
     # role is played by materializing the signature table to storage
     # between pipeline stages.
-    docsets = _doc_shingle_sets(spark, sf_dir).persist()
+    docsets = _doc_shingle_sets(spark, sf_dir).persist().transform(track_cache)
     return _near_dup_pairs_from_docsets(docsets)
 
 
@@ -487,7 +487,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One row per doc with the shingle-set array; the exploded relational
     # form (needed for the global df computation + prefix ranking) is
     # derived from it, so the tokenize/shingle work runs once.
-    docsets = _doc_shingle_sets(spark, sf_dir).persist()
+    docsets = _doc_shingle_sets(spark, sf_dir).persist().transform(track_cache)
     sh = docsets.select(
         "doc_id", F.size("shset").alias("sz"), F.explode("shset").alias("shingle")
     )
@@ -723,7 +723,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline): without it the tokenize→slice→concat expression tree is
     inlined into the test explode AND the train distinct — measured
     16 s → ~1 s at sf0.1."""
-    sh = _spark_shingles(spark, sf_dir).persist()
+    sh = _spark_shingles(spark, sf_dir).persist().transform(track_cache)
     test = sh.where(F.col("doc_id") % 10 == 0)
     train = (
         sh.where(F.col("doc_id") % 10 != 0)

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from go_map_reduce_spark.catalog import load_table, register_views
 from go_map_reduce_spark.functions.numeric import dsum, sql_dsum
-from go_map_reduce_spark.registry import query
+from go_map_reduce_spark.registry import query, track_cache
 
 PR_ITERS = 3
 PR_DAMPING = 0.85
@@ -109,12 +109,12 @@ def pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     once (multi-consumer barrier) instead of re-running the
     distinct+union scan per iteration — measured ~10 s → ~3 s at
     sf0.1."""
-    edges = _edges(spark, sf_dir).persist()
+    edges = _edges(spark, sf_dir).persist().transform(track_cache)
     degs = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))
         .select(F.col("src").alias("node"), "deg")
-        .persist()
+        .persist().transform(track_cache)
     )
     # Degree folded INTO the persisted edge frame: the per-iteration
     # dataflow is then edges⋈(node,rank) → one grouped sum — a single
@@ -125,7 +125,7 @@ def pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     # beyond that drop the hint and AQE falls back to a shuffle join.
     edges_deg = edges.join(
         degs, edges.src == degs.node
-    ).select("src", "dst", "deg").persist()
+    ).select("src", "dst", "deg").persist().transform(track_cache)
     n = degs.agg(F.count(F.lit(1)).cast("double").alias("n"))
     ranks = degs.crossJoin(F.broadcast(n)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
@@ -224,7 +224,7 @@ def bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
                         CAST(l_partkey AS BIGINT) + 1000000 AS dst
         FROM lineitem
         """
-    ).persist()
+    ).persist().transform(track_cache)
     return spark.sql(_BFS_SQL)
 
 
@@ -244,7 +244,7 @@ def bfs_frontier_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
     both node-keyed frames sharing the edge table's partitioning; depth
     is bounded, so no lineage checkpoint is needed (cadence rule as in
     pagerank's PR_CKPT_EVERY for deeper traversals)."""
-    edges = _edges(spark, sf_dir).persist()
+    edges = _edges(spark, sf_dir).persist().transform(track_cache)
     seed = spark.range(1).select(
         F.lit(1).cast("long").alias("node"), F.lit(0).cast("int").alias("hop")
     )
@@ -258,7 +258,7 @@ def bfs_frontier_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         frontier = expanded.join(
             visited, "node", "left_anti"
-        ).persist()  # consumed twice: union into visited + next expansion
+        ).persist().transform(track_cache)  # consumed twice: union into visited + next expansion
         visited = visited.unionAll(
             frontier.select("node", F.lit(hop).cast("int").alias("hop"))
         )
@@ -289,7 +289,7 @@ def knn_cosupply_edges(
             F.col("l_partkey").cast("long").alias("p"),
         )
         .distinct()
-        .persist()
+        .persist().transform(track_cache)
     )
     a, b = sp.alias("a"), sp.alias("b")
     w = (
@@ -380,7 +380,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # communities); e is consumed three times by the triangle join —
     # persist it (tiny by construction: ≤ TRI_KNN·|nodes| rows) so the
     # projection + window pipeline runs once, not three times.
-    e = knn_cosupply_edges(spark, sf_dir, TRI_KNN, TRI_PART_MOD).persist()
+    e = knn_cosupply_edges(spark, sf_dir, TRI_KNN, TRI_PART_MOD).persist().transform(track_cache)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.src") == F.col("e1.dst"))

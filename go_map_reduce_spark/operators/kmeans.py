@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from go_map_reduce_spark.catalog import load_table
 from go_map_reduce_spark.functions.vector import sql_dot
-from go_map_reduce_spark.registry import query
+from go_map_reduce_spark.registry import query, track_cache
 
 K = 8
 DIMS = 64
@@ -144,7 +144,7 @@ def kmeans_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means (K=8, 2 Lloyd rounds, first-K init) cluster assignments —
     the IVF index build. See module docstring for the determinism and
     scale design; the oracle replays the identical rounds in SQL."""
-    e = _spark_exploded(spark, sf_dir).persist()
+    e = _spark_exploded(spark, sf_dir).persist().transform(track_cache)
     c = e.where(F.col("vec_id") < K).select(
         F.col("vec_id").alias("cid"), "d", "val"
     )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from go_map_reduce_spark.catalog import load_table
-from go_map_reduce_spark.registry import query
+from go_map_reduce_spark.registry import query, track_cache
 
 # --------------------------------------------------------------------------
 # Exact global rank via bin edges + per-bin offsets (two-phase ranking)
@@ -69,7 +69,7 @@ def global_price_rank_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             1 + F.size(F.filter("e", lambda x: x < F.col("l_extendedprice")))
         ).alias("bin"),
-    ).persist()
+    ).persist().transform(track_cache)
     counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
     offsets = counts.select(
         "bin",

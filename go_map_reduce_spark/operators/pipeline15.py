@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from go_map_reduce_spark.catalog import load_table
-from go_map_reduce_spark.registry import query
+from go_map_reduce_spark.registry import query, track_cache
 
 ERASE_MOD = 97  # deterministic erasure subject set: custkey % 97 == 0
 
@@ -65,7 +65,7 @@ def gdpr_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumed twice (own count + the lineitem hop): persist
     del_orders = orders.join(
         F.broadcast(subjects), orders.o_custkey == subjects.c_custkey, "left_semi"
-    ).select("o_orderkey").persist()
+    ).select("o_orderkey").persist().transform(track_cache)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
     del_lines = li.join(
         F.broadcast(del_orders), li.l_orderkey == del_orders.o_orderkey, "left_semi"

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from go_map_reduce_spark.catalog import load_table
-from go_map_reduce_spark.registry import query
+from go_map_reduce_spark.registry import query, track_cache
 
 # --------------------------------------------------------------------------
 # Weekly trending parts: per-week top-k with rank movement
@@ -63,7 +63,7 @@ def trending_parts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = F.row_number().over(
         W.partitionBy("week").orderBy(F.desc("qty"), F.asc("l_partkey"))
     )
-    ranked = wk.withColumn("rk", rk.cast("long")).persist()  # top + history
+    ranked = wk.withColumn("rk", rk.cast("long")).persist().transform(track_cache)  # top + history
     top = ranked.where(F.col("rk") <= TREND_TOP_K)
     prev = ranked.select(
         F.col("l_partkey").alias("p_prev"),

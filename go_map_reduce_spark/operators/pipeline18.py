@@ -138,9 +138,12 @@ PURITY_K = 5
 PURITY_SAMPLE_MOD = 10  # evaluate on a deterministic 1/10 query sample
 
 
-@query(
-    "knn_label_purity",
-    oracle=f"""
+# Brute-force purity is EVAL-ONLY (not registered): the all-pairs
+# scoring is O(n²/sample) compute and does not survive a 100× scale-up.
+# The registered tier is knn_label_purity_ann below (LSH-candidate-fed,
+# bucket-bounded); this oracle string stays as the pytest cross-check's
+# differential twin (tests/test_round5_pipeline18.py).
+KNN_PURITY_BRUTE_ORACLE = f"""
     WITH e AS (
       SELECT vec_id, embedding, label, {sql_dot('embedding', 'embedding')} AS nsq
       FROM embeddings
@@ -163,8 +166,9 @@ PURITY_SAMPLE_MOD = 10  # evaluate on a deterministic 1/10 query sample
                  / COUNT(*), 6) AS purity
     FROM scored WHERE rk <= {PURITY_K}
     GROUP BY own_label
-    """,
-)
+    """
+
+
 def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN label purity: for every vector, how many of its
     {PURITY_K} nearest neighbors (cosine) share its label — averaged
@@ -182,7 +186,13 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is the query set); at scale the same purity computes over
     ann_lsh_topk / pq_ann_topk candidates instead — the metric is
     agnostic to which neighbor generator feeds it. Per-query top-k is
-    the usual window; the purity aggregate runs on k·n rows."""
+    the usual window; the purity aggregate runs on k·n rows.
+
+    EVAL-ONLY: deliberately NOT registered as a driver query — the
+    registered, scale-honest tier is knn_label_purity_ann (LSH-bucket
+    candidates, join work bounded by bucket size). This function stays
+    as the pytest differential twin (KNN_PURITY_BRUTE_ORACLE) and the
+    small-SF calibration of how much bucketing shifts the metric."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id", "embedding", "label", norm_sq(F.col("embedding")).alias("nsq")
@@ -194,6 +204,113 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nsq").alias("q_nsq"),
     )
     scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "own_label",
+        F.col("label").alias("nb_label"),
+        cosine(
+            F.col("q_emb"), F.col("embedding"), F.col("q_nsq"), F.col("nsq")
+        ).alias("cos_sim"),
+        "vec_id",
+    )
+    rk = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    )
+    top = scored.withColumn("rk", rk).where(F.col("rk") <= PURITY_K)
+    same = F.when(F.col("nb_label") == F.col("own_label"), 1).otherwise(0)
+    return top.groupBy(F.col("own_label").alias("label")).agg(
+        F.count_distinct("qid").alias("n_vectors"),
+        F.sum(same).cast("long").alias("n_same_label"),
+        F.round(
+            F.sum(same.cast("double")) / F.count(F.lit(1)), 6
+        ).alias("purity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN-fed k-NN label purity — the registered, scale-honest tier
+# --------------------------------------------------------------------------
+
+from go_map_reduce_spark.operators.dedup import (  # noqa: E402
+    _SQL_SIGN_BUCKET,
+    SIGN_BUCKET_DIMS,
+)
+
+
+@query(
+    "knn_label_purity_ann",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding, label,
+             {_SQL_SIGN_BUCKET} AS bucket,
+             {sql_dot('embedding', 'embedding')} AS nsq
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id, q.label AS own_label, c.label AS nb_label,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {sql_cosine('q.embedding', 'c.embedding',
+                                    'q.nsq', 'c.nsq')} DESC, c.vec_id
+             ) AS rk
+      FROM e q JOIN e c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+    )
+    SELECT own_label AS label,
+           CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN nb_label = own_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_same_label,
+           round(SUM(CASE WHEN nb_label = own_label THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*), 6) AS purity
+    FROM scored WHERE rk <= {PURITY_K}
+    GROUP BY own_label
+    """,
+)
+def knn_label_purity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label purity over ANN candidates — the production tier of
+    the embedding-quality metric: neighbors come from the sign-bit LSH
+    bucketing (the same candidate generator as similarity.ann_lsh_topk),
+    so the per-query candidate set is one bucket, the join is an
+    equality hash join on the bucket key, and total pair work is
+    Σ bucket² — bounded by bucket size, never corpus². EVERY vector is
+    a query (no sampling needed: the bounded join makes the full sweep
+    affordable — exactly why the brute-force tier above was demoted to
+    eval-only).
+
+    Purity semantics are identical to the brute tier: each query's
+    top-{PURITY_K} bucket-mates by cosine (vec_id tiebreak), fraction
+    sharing the query's label, aggregated per label class. Queries
+    whose bucket holds fewer than {PURITY_K} mates contribute the
+    neighbors they have (count(*) denominator) — at 100 TB that is the
+    honest behavior, not an error: an empty bucket IS the index's
+    answer. The pytest cross-check runs the eval-only brute tier beside
+    this and pins that both report near-chance purity on this
+    noise-dominated corpus (the metric measures, it does not flatter).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = F.concat(
+        *[
+            F.when(F.element_at("embedding", i) > 0, "1").otherwise("0")
+            for i in range(1, SIGN_BUCKET_DIMS + 1)
+        ]
+    )
+    e = emb.select(
+        "vec_id",
+        "embedding",
+        "label",
+        bucket.alias("bucket"),
+        norm_sq(F.col("embedding")).alias("nsq"),
+    )
+    q = e.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("own_label"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    scored = e.join(
+        q,
+        (F.col("bucket") == F.col("q_bucket"))
+        & (F.col("vec_id") != F.col("qid")),
+    ).select(
         "qid",
         "own_label",
         F.col("label").alias("nb_label"),

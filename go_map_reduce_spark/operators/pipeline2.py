@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from go_map_reduce_spark.catalog import load_table
 from go_map_reduce_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
-from go_map_reduce_spark.registry import query
+from go_map_reduce_spark.registry import query, track_cache
 
 
 # --------------------------------------------------------------------------
@@ -271,7 +271,7 @@ def bloom_contamination_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id", F.explode(F.array_distinct(shingle_arr)).alias("shingle"))
     )
     h = F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
-    hashed = sh.select("doc_id", "shingle", h.alias("h")).persist()
+    hashed = sh.select("doc_id", "shingle", h.alias("h")).persist().transform(track_cache)
     pos_cols = [
         ((F.lit(a) * F.col("h") + F.lit(b)) % BLOOM_BITS).alias(f"p{j}")
         for j, (a, b) in enumerate(BLOOM_SEEDS)

@@ -20,7 +20,7 @@ from go_map_reduce_spark.operators.graph import (
     knn_cosupply_edges,
     sql_knn_graph_ctes,
 )
-from go_map_reduce_spark.registry import query
+from go_map_reduce_spark.registry import query, track_cache
 
 # --------------------------------------------------------------------------
 # k-core: iterative degree peeling on the k-NN co-supply graph
@@ -85,7 +85,7 @@ def kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     eu = knn_cosupply_edges(spark, sf_dir, KCORE_KNN, KCORE_PART_MOD)
     edges = (
         eu.union(eu.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .persist()  # re-filtered every round
+        .persist().transform(track_cache)  # re-filtered every round
     )
     alive = edges.select(F.col("src").alias("node")).distinct()
     survivors = None
@@ -104,7 +104,7 @@ def kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # the survivor frame feeds BOTH semi-joins of the next round:
         # persist so each round executes once, not 2^rounds times
-        alive = survivors.select("node").persist()
+        alive = survivors.select("node").persist().transform(track_cache)
     return survivors.select("node", F.col("deg").cast("long").alias("deg"))
 
 

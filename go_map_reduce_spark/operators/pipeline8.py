@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from go_map_reduce_spark.catalog import load_table
 from go_map_reduce_spark.functions.numeric import dsum, sql_dsum
 from go_map_reduce_spark.functions.vector import dot_product, sql_dot
-from go_map_reduce_spark.registry import query
+from go_map_reduce_spark.registry import query, track_cache
 
 # --------------------------------------------------------------------------
 # Event-type transition matrix (first-order Markov estimate)
@@ -318,7 +318,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     eu = knn_cosupply_edges(spark, sf_dir, LPA_KNN, LPA_PART_MOD)
     edges = (
         eu.union(eu.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .persist()  # joined every round
+        .persist().transform(track_cache)  # joined every round
     )
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")

@@ -99,13 +99,23 @@ def pruned_exact_topk(
         probe_scored.withColumn("rk", F.row_number().over(wp))
         .where(F.col("rk") <= top_k)
         .groupBy("query_id")
-        .agg(F.min("cos_sim").alias("tau"))
+        .agg(F.min("cos_sim").alias("tau"), F.count(F.lit(1)).alias("n_probe"))
     )
-    # LEFT join + coalesce below -1 (the cosine floor): a query whose
-    # probe subset is empty must fall back to brute force (keep every
-    # candidate), not silently vanish from the result
-    qt = q.join(tau, "query_id", "left").withColumn(
-        "tau", F.coalesce(F.col("tau"), F.lit(-2.0))
+    # LEFT join + a floor below -1 (the cosine floor): τ is only
+    # admissible when the probe subset yielded a FULL top_k — with fewer
+    # than k probe scores, min-over-fewer can exceed the true k-th best
+    # and would prune true neighbors. Both the empty-probe case (NULL
+    # after the left join) and the short-probe case (n_probe < top_k)
+    # fall back to keep-everything brute force.
+    qt = (
+        q.join(tau, "query_id", "left")
+        .withColumn(
+            "tau",
+            F.when(F.col("n_probe") >= top_k, F.col("tau")).otherwise(
+                F.lit(-2.0)
+            ),
+        )
+        .drop("n_probe")
     )
     # Stage 2 — bound: head dot + Cauchy–Schwarz tail cap, head_dims/dims
     # of the full multiply-adds. Probes re-enter unconditionally (τ's own

@@ -26,6 +26,39 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# ---------------------------------------------------------------------------
+# Caller-owned persist lifecycle.
+#
+# Query functions return LAZY DataFrames, so a persist that the returned
+# plan depends on cannot be released inside the function (nothing has
+# materialized yet).  Functions register such frames with track_cache();
+# whoever materializes the result (bench.py, the pytest harness, the CLI)
+# calls release_caches() afterwards.  Operators that materialize
+# internally (e.g. minhash_recall_eval's counts) keep unpersisting
+# inline — this registry is only for persists that must outlive the
+# function call.
+# ---------------------------------------------------------------------------
+
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def track_cache(df: DataFrame) -> DataFrame:
+    """Register a persisted frame for caller-owned release; returns it."""
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every tracked frame (newest first); returns how many."""
+    n = len(_LIVE_CACHES)
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
+
 
 def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query (and optionally its DuckDB oracle SQL).

@@ -21,3 +21,13 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_ORACLE
+
+
+@pytest.fixture(autouse=True)
+def _release_tracked_caches():
+    """Caller-owned persist lifecycle (registry.track_cache): tests are
+    the caller, so free each test's tracked frames after it runs."""
+    yield
+    from go_map_reduce_spark.registry import release_caches
+
+    release_caches()

@@ -1,0 +1,129 @@
+"""Regression pin for the gate's stale-evidence re-entry logic
+(__spark_entry__._evidenced / _ordered).
+
+The driver's ~50-row correctness window is scheduled by
+__spark_entry__: never-evidenced queries first, then queries whose
+prior green evidence went STALE because a module they depend on
+changed since the round that produced the evidence (git-blob
+comparison against the artifact's commit).  These tests build a REAL
+throwaway git repo (not mocks of git) with a synthetic CORRECTNESS
+artifact and verify that:
+
+- unchanged module        → evidence stays valid (query sits last),
+- edited module           → query re-enters the window as stale,
+- edited intra-package dep → same (the _tracked_paths attribution),
+- a never-evidenced query  → strictly precedes the stale one.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+
+import pytest
+
+import __spark_entry__ as gate
+
+MOD_REL = os.path.join("go_map_reduce_spark", "operators", "fakemod.py")
+DEP_REL = os.path.join("go_map_reduce_spark", "operators", "fakedep.py")
+
+MOD_SRC = (
+    "from go_map_reduce_spark.operators.fakedep import helper\n"
+    "def the_query(spark, sf_dir):\n"
+    "    return helper()\n"
+)
+DEP_SRC = "def helper():\n    return 42\n"
+
+
+def _git(cwd, *args):
+    subprocess.run(
+        ["git", "-C", cwd, *args], check=True, capture_output=True, text=True
+    )
+
+
+@pytest.fixture()
+def fake_repo(tmp_path, monkeypatch):
+    """Throwaway git repo with one evidenced query ('fakeq') whose
+    implementation is fakemod.py (importing fakedep.py), committed
+    together with a green CORRECTNESS_r01.json row."""
+    repo = tmp_path / "repo"
+    os.makedirs(repo / "go_map_reduce_spark" / "operators")
+    (repo / MOD_REL).write_text(MOD_SRC)
+    (repo / DEP_REL).write_text(DEP_SRC)
+    (repo / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "fakeq": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": True,
+                    "spark_rows": 1,
+                    "oracle_rows": 1,
+                    "err": None,
+                }
+            }
+        )
+    )
+    _git(repo, "init", "-q")
+    _git(repo, "-c", "user.email=t@t", "-c", "user.name=t", "add", "-A")
+    _git(
+        repo, "-c", "user.email=t@t", "-c", "user.name=t",
+        "commit", "-q", "-m", "round 1 artifacts",
+    )
+
+    # Point the gate at the throwaway repo and at a query registry whose
+    # single entry maps to fakemod.py.  _module_relpath resolves via
+    # sys.modules, so substitute it directly (the path mapping is not
+    # what's under test — the git staleness comparison is).
+    monkeypatch.setattr(gate, "_HERE", str(repo))
+    monkeypatch.setattr(
+        gate, "_module_relpath", lambda name: MOD_REL if name == "fakeq" else None
+    )
+    _clear_caches()
+    yield repo
+    _clear_caches()
+
+
+def _clear_caches():
+    gate._artifact_commit.cache_clear()
+    gate._blob_at.cache_clear()
+    gate._current_source.cache_clear()
+    gate._tracked_paths.cache_clear()
+    gate._evidenced.cache_clear()
+
+
+def test_unchanged_module_keeps_evidence_valid(fake_repo):
+    valid, stale = gate._evidenced()
+    assert "fakeq" in valid and "fakeq" not in stale
+    # and _ordered puts the evidenced query LAST, behind unevidenced
+    order = list(gate._ordered({"fakeq": 1, "neverq": 2}))
+    assert order == ["neverq", "fakeq"]
+
+
+def test_edited_module_reenters_window(fake_repo):
+    (fake_repo / MOD_REL).write_text(MOD_SRC + "\n# changed behavior\n")
+    _clear_caches()
+    valid, stale = gate._evidenced()
+    assert "fakeq" in stale and "fakeq" not in valid
+    # stale re-enters the window but NEVER crowds out a brand-new query
+    order = list(gate._ordered({"fakeq": 1, "neverq": 2}))
+    assert order == ["neverq", "fakeq"]
+
+
+def test_edited_intra_package_dep_reenters_window(fake_repo):
+    """fakemod.py is untouched; only the module it imports changed —
+    the _tracked_paths source scan must attribute the edit to fakeq."""
+    (fake_repo / DEP_REL).write_text("def helper():\n    return 43\n")
+    _clear_caches()
+    _valid, stale = gate._evidenced()
+    assert "fakeq" in stale
+
+
+def test_reverting_the_edit_restores_validity(fake_repo):
+    (fake_repo / MOD_REL).write_text(MOD_SRC + "\n# changed\n")
+    _clear_caches()
+    assert "fakeq" in gate._evidenced()[1]
+    (fake_repo / MOD_REL).write_text(MOD_SRC)
+    _clear_caches()
+    assert "fakeq" in gate._evidenced()[0]

@@ -65,3 +65,23 @@ def test_transform_with_state_gated():
     from go_map_reduce_spark.streaming.stateful import _protobuf_available
 
     assert ("events_transform_with_state" in QUERIES) == _protobuf_available()
+
+
+def test_transform_with_state_executes_where_protobuf_exists(spark, sf_dir):
+    """The moment the environment grows a protobuf package, the Spark-4
+    typed-state API gets an EXECUTED differential artifact (not just a
+    registration gate): run the streaming query to completion and
+    compare against its batch SQL oracle. Skips-with-reason where the
+    runner's wire dependency is absent (this container)."""
+    from go_map_reduce_spark.streaming.stateful import (
+        _TWS_ORACLE,
+        _protobuf_available,
+        events_transform_with_state,
+    )
+
+    if not _protobuf_available():
+        pytest.skip(
+            "google.protobuf not importable: transformWithStateInPandas' "
+            "Python runner cannot start in this container (SURVEY §11)"
+        )
+    compare(events_transform_with_state(spark, sf_dir), _TWS_ORACLE, sf_dir)

@@ -154,3 +154,17 @@ def test_revenue_share_dims_broadcast(spark, sf_dir):
     plan = _plan(spark, "revenue_share_within_region", sf_dir)
     assert plan.count("BroadcastHashJoin") == 3
     assert "SortMergeJoin" not in plan
+
+
+def test_ann_purity_is_equality_join_with_bounded_window(spark, sf_dir):
+    """knn_label_purity_ann must candidate via an EQUALITY join on the
+    LSH bucket key (hash- or sort-merge-joinable — never a cartesian /
+    broadcast-nested-loop over the corpus) and pre-prune the per-query
+    top-k with WindowGroupLimit before the rank shuffle."""
+    plan = _plan(spark, "knn_label_purity_ann", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "WindowGroupLimit" in plan

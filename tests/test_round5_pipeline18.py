@@ -10,7 +10,7 @@ from tests.oracle_util import compare
 NAMES = [
     "events_latest_per_user_type",
     "rfm_customer_segments",
-    "knn_label_purity",
+    "knn_label_purity_ann",
 ]
 
 
@@ -61,13 +61,29 @@ def test_rfm_cells_partition_customers(spark, sf_dir):
         assert all(1 <= int(x) <= 5 for x in (a, b, c))
 
 
+def test_brute_purity_matches_its_oracle(spark, sf_dir):
+    """The eval-only brute tier (demoted from the driver registry — its
+    all-pairs scoring is the quadratic path) stays differentially
+    pinned against its DuckDB twin here."""
+    from go_map_reduce_spark.operators.pipeline18 import (
+        KNN_PURITY_BRUTE_ORACLE,
+        knn_label_purity,
+    )
+
+    compare(knn_label_purity(spark, sf_dir), KNN_PURITY_BRUTE_ORACLE, sf_dir)
+
+
 def test_purity_bounds_and_coverage(spark, sf_dir):
     """Purity in [0,1] per class; every vector contributes; on this
     noise-dominated corpus purity sits near chance (documented in the
-    operator — the metric reports, it does not flatter)."""
-    from go_map_reduce_spark.operators.pipeline18 import PURITY_SAMPLE_MOD
+    operator — the metric reports, it does not flatter). Runs the
+    EVAL-ONLY brute tier (function call, not registry)."""
+    from go_map_reduce_spark.operators.pipeline18 import (
+        PURITY_SAMPLE_MOD,
+        knn_label_purity,
+    )
 
-    rows = QUERIES["knn_label_purity"](spark, sf_dir).collect()
+    rows = knn_label_purity(spark, sf_dir).collect()
     assert rows
     con = duckdb.connect()
     con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'")
@@ -83,3 +99,15 @@ def test_purity_bounds_and_coverage(spark, sf_dir):
     n_total = sum(per_label.values())
     mean_purity = sum(r["purity"] * r["n_vectors"] for r in rows) / n_total
     assert mean_purity < 0.5  # noise corpus: far from perfectly clustered
+
+
+def test_ann_purity_near_chance_like_brute(spark, sf_dir):
+    """The registered ANN-fed tier reports the same qualitative verdict
+    as the brute tier on this noise corpus: near-chance mean purity.
+    (Exact equality is not expected — bucketing changes the neighbor
+    sets — but the METRIC must not flatter under either generator.)"""
+    rows = QUERIES["knn_label_purity_ann"](spark, sf_dir).collect()
+    assert rows
+    n_total = sum(r["n_vectors"] for r in rows)
+    mean_purity = sum(r["purity"] * r["n_vectors"] for r in rows) / n_total
+    assert 0.0 <= mean_purity < 0.5

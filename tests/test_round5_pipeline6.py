@@ -280,3 +280,70 @@ def test_pruned_ann_bound_prunes_clustered_data(spark):
         | (F.col("vec_id") % s2.PRUNE_PROBE_MOD == 0)
     ).count()
     assert n_kept < n_total * 0.5, (n_kept, n_total)
+
+
+def test_pruned_ann_short_probe_falls_back_to_brute_force(spark):
+    """τ admissibility when the probe subset is non-empty but smaller
+    than top_k: min over fewer than k probe scores can EXCEED the true
+    k-th best, so pruning with it would drop true neighbors. The
+    fallback (n_probe < top_k → τ = -2, keep everything) must make the
+    result bit-identical to brute force.
+
+    Adversarial construction: the two probe vectors are near-copies of
+    the query (probe scores ≈ 1), every other vector is head-orthogonal
+    to the query with a tiny tail (bound ≈ ε ≪ 1) — an inadmissible τ
+    of ≈1 would eliminate all of them even though they fill the true
+    top-k."""
+    from pyspark.sql import Window as W
+
+    from go_map_reduce_spark.functions.vector import cosine, norm_sq
+    from go_map_reduce_spark.operators import similarity2 as s2
+
+    dims, probe_mod, top_k = 32, 8, 8
+    rows = []
+    for i in range(20):
+        vec = [0.0] * dims
+        if i == 0 or i % probe_mod == 0:  # query + probes: all-tail mass
+            vec[dims - 1] = 1.0
+            vec[dims - 2] = 0.001 * i  # probes not exactly the query
+        else:  # everyone else: head mass + tiny aligned tail
+            vec[0] = 1.0
+            vec[dims - 1] = 0.01
+        rows.append((i, [float(x) for x in vec]))
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+    got = s2.pruned_exact_topk(
+        emb, dims=dims, n_query=1, top_k=top_k, probe_mod=probe_mod
+    ).collect()
+
+    e = emb.select("vec_id", "embedding", norm_sq(F.col("embedding")).alias("nsq"))
+    q = e.where(F.col("vec_id") < 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    brute = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(
+                F.col("q_emb"), F.col("embedding"), F.col("q_nsq"), F.col("nsq")
+            ).alias("cos_sim"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(
+                W.partitionBy("query_id").orderBy(
+                    F.desc("cos_sim"), F.asc("neighbor_id")
+                )
+            )
+            .cast("long"),
+        )
+        .where(F.col("rk") <= top_k)
+        .collect()
+    )
+    assert len(brute) == top_k  # the corpus really does fill the top-k
+    key = lambda t: (t[0], t[3])  # noqa: E731
+    assert sorted(map(tuple, got), key=key) == sorted(map(tuple, brute), key=key)

@@ -79,8 +79,14 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
+    from go_map_reduce_spark.registry import release_caches
+
     n_fail = 0
     for name in names:
+        # free the previous query's tracked persists (caller-owned
+        # lifecycle) regardless of how that query exited
+        release_caches()
+        spark.catalog.clearCache()
         if name not in QUERIES:
             print(f"{name}: NOT REGISTERED")
             n_fail += 1
@@ -121,6 +127,7 @@ def main() -> int:
             n_fail += 1
         else:
             print(f"{name}: OK ({len(ra)} rows)")
+    release_caches()
     spark.stop()
     print(f"\n{n_fail} failures / {len(names)} checked")
     return 1 if n_fail else 0
