@@ -58,6 +58,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline17,
     pipeline18,
     pipeline19,
+    pipeline20,
     sqlsurface,
     stats,
     quality_filters,
