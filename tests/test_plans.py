@@ -168,3 +168,25 @@ def test_ann_purity_is_equality_join_with_bounded_window(spark, sf_dir):
         "BroadcastHashJoin" in plan
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_every_oracle_parses_and_binds(sf_dir):
+    """Registry-wide oracle sanity: every DuckDB oracle must parse and
+    bind against the table schemas (EXPLAIN — no execution). Catches a
+    typo'd column or stale table reference in ANY oracle immediately,
+    instead of on the round driver's gate run."""
+    import duckdb
+
+    from go_map_reduce_spark.catalog import TABLES
+    from go_map_reduce_spark.registry import ORACLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    bad = []
+    for name, sql in ORACLES.items():
+        try:
+            con.sql(f"EXPLAIN {sql}")
+        except Exception as e:  # noqa: BLE001
+            bad.append((name, f"{type(e).__name__}: {e}"))
+    assert not bad, bad
