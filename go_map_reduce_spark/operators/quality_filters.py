@@ -284,3 +284,93 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"),
         (F.col("cum").cast("double") / F.col("n_total")).alias("coverage"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram (conditional) language-model scoring
+# --------------------------------------------------------------------------
+
+BIGRAM_ADD_K = 0.5  # add-k smoothing mass per (context, word) cell
+
+
+@query(
+    "bigram_logprob_scores",
+    oracle=f"""
+    WITH ta AS (SELECT doc_id, {TOK_SQL} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, toks[i] AS prev, toks[i + 1] AS w
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM ta)
+    ),
+    big AS (SELECT prev, w, COUNT(*) AS c FROM bg GROUP BY prev, w),
+    ctx AS (SELECT prev, COUNT(*) AS n_ctx FROM bg GROUP BY prev),
+    vocab AS (
+      SELECT COUNT(DISTINCT word) AS v
+      FROM (SELECT unnest(toks) AS word FROM ta)
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           {sql_dsum(f'''round(ln((CAST(g.c AS DOUBLE) + {BIGRAM_ADD_K})
+                     / (CAST(x.n_ctx AS DOUBLE) + {BIGRAM_ADD_K} * v)), 6)''')}
+             / COUNT(*) AS mean_logprob
+    FROM bg b
+    JOIN big g ON g.prev = b.prev AND g.w = b.w
+    JOIN ctx x ON x.prev = b.prev
+    CROSS JOIN vocab
+    GROUP BY b.doc_id
+    """,
+)
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean CONDITIONAL log-probability per document under an add-k
+    smoothed bigram LM trained on the corpus itself — the next step up
+    from `unigram_logprob_scores` toward the 5-gram KenLM scoring that
+    CCNet/Gopher run: P(w | prev) = (C(prev,w) + k) / (C(prev) + k·V),
+    so the score now reacts to word ORDER (a shuffled document keeps
+    its unigram score but collapses here), which is exactly what the
+    plausibility filter is for.
+
+    Dataflow: one explode pass emits (doc_id, prev, w) via two shifted
+    array slices (per-row, no self-join); the bigram and context count
+    tables aggregate off that same frame and join back broadcast
+    (model ≪ corpus — at vocabulary scales where the bigram table
+    outgrows broadcast, the same plan hash-joins on (prev, w) with the
+    token stream already partitioned by prev from the context join).
+    Smoothing constants: V is the corpus vocabulary size (1-row
+    broadcast); k = {BIGRAM_ADD_K}. Per-bigram ln() rounds to 6 dp
+    before an exact decimal mean — the module's standard
+    transcendental-tail discipline, bit-identical to the DuckDB twin.
+    Docs with fewer than two tokens contribute no row (no bigrams —
+    same convention as the oracle's inner join)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ta = docs.select("doc_id", _toks().alias("toks"))
+    n = F.size("toks")
+    bg = ta.where(n >= 2).select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, n - 1).alias("prev"),
+                F.slice("toks", 2, n - 1).alias("w"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.prev").alias("prev"), F.col("p.w").alias("w"))
+    big = bg.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c"))
+    ctx = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("n_ctx"))
+    vocab = ta.select(F.explode("toks").alias("word")).agg(
+        F.count_distinct("word").alias("v")
+    )
+    logp = F.round(
+        F.log(
+            (F.col("c").cast("double") + F.lit(BIGRAM_ADD_K))
+            / (F.col("n_ctx").cast("double") + F.lit(BIGRAM_ADD_K) * F.col("v"))
+        ),
+        6,
+    )
+    return (
+        bg.join(F.broadcast(big), ["prev", "w"])
+        .join(F.broadcast(ctx), "prev")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (dsum(logp) / F.count(F.lit(1))).alias("mean_logprob"),
+        )
+    )
