@@ -40,6 +40,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     graph,
     kmeans,
     multimodal,
+    multimodal_jpeg,
     pipeline2,
     pipeline3,
     pipeline4,

@@ -1,0 +1,364 @@
+"""Dependency-free baseline JPEG (ITU-T T.81) grayscale codec.
+
+Everything here is the public T.81 machinery, implemented fresh:
+marker segments (SOI/APP0/DQT/SOF0/DHT/SOS/EOI), zigzag ordering
+(generated algorithmically, not a hand-typed table), quantization,
+2-D DCT/IDCT as numpy matrix products, DC differential coding,
+run-length AC coding with EOB/ZRL, canonical Huffman code
+construction from (BITS, HUFFVAL) per Annex C, and entropy-coded-
+segment byte stuffing (0xFF -> 0xFF 0x00).
+
+The Huffman tables are NOT the Annex K examples: the encoder emits its
+own complete canonical tables (all 12 DC categories at 4 bits, all 162
+AC symbols at 8 bits) and ships them in DHT — which is exactly what
+forces the decoder to BUILD its tables from the bitstream the way
+every real JPEG decoder must, instead of special-casing known
+constants.
+
+Scope: baseline sequential DCT, 8-bit, single (grayscale) component,
+no subsampling, dimensions padded to 8x8 blocks by edge replication.
+Color/JPEG-progressive remain out of scope (multimodal.decode_image
+keeps its PIL gate for those).
+"""
+
+from __future__ import annotations
+
+import struct
+
+# --------------------------------------------------------------------------
+# zigzag order (generated, 64 entries: zigzag index -> (row, col))
+# --------------------------------------------------------------------------
+
+
+def _zigzag_order() -> list[tuple[int, int]]:
+    order = []
+    r = c = 0
+    for _ in range(64):
+        order.append((r, c))
+        if (r + c) % 2 == 0:  # moving up-right
+            if c == 7:
+                r += 1
+            elif r == 0:
+                c += 1
+            else:
+                r -= 1
+                c += 1
+        else:  # moving down-left
+            if r == 7:
+                c += 1
+            elif c == 0:
+                r += 1
+            else:
+                r += 1
+                c -= 1
+    return order
+
+
+ZIGZAG = _zigzag_order()
+
+# --------------------------------------------------------------------------
+# Huffman tables: complete canonical specs shipped via DHT
+# --------------------------------------------------------------------------
+
+# DC: 12 category symbols (0..11), every code 4 bits long.
+DC_BITS = [0, 0, 0, 12] + [0] * 12
+DC_VALS = list(range(12))
+
+# AC: the 162 baseline symbols — EOB (0x00), ZRL (0xF0) and
+# (run 0..15, size 1..10) — every code 8 bits long.
+AC_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+AC_BITS = [0] * 7 + [len(AC_VALS)] + [0] * 8
+
+
+def build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Annex-C canonical construction: symbol -> (code, length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def build_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for bit-serial decoding."""
+    return {
+        (length, code): sym for sym, (code, length) in build_codes(bits, vals).items()
+    }
+
+
+# --------------------------------------------------------------------------
+# bit IO with entropy-segment byte stuffing
+# --------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((code >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self._acc = 0
+                self._n = 0
+
+    def flush(self) -> None:
+        while self._n:  # pad with 1-bits per T.81 F.1.2.3
+            self.write(1, 1)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError("marker inside entropy-coded segment")
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+
+def _category(v: int) -> int:
+    s = 0
+    a = abs(v)
+    while a:
+        a >>= 1
+        s += 1
+    return s
+
+
+# --------------------------------------------------------------------------
+# encoder
+# --------------------------------------------------------------------------
+
+
+def _dct_matrix():
+    import math
+
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return m
+
+
+def encode_jpeg_gray(
+    width: int, height: int, pixels: bytes, quant: list[int] | None = None
+) -> bytes:
+    """Encode 8-bit grayscale pixels (row-major, ``width*height`` bytes)
+    as a baseline JFIF stream. ``quant`` is the 64-entry quantization
+    table in natural (row-major) order; default all-ones (maximum
+    fidelity — constant blocks round-trip exactly)."""
+    import numpy as np
+
+    quant = quant or [1] * 64
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    # pad to 8x8 multiples by edge replication
+    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    img = np.pad(img, ((0, ph - height), (0, pw - width)), mode="edge")
+    m = _dct_matrix()
+    q = np.array(quant, dtype=np.float64).reshape(8, 8)
+
+    dc_codes = build_codes(DC_BITS, DC_VALS)
+    ac_codes = build_codes(AC_BITS, AC_VALS)
+    w = _BitWriter()
+    prev_dc = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64)
+            coef = m @ (block - 128.0) @ m.T
+            qc = np.rint(coef / q).astype(np.int64)
+            zz = [int(qc[r, c]) for (r, c) in ZIGZAG]
+            # DC differential
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            s = _category(diff)
+            code, length = dc_codes[s]
+            w.write(code, length)
+            if s:
+                w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            # AC run-length
+            k, run = 1, 0
+            while k < 64:
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                else:
+                    while run > 15:
+                        zc, zl = ac_codes[0xF0]  # ZRL
+                        w.write(zc, zl)
+                        run -= 16
+                    s = _category(v)
+                    code, length = ac_codes[(run << 4) | s]
+                    w.write(code, length)
+                    w.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                k += 1
+            if run:
+                ec, el = ac_codes[0x00]  # EOB
+                w.write(ec, el)
+    w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zz_quant = bytes(quant[r * 8 + c] for (r, c) in ZIGZAG)
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + zz_quant)  # DQT, table 0, 8-bit
+    out += seg(
+        0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    )  # SOF0: 1 component, no subsampling
+    out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))  # DHT DC 0
+    out += seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))  # DHT AC 0
+    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+    out += bytes(w.out)
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+# --------------------------------------------------------------------------
+# decoder
+# --------------------------------------------------------------------------
+
+
+def decode_jpeg_gray(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline single-component JPEG: marker walk, DQT/DHT
+    table builds, Huffman entropy decode with DC prediction, dequantize,
+    dezigzag, IDCT, level shift, clamp, crop. Returns (width, height,
+    bits-per-pixel, row-major gray bytes)."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    quant = None
+    width = height = None
+    dc_map = ac_map = None
+    scan_at = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        data = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:  # DQT
+            if data[0] & 0xF0:
+                raise ValueError("16-bit quant tables unsupported")
+            zz_q = list(data[1:65])
+            quant = [0] * 64
+            for i, (r, c) in enumerate(ZIGZAG):
+                quant[r * 8 + c] = zz_q[i]
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, height, width, ncomp = struct.unpack_from(">BHHB", data, 0)
+            # component spec follows: data[6]=id, data[7]=H/V, data[8]=Tq
+            if precision != 8 or ncomp != 1 or data[7] != 0x11:
+                raise ValueError(
+                    "only 8-bit single-component no-subsampling baseline supported"
+                )
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("non-baseline JPEG frame unsupported")
+        elif marker == 0xC4:  # DHT (may carry several tables)
+            at = 0
+            while at < len(data):
+                tc_th = data[at]
+                bits = list(data[at + 1 : at + 17])
+                n = sum(bits)
+                vals = list(data[at + 17 : at + 17 + n])
+                table = build_decode_map(bits, vals)
+                if tc_th >> 4 == 0:
+                    dc_map = table
+                else:
+                    ac_map = table
+                at += 17 + n
+        elif marker == 0xDA:  # SOS
+            scan_at = pos + 2 + length
+            break
+        pos += 2 + length
+    if None in (quant, width, dc_map, ac_map, scan_at):
+        raise ValueError("JPEG stream missing required segments")
+
+    m = _dct_matrix()
+    q = np.array(quant, dtype=np.float64).reshape(8, 8)
+    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    img = np.zeros((ph, pw), dtype=np.float64)
+    r = _BitReader(payload, scan_at)
+    prev_dc = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            zz = [0] * 64
+            s = r.read_symbol(dc_map)
+            diff = r.read_bits(s) if s else 0
+            if s and diff < (1 << (s - 1)):
+                diff -= (1 << s) - 1  # extend negative
+            prev_dc += diff
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = r.read_symbol(ac_map)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                size = rs & 0x0F
+                if k > 63:
+                    raise ValueError("AC run overflows block")
+                v = r.read_bits(size)
+                if v < (1 << (size - 1)):
+                    v -= (1 << size) - 1
+                zz[k] = v
+                k += 1
+            coef = np.zeros((8, 8))
+            for i, (rr, cc) in enumerate(ZIGZAG):
+                coef[rr, cc] = zz[i]
+            block = m.T @ (coef * q) @ m + 128.0
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    out = np.clip(np.rint(img[:height, :width]), 0, 255).astype(np.uint8)
+    return width, height, 8, out.tobytes()

@@ -69,9 +69,22 @@ def decode_image(payload: bytes):
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        # baseline single-component JPEG decodes natively; color /
+        # progressive variants fall through to the PIL gate below
+        from go_map_reduce_spark.functions.jpegcodec import decode_jpeg_gray
+
+        try:
+            return decode_jpeg_gray(payload)
+        except ValueError:
+            if not HAS_PIL:
+                raise NotImplementedError(
+                    "non-baseline/color JPEG decode requires PIL; "
+                    "not available in this environment"
+                )
     if not HAS_PIL:
         raise NotImplementedError(
-            "JPEG/DCT image decode requires PIL; not available in this environment"
+            "image codec not recognized and PIL is not available"
         )
     import io
 

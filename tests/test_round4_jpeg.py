@@ -1,0 +1,122 @@
+"""Baseline-JPEG codec tier: round-trip exactness on block-constant
+content, bounded error on arbitrary content, entropy-path coverage
+(ZRL, byte stuffing, negative extend), corruption rejection, and the
+gated query's oracle pin."""
+
+import numpy as np
+import pytest
+
+from go_map_reduce_spark.functions.jpegcodec import (
+    AC_BITS,
+    AC_VALS,
+    DC_BITS,
+    DC_VALS,
+    ZIGZAG,
+    build_codes,
+    build_decode_map,
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+)
+from go_map_reduce_spark.registry import ORACLES, QUERIES
+
+from tests.oracle_util import compare
+
+
+def test_zigzag_is_a_permutation_with_known_anchors():
+    assert sorted(r * 8 + c for r, c in ZIGZAG) == list(range(64))
+    # spec anchors: start, the first diagonal, and the end
+    assert ZIGZAG[:4] == [(0, 0), (0, 1), (1, 0), (2, 0)]
+    assert ZIGZAG[-1] == (7, 7)
+
+
+def test_huffman_tables_are_prefix_free_and_complete():
+    for bits, vals in ((DC_BITS, DC_VALS), (AC_BITS, AC_VALS)):
+        codes = build_codes(bits, vals)
+        assert len(codes) == len(vals)
+        entries = sorted(
+            (length, code) for code, length in codes.values()
+        )
+        # prefix-free: no code is a prefix of a longer one
+        for la, ca in entries:
+            for lb, cb in entries:
+                if lb > la:
+                    assert (cb >> (lb - la)) != ca
+        # decode map inverts the encode map
+        dm = build_decode_map(bits, vals)
+        for sym, (code, length) in codes.items():
+            assert dm[(length, code)] == sym
+
+
+def test_block_constant_roundtrip_is_exact():
+    w, h = 24, 16
+    img = bytes(
+        (5 * 7 + (x // 8) * 13 + (y // 8) * 29) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+    gw, gh, bpp, px = decode_jpeg_gray(encode_jpeg_gray(w, h, img))
+    assert (gw, gh, bpp) == (w, h, 8) and px == img
+
+
+@pytest.mark.parametrize("w,h", [(8, 8), (21, 13), (1, 1), (40, 9)])
+def test_arbitrary_content_roundtrips_within_dct_rounding(w, h):
+    rng = np.random.RandomState(w * 100 + h)
+    a = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    gw, gh, _bpp, px = decode_jpeg_gray(encode_jpeg_gray(w, h, a.tobytes()))
+    assert (gw, gh) == (w, h)
+    b = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_sparse_block_exercises_zrl_and_negative_extend():
+    """A block with isolated extreme pixels produces long AC zero runs
+    (ZRL path) and large negative coefficients (extend path); 0xFF
+    entropy bytes appear with these tables, exercising stuffing."""
+    a = np.full((8, 8), 128, dtype=np.uint8)
+    a[0, 0], a[7, 7], a[3, 4] = 255, 0, 17
+    _w, _h, _bpp, px = decode_jpeg_gray(encode_jpeg_gray(8, 8, a.tobytes()))
+    b = np.frombuffer(px, dtype=np.uint8).reshape(8, 8)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_quantization_table_is_applied():
+    """With a coarse quant table the stream must shrink and the decoded
+    image must differ from the fine-quant result — proof DQT is read
+    and applied, not ignored."""
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 256, size=(16, 16), dtype=np.uint8)
+    fine = encode_jpeg_gray(16, 16, a.tobytes())
+    coarse = encode_jpeg_gray(16, 16, a.tobytes(), quant=[40] * 64)
+    assert len(coarse) < len(fine)
+    _, _, _, px = decode_jpeg_gray(coarse)
+    b = np.frombuffer(px, dtype=np.uint8).reshape(16, 16)
+    err = np.abs(a.astype(int) - b.astype(int)).max()
+    assert 1 < err < 160  # lossy but recognizable
+
+
+def test_corruption_and_foreign_payloads_rejected():
+    img = bytes(range(64))
+    good = encode_jpeg_gray(8, 8, img)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"PNG nope")
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(good[:20])  # truncated mid-segments
+    headless = good[:2] + good[4:]  # shear a marker boundary
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(headless)
+
+
+def test_decode_image_routes_baseline_jpeg_natively():
+    from go_map_reduce_spark.operators.multimodal import decode_image
+
+    img = bytes((x * 3 + y * 5) % 256 for y in range(8) for x in range(8))
+    w, h, bpp, _px = decode_image(encode_jpeg_gray(8, 8, img))
+    assert (w, h, bpp) == (8, 8, 8)
+
+
+def test_jpeg_query_against_duckdb_oracle(spark, sf_dir):
+    compare(
+        QUERIES["multimodal_jpeg_decode"](spark, sf_dir),
+        ORACLES["multimodal_jpeg_decode"],
+        sf_dir,
+    )
