@@ -1,0 +1,61 @@
+"""Property tests (hypothesis) for the pure-Python codec tiers.
+
+The fixed-seed unit tests pin known shapes; these drive the codecs
+with generated dimensions and content, the way the reference's
+property-style fuzz discipline would:
+
+- PNG round-trip is BIT-EXACT for any 8-bit RGB image (lossless codec).
+- Baseline JPEG round-trip is within 1 of the source everywhere with
+  the all-ones quant table (float-DCT rounding is the only loss).
+- JPEG DC-only images (per-8x8-block constant) round-trip EXACTLY —
+  the invariant the multimodal_jpeg_decode oracle is built on.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from go_map_reduce_spark.functions.jpegcodec import (
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+)
+from go_map_reduce_spark.operators.multimodal import decode_png, encode_png
+
+dims = st.integers(min_value=1, max_value=24)
+seeds = st.integers(min_value=0, max_value=2**31 - 1)
+
+
+@settings(max_examples=30, deadline=None)
+@given(w=dims, h=dims, seed=seeds)
+def test_png_roundtrip_bit_exact(w, h, seed):
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w * 3), dtype=np.uint8)
+    rows = [img[y].tobytes() for y in range(h)]
+    gw, gh, bpp, px = decode_png(encode_png(w, h, rows))
+    assert (gw, gh, bpp) == (w, h, 24)
+    assert px == b"".join(rows)
+
+
+@settings(max_examples=30, deadline=None)
+@given(w=dims, h=dims, seed=seeds)
+def test_jpeg_roundtrip_within_dct_rounding(w, h, seed):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    gw, gh, bpp, px = decode_jpeg_gray(encode_jpeg_gray(w, h, a.tobytes()))
+    assert (gw, gh, bpp) == (w, h, 8)
+    b = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    bw=st.integers(min_value=1, max_value=4),
+    bh=st.integers(min_value=1, max_value=4),
+    seed=seeds,
+)
+def test_jpeg_block_constant_roundtrip_exact(bw, bh, seed):
+    rng = np.random.RandomState(seed)
+    vals = rng.randint(0, 256, size=(bh, bw), dtype=np.uint8)
+    a = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    w, h = bw * 8, bh * 8
+    _gw, _gh, _bpp, px = decode_jpeg_gray(encode_jpeg_gray(w, h, a.tobytes()))
+    assert px == a.tobytes()

@@ -127,3 +127,16 @@ def test_reverting_the_edit_restores_validity(fake_repo):
     (fake_repo / MOD_REL).write_text(MOD_SRC)
     _clear_caches()
     assert "fakeq" in gate._evidenced()[0]
+
+
+def test_gate_priority_names_are_all_registered():
+    """A typo'd name in _GATE_PRIORITY would silently forfeit a window
+    row (the gate filters on membership); pin that every priority name
+    resolves to a registered query."""
+    from go_map_reduce_spark.registry import QUERIES
+
+    missing = [n for n in gate._GATE_PRIORITY if n not in QUERIES]
+    assert not missing, missing
+    # and the priority list has no duplicates (a dup would double-count
+    # its window slot in planning)
+    assert len(gate._GATE_PRIORITY) == len(set(gate._GATE_PRIORITY))
