@@ -15,10 +15,11 @@ forces the decoder to BUILD its tables from the bitstream the way
 every real JPEG decoder must, instead of special-casing known
 constants.
 
-Scope: baseline sequential DCT, 8-bit, single (grayscale) component,
-no subsampling, dimensions padded to 8x8 blocks by edge replication.
-Color/JPEG-progressive remain out of scope (multimodal.decode_image
-keeps its PIL gate for those).
+Scope: baseline sequential DCT, 8-bit, grayscale (1 component) or
+YCbCr 4:4:4 color (3 interleaved components, JFIF conversion matrix,
+per-component DC predictors), no chroma subsampling, dimensions padded
+to 8x8 blocks by edge replication. Progressive/subsampled JPEG remain
+out of scope (multimodal.decode_image keeps its PIL gate for those).
 """
 
 from __future__ import annotations
@@ -185,6 +186,44 @@ def _dct_matrix():
     return m
 
 
+def _encode_block(w: "_BitWriter", block, q, m, prev_dc: int) -> int:
+    """Forward-DCT, quantize, and entropy-encode one 8x8 block (DC
+    differential against ``prev_dc``); returns the new DC predictor."""
+    import numpy as np
+
+    dc_codes = build_codes(DC_BITS, DC_VALS)
+    ac_codes = build_codes(AC_BITS, AC_VALS)
+    coef = m @ (block - 128.0) @ m.T
+    qc = np.rint(coef / q).astype(np.int64)
+    zz = [int(qc[r, c]) for (r, c) in ZIGZAG]
+    diff = zz[0] - prev_dc
+    s = _category(diff)
+    code, length = dc_codes[s]
+    w.write(code, length)
+    if s:
+        w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    k, run = 1, 0
+    while k < 64:
+        v = zz[k]
+        if v == 0:
+            run += 1
+        else:
+            while run > 15:
+                zc, zl = ac_codes[0xF0]  # ZRL
+                w.write(zc, zl)
+                run -= 16
+            s = _category(v)
+            code, length = ac_codes[(run << 4) | s]
+            w.write(code, length)
+            w.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        k += 1
+    if run:
+        ec, el = ac_codes[0x00]  # EOB
+        w.write(ec, el)
+    return zz[0]
+
+
 def encode_jpeg_gray(
     width: int, height: int, pixels: bytes, quant: list[int] | None = None
 ) -> bytes:
@@ -202,44 +241,12 @@ def encode_jpeg_gray(
     m = _dct_matrix()
     q = np.array(quant, dtype=np.float64).reshape(8, 8)
 
-    dc_codes = build_codes(DC_BITS, DC_VALS)
-    ac_codes = build_codes(AC_BITS, AC_VALS)
     w = _BitWriter()
     prev_dc = 0
     for by in range(ph // 8):
         for bx in range(pw // 8):
             block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64)
-            coef = m @ (block - 128.0) @ m.T
-            qc = np.rint(coef / q).astype(np.int64)
-            zz = [int(qc[r, c]) for (r, c) in ZIGZAG]
-            # DC differential
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            s = _category(diff)
-            code, length = dc_codes[s]
-            w.write(code, length)
-            if s:
-                w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-            # AC run-length
-            k, run = 1, 0
-            while k < 64:
-                v = zz[k]
-                if v == 0:
-                    run += 1
-                else:
-                    while run > 15:
-                        zc, zl = ac_codes[0xF0]  # ZRL
-                        w.write(zc, zl)
-                        run -= 16
-                    s = _category(v)
-                    code, length = ac_codes[(run << 4) | s]
-                    w.write(code, length)
-                    w.write(v if v >= 0 else v + (1 << s) - 1, s)
-                    run = 0
-                k += 1
-            if run:
-                ec, el = ac_codes[0x00]  # EOB
-                w.write(ec, el)
+            prev_dc = _encode_block(w, block, q, m, prev_dc)
     w.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -265,18 +272,58 @@ def encode_jpeg_gray(
 # --------------------------------------------------------------------------
 
 
-def decode_jpeg_gray(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline single-component JPEG: marker walk, DQT/DHT
-    table builds, Huffman entropy decode with DC prediction, dequantize,
-    dezigzag, IDCT, level shift, clamp, crop. Returns (width, height,
-    bits-per-pixel, row-major gray bytes)."""
+def _decode_block(r: _BitReader, dc_map, ac_map, prev_dc: int):
+    """Entropy-decode one 8x8 block: returns (zigzag coeffs, new DC)."""
+    zz = [0] * 64
+    s = r.read_symbol(dc_map)
+    diff = r.read_bits(s) if s else 0
+    if s and diff < (1 << (s - 1)):
+        diff -= (1 << s) - 1  # extend negative
+    prev_dc += diff
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        rs = r.read_symbol(ac_map)
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += rs >> 4
+        size = rs & 0x0F
+        if k > 63:
+            raise ValueError("AC run overflows block")
+        v = r.read_bits(size)
+        if v < (1 << (size - 1)):
+            v -= (1 << size) - 1
+        zz[k] = v
+        k += 1
+    return zz, prev_dc
+
+
+def _block_pixels(zz, q, m):
+    """Dequantize + dezigzag + IDCT + level shift -> 8x8 float block."""
+    import numpy as np
+
+    coef = np.zeros((8, 8))
+    for i, (rr, cc) in enumerate(ZIGZAG):
+        coef[rr, cc] = zz[i]
+    return m.T @ (coef * q) @ m + 128.0
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline JPEG (grayscale, or YCbCr 4:4:4 interleaved):
+    marker walk, DQT/DHT table builds, Huffman entropy decode with
+    per-component DC prediction, dequantize, dezigzag, IDCT, level
+    shift, color conversion for 3 components, clamp, crop. Returns
+    (width, height, bits-per-pixel [8|24], row-major bytes)."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     quant = None
-    width = height = None
+    width = height = ncomp = None
     dc_map = ac_map = None
     scan_at = None
     while pos < len(payload):
@@ -296,11 +343,12 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, int, bytes]:
                 quant[r * 8 + c] = zz_q[i]
         elif marker == 0xC0:  # SOF0 baseline
             precision, height, width, ncomp = struct.unpack_from(">BHHB", data, 0)
-            # component spec follows: data[6]=id, data[7]=H/V, data[8]=Tq
-            if precision != 8 or ncomp != 1 or data[7] != 0x11:
-                raise ValueError(
-                    "only 8-bit single-component no-subsampling baseline supported"
-                )
+            if precision != 8 or ncomp not in (1, 3):
+                raise ValueError("only 8-bit 1- or 3-component baseline supported")
+            # component specs follow: (id, H/V, Tq) triples from data[6]
+            for ci in range(ncomp):
+                if data[7 + 3 * ci] != 0x11:
+                    raise ValueError("subsampled JPEG unsupported (4:4:4 only)")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("non-baseline JPEG frame unsupported")
         elif marker == 0xC4:  # DHT (may carry several tables)
@@ -326,39 +374,100 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, int, bytes]:
     m = _dct_matrix()
     q = np.array(quant, dtype=np.float64).reshape(8, 8)
     ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
-    img = np.zeros((ph, pw), dtype=np.float64)
+    planes = [np.zeros((ph, pw), dtype=np.float64) for _ in range(ncomp)]
     r = _BitReader(payload, scan_at)
-    prev_dc = 0
+    prev_dc = [0] * ncomp
     for by in range(ph // 8):
         for bx in range(pw // 8):
-            zz = [0] * 64
-            s = r.read_symbol(dc_map)
-            diff = r.read_bits(s) if s else 0
-            if s and diff < (1 << (s - 1)):
-                diff -= (1 << s) - 1  # extend negative
-            prev_dc += diff
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = r.read_symbol(ac_map)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += rs >> 4
-                size = rs & 0x0F
-                if k > 63:
-                    raise ValueError("AC run overflows block")
-                v = r.read_bits(size)
-                if v < (1 << (size - 1)):
-                    v -= (1 << size) - 1
-                zz[k] = v
-                k += 1
-            coef = np.zeros((8, 8))
-            for i, (rr, cc) in enumerate(ZIGZAG):
-                coef[rr, cc] = zz[i]
-            block = m.T @ (coef * q) @ m + 128.0
-            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    out = np.clip(np.rint(img[:height, :width]), 0, 255).astype(np.uint8)
-    return width, height, 8, out.tobytes()
+            for ci in range(ncomp):  # interleaved MCU: one block per comp
+                zz, prev_dc[ci] = _decode_block(r, dc_map, ac_map, prev_dc[ci])
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _block_pixels(zz, q, m)
+                )
+    if ncomp == 1:
+        out = np.clip(np.rint(planes[0][:height, :width]), 0, 255).astype(np.uint8)
+        return width, height, 8, out.tobytes()
+    y = planes[0][:height, :width]
+    cb = planes[1][:height, :width] - 128.0
+    cr = planes[2][:height, :width] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    out = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return width, height, 24, out.tobytes()
+
+
+def decode_jpeg_gray(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Single-component convenience wrapper over ``decode_jpeg``."""
+    w, h, bpp, px = decode_jpeg(payload)
+    if bpp != 8:
+        raise ValueError("expected a grayscale JPEG")
+    return w, h, bpp, px
+
+
+# --------------------------------------------------------------------------
+# color (YCbCr 4:4:4) encoder
+# --------------------------------------------------------------------------
+
+
+def encode_jpeg_color(
+    width: int, height: int, rgb: bytes, quant: list[int] | None = None
+) -> bytes:
+    """Encode 8-bit RGB pixels (row-major, ``width*height*3`` bytes) as
+    a baseline YCbCr 4:4:4 JFIF stream: JFIF color conversion, three
+    interleaved components per MCU with independent DC predictors, one
+    shared quant and Huffman table set (table 0 for everything — legal
+    baseline, and it keeps the decoder honest about reading the
+    component-to-table mappings from SOS)."""
+    import numpy as np
+
+    quant = quant or [1] * 64
+    img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(
+        np.float64
+    )
+    r_, g_, b_ = img[..., 0], img[..., 1], img[..., 2]
+    planes = [
+        0.299 * r_ + 0.587 * g_ + 0.114 * b_,  # Y
+        128.0 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_,  # Cb
+        128.0 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_,  # Cr
+    ]
+    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    planes = [
+        np.pad(
+            np.clip(np.rint(p), 0, 255),
+            ((0, ph - height), (0, pw - width)),
+            mode="edge",
+        )
+        for p in planes
+    ]
+    m = _dct_matrix()
+    q = np.array(quant, dtype=np.float64).reshape(8, 8)
+    w = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci in range(3):  # interleaved MCU
+                block = planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                prev_dc[ci] = _encode_block(w, block, q, m, prev_dc[ci])
+    w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zz_quant = bytes(quant[r * 8 + c] for (r, c) in ZIGZAG)
+    out = b"\xff\xd8"
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + zz_quant)
+    comps = b"".join(bytes([cid, 0x11, 0x00]) for cid in (1, 2, 3))
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3) + comps)
+    out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    out += seg(0xFFDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
+    out += bytes(w.out)
+    out += b"\xff\xd9"
+    return out

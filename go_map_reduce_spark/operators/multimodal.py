@@ -70,16 +70,16 @@ def decode_image(payload: bytes):
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
-        # baseline single-component JPEG decodes natively; color /
-        # progressive variants fall through to the PIL gate below
-        from go_map_reduce_spark.functions.jpegcodec import decode_jpeg_gray
+        # baseline JPEG (grayscale or YCbCr 4:4:4) decodes natively;
+        # progressive/subsampled variants fall through to the PIL gate
+        from go_map_reduce_spark.functions.jpegcodec import decode_jpeg
 
         try:
-            return decode_jpeg_gray(payload)
+            return decode_jpeg(payload)
         except ValueError:
             if not HAS_PIL:
                 raise NotImplementedError(
-                    "non-baseline/color JPEG decode requires PIL; "
+                    "progressive/subsampled JPEG decode requires PIL; "
                     "not available in this environment"
                 )
     if not HAS_PIL:

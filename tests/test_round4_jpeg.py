@@ -120,3 +120,48 @@ def test_jpeg_query_against_duckdb_oracle(spark, sf_dir):
         ORACLES["multimodal_jpeg_decode"],
         sf_dir,
     )
+
+
+def test_color_roundtrip_within_conversion_rounding():
+    """YCbCr 4:4:4 color tier: two color-matrix roundings plus DCT
+    rounding bound the error at 2 per channel."""
+    from go_map_reduce_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 256, size=(13, 21, 3), dtype=np.uint8)
+    w, h, bpp, px = decode_jpeg(encode_jpeg_color(21, 13, a.tobytes()))
+    assert (w, h, bpp) == (21, 13, 24)
+    b = np.frombuffer(px, dtype=np.uint8).reshape(13, 21, 3)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 2
+
+
+def test_color_components_are_independent():
+    """Pure-channel images must decode with the energy in the right
+    channel — catches swapped Cb/Cr or broken per-component DC
+    predictors (which a gray roundtrip can't see)."""
+    from go_map_reduce_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    for ch in range(3):
+        a = np.zeros((8, 16, 3), dtype=np.uint8)
+        a[..., ch] = 200
+        _w, _h, _bpp, px = decode_jpeg(encode_jpeg_color(16, 8, a.tobytes()))
+        b = np.frombuffer(px, dtype=np.uint8).reshape(8, 16, 3)
+        assert abs(int(b[..., ch].mean()) - 200) <= 2
+        for other in range(3):
+            if other != ch:
+                assert b[..., other].mean() <= 8
+
+
+def test_decode_image_routes_color_jpeg_natively():
+    from go_map_reduce_spark.functions.jpegcodec import encode_jpeg_color
+    from go_map_reduce_spark.operators.multimodal import decode_image
+
+    a = np.full((8, 8, 3), 99, dtype=np.uint8)
+    w, h, bpp, _px = decode_image(encode_jpeg_color(8, 8, a.tobytes()))
+    assert (w, h, bpp) == (8, 8, 24)
