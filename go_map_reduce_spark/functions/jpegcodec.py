@@ -15,11 +15,13 @@ forces the decoder to BUILD its tables from the bitstream the way
 every real JPEG decoder must, instead of special-casing known
 constants.
 
-Scope: baseline sequential DCT, 8-bit, grayscale (1 component) or
-YCbCr 4:4:4 color (3 interleaved components, JFIF conversion matrix,
-per-component DC predictors), no chroma subsampling, dimensions padded
-to 8x8 blocks by edge replication. Progressive/subsampled JPEG remain
-out of scope (multimodal.decode_image keeps its PIL gate for those).
+Scope: baseline sequential DCT, 8-bit — grayscale (1 component),
+YCbCr 4:4:4 (3 interleaved components), or YCbCr 4:2:0 (the dominant
+real-world layout: 16x16 MCUs of four Y blocks + one Cb + one Cr,
+2x2-averaged chroma, nearest-neighbor upsample on decode). JFIF
+conversion matrix, per-component DC predictors, edge-replication
+padding. Progressive JPEG remains out of scope
+(multimodal.decode_image keeps its PIL gate for it).
 """
 
 from __future__ import annotations
@@ -346,9 +348,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             if precision != 8 or ncomp not in (1, 3):
                 raise ValueError("only 8-bit 1- or 3-component baseline supported")
             # component specs follow: (id, H/V, Tq) triples from data[6]
-            for ci in range(ncomp):
-                if data[7 + 3 * ci] != 0x11:
-                    raise ValueError("subsampled JPEG unsupported (4:4:4 only)")
+            samp = tuple(data[7 + 3 * ci] for ci in range(ncomp))
+            if samp not in ((0x11,), (0x11, 0x11, 0x11), (0x22, 0x11, 0x11)):
+                raise ValueError(
+                    f"unsupported sampling layout {samp} (4:4:4 or 4:2:0 only)"
+                )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("non-baseline JPEG frame unsupported")
         elif marker == 0xC4:  # DHT (may carry several tables)
@@ -373,17 +377,41 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
 
     m = _dct_matrix()
     q = np.array(quant, dtype=np.float64).reshape(8, 8)
-    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
-    planes = [np.zeros((ph, pw), dtype=np.float64) for _ in range(ncomp)]
     r = _BitReader(payload, scan_at)
     prev_dc = [0] * ncomp
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            for ci in range(ncomp):  # interleaved MCU: one block per comp
-                zz, prev_dc[ci] = _decode_block(r, dc_map, ac_map, prev_dc[ci])
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    _block_pixels(zz, q, m)
-                )
+    if samp == (0x22, 0x11, 0x11):  # 4:2:0 — 16x16 MCU: 4 Y + Cb + Cr
+        ph, pw = -(-height // 16) * 16, -(-width // 16) * 16
+        yplane = np.zeros((ph, pw), dtype=np.float64)
+        cplanes = [
+            np.zeros((ph // 2, pw // 2), dtype=np.float64) for _ in range(2)
+        ]
+        for my in range(ph // 16):
+            for mx in range(pw // 16):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        zz, prev_dc[0] = _decode_block(r, dc_map, ac_map, prev_dc[0])
+                        yy, xx = my * 16 + dy * 8, mx * 16 + dx * 8
+                        yplane[yy : yy + 8, xx : xx + 8] = _block_pixels(zz, q, m)
+                for ci in (1, 2):
+                    zz, prev_dc[ci] = _decode_block(r, dc_map, ac_map, prev_dc[ci])
+                    cy, cx = my * 8, mx * 8
+                    cplanes[ci - 1][cy : cy + 8, cx : cx + 8] = _block_pixels(
+                        zz, q, m
+                    )
+        # nearest-neighbor chroma upsample back to luma resolution
+        planes = [yplane] + [
+            np.repeat(np.repeat(p, 2, axis=0), 2, axis=1) for p in cplanes
+        ]
+    else:
+        ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+        planes = [np.zeros((ph, pw), dtype=np.float64) for _ in range(ncomp)]
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                for ci in range(ncomp):  # interleaved MCU: one block per comp
+                    zz, prev_dc[ci] = _decode_block(r, dc_map, ac_map, prev_dc[ci])
+                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        _block_pixels(zz, q, m)
+                    )
     if ncomp == 1:
         out = np.clip(np.rint(planes[0][:height, :width]), 0, 255).astype(np.uint8)
         return width, height, 8, out.tobytes()
@@ -464,6 +492,73 @@ def encode_jpeg_color(
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xFFDB, b"\x00" + zz_quant)
     comps = b"".join(bytes([cid, 0x11, 0x00]) for cid in (1, 2, 3))
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3) + comps)
+    out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    out += seg(0xFFDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
+    out += bytes(w.out)
+    out += b"\xff\xd9"
+    return out
+
+
+# --------------------------------------------------------------------------
+# 4:2:0 chroma-subsampled color encoder + MCU-aware decode support
+# --------------------------------------------------------------------------
+
+
+def encode_jpeg_color_420(
+    width: int, height: int, rgb: bytes, quant: list[int] | None = None
+) -> bytes:
+    """Encode 8-bit RGB as baseline YCbCr 4:2:0 — the dominant
+    real-world JPEG layout: each MCU carries four Y blocks (2x2) and
+    one Cb + one Cr block covering the same 16x16 pixel area, chroma
+    planes averaged 2x2 before the DCT. Y samples at 0x22, chroma at
+    0x11."""
+    import numpy as np
+
+    quant = quant or [1] * 64
+    img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(
+        np.float64
+    )
+    r_, g_, b_ = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+    cb = 128.0 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_
+    cr = 128.0 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_
+    ph, pw = -(-height // 16) * 16, -(-width // 16) * 16
+    pad = lambda p: np.pad(  # noqa: E731
+        p, ((0, ph - height), (0, pw - width)), mode="edge"
+    )
+    y = np.clip(np.rint(pad(y)), 0, 255)
+    # chroma: pad first, then 2x2 block mean (the subsampling step)
+    sub = lambda p: np.clip(  # noqa: E731
+        np.rint(pad(p).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))), 0, 255
+    )
+    cb, cr = sub(cb), sub(cr)
+    m = _dct_matrix()
+    q = np.array(quant, dtype=np.float64).reshape(8, 8)
+    w = _BitWriter()
+    prev = [0, 0, 0]  # per-component DC predictors
+    for my in range(ph // 16):
+        for mx in range(pw // 16):
+            for dy in (0, 1):  # four Y blocks, raster order within MCU
+                for dx in (0, 1):
+                    yy, xx = my * 16 + dy * 8, mx * 16 + dx * 8
+                    prev[0] = _encode_block(
+                        w, y[yy : yy + 8, xx : xx + 8], q, m, prev[0]
+                    )
+            cy, cx = my * 8, mx * 8
+            prev[1] = _encode_block(w, cb[cy : cy + 8, cx : cx + 8], q, m, prev[1])
+            prev[2] = _encode_block(w, cr[cy : cy + 8, cx : cx + 8], q, m, prev[2])
+    w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zz_quant = bytes(quant[r * 8 + c] for (r, c) in ZIGZAG)
+    out = b"\xff\xd8"
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + zz_quant)
+    comps = bytes([1, 0x22, 0x00]) + bytes([2, 0x11, 0x00]) + bytes([3, 0x11, 0x00])
     out += seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3) + comps)
     out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
     out += seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))

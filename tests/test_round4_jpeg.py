@@ -165,3 +165,61 @@ def test_decode_image_routes_color_jpeg_natively():
     a = np.full((8, 8, 3), 99, dtype=np.uint8)
     w, h, bpp, _px = decode_image(encode_jpeg_color(8, 8, a.tobytes()))
     assert (w, h, bpp) == (8, 8, 24)
+
+
+def test_420_constant_color_roundtrips_exactly():
+    """Constant chroma loses nothing to 2x2 subsampling: constant-color
+    images must round-trip exactly through the 4:2:0 layout."""
+    from go_map_reduce_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_color_420,
+    )
+
+    a = np.zeros((13, 21, 3), dtype=np.uint8)
+    a[..., 0], a[..., 1], a[..., 2] = 180, 64, 201
+    w, h, bpp, px = decode_jpeg(encode_jpeg_color_420(21, 13, a.tobytes()))
+    assert (w, h, bpp) == (21, 13, 24)
+    assert np.abs(
+        a.astype(int) - np.frombuffer(px, dtype=np.uint8).reshape(13, 21, 3)
+    ).max() == 0
+
+
+def test_420_preserves_luma_detail():
+    """Gray content (constant chroma, full luma detail): the four-Y MCU
+    geometry carries luma at full resolution, so error stays at the
+    DCT-rounding bound even though chroma is subsampled."""
+    from go_map_reduce_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_color_420,
+    )
+
+    g = np.random.RandomState(5).randint(0, 256, size=(16, 32), dtype=np.uint8)
+    rgb = np.stack([g, g, g], axis=-1)
+    _w, _h, _bpp, px = decode_jpeg(encode_jpeg_color_420(32, 16, rgb.tobytes()))
+    b = np.frombuffer(px, dtype=np.uint8).reshape(16, 32, 3)
+    assert np.abs(rgb.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_420_is_smaller_than_444_on_real_dims():
+    """The point of subsampling: half the chroma blocks — on any image
+    bigger than one MCU the 4:2:0 stream must be no larger than the
+    4:4:4 stream of the same content."""
+    from go_map_reduce_spark.functions.jpegcodec import (
+        encode_jpeg_color,
+        encode_jpeg_color_420,
+    )
+
+    rng = np.random.RandomState(2)
+    a = rng.randint(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    assert len(encode_jpeg_color_420(48, 32, a.tobytes())) < len(
+        encode_jpeg_color(48, 32, a.tobytes())
+    )
+
+
+def test_decode_image_routes_420_natively():
+    from go_map_reduce_spark.functions.jpegcodec import encode_jpeg_color_420
+    from go_map_reduce_spark.operators.multimodal import decode_image
+
+    a = np.full((16, 16, 3), 77, dtype=np.uint8)
+    w, h, bpp, _px = decode_image(encode_jpeg_color_420(16, 16, a.tobytes()))
+    assert (w, h, bpp) == (16, 16, 24)
