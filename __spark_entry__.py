@@ -110,6 +110,12 @@ _GATE_PRIORITY = [
     "doc_leading_tokens_udtf",
     "arrow_batch_token_stats",
     "gdpr_erasure_cascade",
+    # -- post-window round-4 additions (strict-green at sf0.01 before
+    # commit; they follow the nine into r05's window) ------------------
+    "incremental_dedup_new_batch",
+    "multimodal_png_decode",
+    "multimodal_jpeg_decode",
+    "bigram_logprob_scores",
 ]
 
 

@@ -200,3 +200,35 @@ def test_stateful_checkpoint_restart_recovers_state(spark, tmp_path):
     assert rows2 == len(b)
     # ...update mode emits only users touched by B, with MERGED state
     assert got2 == {1: (3, 7.75), 2: (3, 10.75)}
+
+
+def test_stateful_query_runs_on_rocksdb_state_store(spark, sf_dir):
+    """State-store portability: the same stateful streaming query must
+    produce identical results under the RocksDB provider (the provider
+    a production deployment uses for large state — state no longer
+    bounded by executor heap) as under the default HDFS-backed one.
+    The rocksdbjni jar ships with this Spark distribution, so this
+    executes for real — it is the 100 TB state-sizing lever, exercised,
+    not claimed."""
+    from go_map_reduce_spark.registry import ORACLES, QUERIES
+
+    from tests.oracle_util import compare
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        compare(
+            QUERIES["events_stateful_user_totals"](spark, sf_dir),
+            ORACLES["events_stateful_user_totals"],
+            sf_dir,
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
