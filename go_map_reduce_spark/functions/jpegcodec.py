@@ -160,6 +160,20 @@ class _BitReader:
                 return sym
         raise ValueError("invalid Huffman code in scan")
 
+    def expect_restart(self, n: int) -> None:
+        """Byte-align and consume the RSTn marker (T.81 E.1.4: restart
+        markers sit on byte boundaries between entropy-coded
+        segments); verifies the modulo-8 sequence number."""
+        self._n = 0  # discard padding bits of the finished segment
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != (
+            0xD0 | (n % 8)
+        ):
+            raise ValueError(
+                f"expected RST{n % 8} at offset {self.pos}, found "
+                f"{self.data[self.pos:self.pos + 2].hex()}"
+            )
+        self.pos += 2
+
 
 def _category(v: int) -> int:
     s = 0
@@ -227,12 +241,20 @@ def _encode_block(w: "_BitWriter", block, q, m, prev_dc: int) -> int:
 
 
 def encode_jpeg_gray(
-    width: int, height: int, pixels: bytes, quant: list[int] | None = None
+    width: int,
+    height: int,
+    pixels: bytes,
+    quant: list[int] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode 8-bit grayscale pixels (row-major, ``width*height`` bytes)
     as a baseline JFIF stream. ``quant`` is the 64-entry quantization
     table in natural (row-major) order; default all-ones (maximum
-    fidelity — constant blocks round-trip exactly)."""
+    fidelity — constant blocks round-trip exactly).
+    ``restart_interval`` > 0 emits a DRI segment and byte-aligned RSTn
+    markers every that-many MCUs (T.81 E.1.4 — the error-resilience
+    feature most camera JPEGs carry), resetting the DC predictor at
+    each restart."""
     import numpy as np
 
     quant = quant or [1] * 64
@@ -245,10 +267,17 @@ def encode_jpeg_gray(
 
     w = _BitWriter()
     prev_dc = 0
+    mcu = rst = 0
     for by in range(ph // 8):
         for bx in range(pw // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.flush()  # byte-align the finished entropy segment
+                w.out += bytes([0xFF, 0xD0 | (rst % 8)])
+                rst += 1
+                prev_dc = 0  # predictors reset at every restart
             block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64)
             prev_dc = _encode_block(w, block, q, m, prev_dc)
+            mcu += 1
     w.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -257,6 +286,8 @@ def encode_jpeg_gray(
     zz_quant = bytes(quant[r * 8 + c] for (r, c) in ZIGZAG)
     out = b"\xff\xd8"  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     out += seg(0xFFDB, b"\x00" + zz_quant)  # DQT, table 0, 8-bit
     out += seg(
         0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
@@ -328,6 +359,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     width = height = ncomp = None
     dc_map = ac_map = None
     scan_at = None
+    dri = 0  # restart interval in MCUs (0 = no restarts)
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
@@ -368,6 +400,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 else:
                     ac_map = table
                 at += 17 + n
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack_from(">H", data, 0)
         elif marker == 0xDA:  # SOS
             scan_at = pos + 2 + length
             break
@@ -379,6 +413,17 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     q = np.array(quant, dtype=np.float64).reshape(8, 8)
     r = _BitReader(payload, scan_at)
     prev_dc = [0] * ncomp
+    mcu = rst = 0
+
+    def _maybe_restart():
+        nonlocal mcu, rst
+        if dri and mcu and mcu % dri == 0:
+            r.expect_restart(rst)
+            rst += 1
+            for ci in range(ncomp):
+                prev_dc[ci] = 0
+        mcu += 1
+
     if samp == (0x22, 0x11, 0x11):  # 4:2:0 — 16x16 MCU: 4 Y + Cb + Cr
         ph, pw = -(-height // 16) * 16, -(-width // 16) * 16
         yplane = np.zeros((ph, pw), dtype=np.float64)
@@ -387,6 +432,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         ]
         for my in range(ph // 16):
             for mx in range(pw // 16):
+                _maybe_restart()
                 for dy in (0, 1):
                     for dx in (0, 1):
                         zz, prev_dc[0] = _decode_block(r, dc_map, ac_map, prev_dc[0])
@@ -407,6 +453,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         planes = [np.zeros((ph, pw), dtype=np.float64) for _ in range(ncomp)]
         for by in range(ph // 8):
             for bx in range(pw // 8):
+                _maybe_restart()
                 for ci in range(ncomp):  # interleaved MCU: one block per comp
                     zz, prev_dc[ci] = _decode_block(r, dc_map, ac_map, prev_dc[ci])
                     planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (

@@ -223,3 +223,37 @@ def test_decode_image_routes_420_natively():
     a = np.full((16, 16, 3), 77, dtype=np.uint8)
     w, h, bpp, _px = decode_image(encode_jpeg_color_420(16, 16, a.tobytes()))
     assert (w, h, bpp) == (16, 16, 24)
+
+
+def test_restart_markers_roundtrip_and_are_verified():
+    """DRI/RSTn support (T.81 E.1.4 — the error-resilience layout most
+    camera JPEGs use): byte-aligned restart markers every N MCUs with
+    DC-predictor resets must round-trip, and a wrong restart sequence
+    number must be rejected (the decoder VERIFIES the modulo-8 count,
+    it doesn't skip blind)."""
+    from go_map_reduce_spark.functions.jpegcodec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.RandomState(8)
+    a = rng.randint(0, 256, size=(24, 40), dtype=np.uint8)  # 15 MCUs
+    for ri in (1, 4, 7):
+        p = encode_jpeg_gray(40, 24, a.tobytes(), restart_interval=ri)
+        n_rst = sum(
+            1
+            for i in range(len(p) - 1)
+            if p[i] == 0xFF and 0xD0 <= p[i + 1] <= 0xD7
+        )
+        assert n_rst == (15 - 1) // ri  # markers between segments only
+        _w, _h, _bpp, px = decode_jpeg_gray(p)
+        b = np.frombuffer(px, dtype=np.uint8).reshape(24, 40)
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+    # corrupt one restart marker's sequence number → detected
+    p = bytearray(encode_jpeg_gray(40, 24, a.tobytes(), restart_interval=2))
+    for i in range(len(p) - 1):
+        if p[i] == 0xFF and p[i + 1] == 0xD1:  # second restart
+            p[i + 1] = 0xD5
+            break
+    with pytest.raises(ValueError, match="RST"):
+        decode_jpeg_gray(bytes(p))
