@@ -116,6 +116,8 @@ _GATE_PRIORITY = [
     "multimodal_png_decode",
     "multimodal_jpeg_decode",
     "bigram_logprob_scores",
+    "dq_cross_table_audit",
+    "dq_reconciliation_drilldown",
 ]
 
 

@@ -60,6 +60,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline18,
     pipeline19,
     pipeline20,
+    pipeline21,
     sqlsurface,
     stats,
     quality_filters,
