@@ -59,3 +59,27 @@ def test_jpeg_block_constant_roundtrip_exact(bw, bh, seed):
     w, h = bw * 8, bh * 8
     _gw, _gh, _bpp, px = decode_jpeg_gray(encode_jpeg_gray(w, h, a.tobytes()))
     assert px == a.tobytes()
+
+
+@settings(max_examples=20, deadline=None)
+@given(w=dims, h=dims, seed=seeds)
+def test_jpeg_420_constant_color_roundtrip_exact(w, h, seed):
+    """4:2:0 property: on a solid-color image the 2x2 chroma averaging
+    is the identity, so the subsampled layout round-trips within the
+    same ±1 bound as 4:4:4 (one integer rounding in each direction of
+    the YCbCr conversion) — subsampling itself adds NO error."""
+    from go_map_reduce_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_color_420,
+    )
+
+    rng = np.random.RandomState(seed)
+    color = rng.randint(0, 256, size=3)
+    a = np.empty((h, w, 3), dtype=np.uint8)
+    a[:] = color
+    gw, gh, bpp, px = decode_jpeg(encode_jpeg_color_420(w, h, a.tobytes()))
+    assert (gw, gh, bpp) == (w, h, 24)
+    b = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+    # and every pixel decodes IDENTICALLY (constant in → constant out)
+    assert (b == b[0, 0]).all()

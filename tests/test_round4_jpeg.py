@@ -168,8 +168,12 @@ def test_decode_image_routes_color_jpeg_natively():
 
 
 def test_420_constant_color_roundtrips_exactly():
-    """Constant chroma loses nothing to 2x2 subsampling: constant-color
-    images must round-trip exactly through the 4:2:0 layout."""
+    """Constant chroma loses nothing to 2x2 subsampling: THIS color
+    triple is lossless through the YCbCr integer rounding, so the
+    4:2:0 layout must return it bit-exactly (the general constant-
+    color bound is ±1 from the color conversion alone — pinned by the
+    hypothesis property test — but a triple that survives 4:4:4
+    exactly must survive 4:2:0 exactly too)."""
     from go_map_reduce_spark.functions.jpegcodec import (
         decode_jpeg,
         encode_jpeg_color_420,
