@@ -62,3 +62,29 @@ def test_repeat_run_stability(name, spark, sf_dir):
     a = sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
     b = sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
     assert a == b
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary",        # decimal sufficient statistics
+        "unigram_logprob_scores",    # dsum of 6dp ln() terms
+        "pagerank_supplier_part",    # iterative decimal contributions
+        "rfm_customer_segments",     # global ntile windows
+    ],
+)
+def test_parallelism_invariance(name, spark, sf_dir):
+    """The determinism contract's strongest form: changing the shuffle
+    partition count (3 vs the session's 8) must not change ANY result
+    cell — the float discipline (decimal sums, rounded transcendental
+    tails) makes aggregation order immaterial, and this pins it at the
+    whole-query level rather than per-primitive."""
+    key = "spark.sql.shuffle.partitions"
+    base = sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "3")
+    try:
+        alt = sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
+    finally:
+        spark.conf.set(key, prev)
+    assert base == alt
