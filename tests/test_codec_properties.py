@@ -83,3 +83,49 @@ def test_jpeg_420_constant_color_roundtrip_exact(w, h, seed):
     assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
     # and every pixel decodes IDENTICALLY (constant in → constant out)
     assert (b == b[0, 0]).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(w=dims, h=dims, seed=seeds)
+def test_bmp_roundtrip_bit_exact(w, h, seed):
+    """BMP is uncompressed: any 24-bit image round-trips bit-exactly
+    through encode_bmp/decode_bmp under generated dimensions (odd
+    widths exercise the row-padding strip)."""
+    from go_map_reduce_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(seed)
+    rows = [rng.randint(0, 256, size=w * 3).astype(np.uint8).tobytes() for _ in range(h)]
+    gw, gh, bpp, px = decode_bmp(encode_bmp(w, h, rows))
+    assert (gw, gh, bpp) == (w, h, 24)
+    assert px == b"".join(rows)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    channels=st.integers(min_value=1, max_value=4),
+    n_frames=st.integers(min_value=0, max_value=64),
+    seed=seeds,
+)
+def test_wav_roundtrip_bit_exact(channels, n_frames, seed):
+    """RIFF/PCM-16 is lossless: interleaved frames round-trip exactly
+    for any channel count and length, including the empty stream."""
+    from go_map_reduce_spark.operators.multimodal import (
+        WAV_RATE,
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(seed)
+    frames = [
+        [int(v) for v in rng.randint(-32768, 32768, size=channels)]
+        for _ in range(n_frames)
+    ]
+    rate, ch, nf, body = decode_wav(encode_wav(channels, WAV_RATE, frames))
+    assert (rate, ch, nf) == (WAV_RATE, channels, n_frames)
+    import struct
+
+    got = [
+        list(struct.unpack_from(f"<{channels}h", body, i * channels * 2))
+        for i in range(n_frames)
+    ]
+    assert got == frames
