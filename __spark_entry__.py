@@ -120,6 +120,61 @@ _GATE_PRIORITY = [
     "dq_reconciliation_drilldown",
 ]
 
+# Re-gate ordering for STALE-evidence rows (the r04 registry.py edit
+# conservatively invalidated ~149 prior green rows; at 50 window rows a
+# round the drain takes r05-r08).  Most user-load-bearing first: the
+# TPC-H analog core and the reference's own parity apps (A1/A2/A3/A5),
+# then the relational surface a daily user hits, then the dedup/ANN
+# tier, then streaming; everything else follows in registration order.
+_STALE_PRIORITY = [
+    # TPC-H analog core
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q4_priority_late_orders",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q10_returned_revenue",
+    "q14_promo_share",
+    "q16_supplier_part_variety",
+    # reference parity apps (mrapps/{wc,indexer,count,crash}.go analogs)
+    "wordcount",
+    "inverted_index",
+    "doc_token_counts",
+    "sorted_string_agg",
+    # daily-driver relational surface
+    "global_top_orders",
+    "top_orders_per_customer",
+    "running_customer_spend",
+    "customers_without_orders",
+    "big_spender_customers",
+    "set_ops_customer_status",
+    "rollup_lineitem_status",
+    "order_scalar_functions",
+    "sql_interface_revenue",
+    "customer_order_profile_outer",
+    "supplier_part_full_outer",
+    "order_date_arithmetic",
+    "lateral_top_orders_per_segment",
+    "not_in_null_semantics",
+    # dedup/ANN tier
+    "dedup_exact_summary",
+    "dedup_exact_survivors",
+    "minhash_signatures",
+    "minhash_near_dup_pairs",
+    "embedding_near_dup_pairs",
+    "dedup_clusters",
+    "contamination_check",
+    "simhash_fingerprints",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    # streaming core
+    "events_hourly_stream",
+    "events_session_windows",
+    "events_purchase_click_stream_join",
+    "events_stateful_user_totals",
+]
+
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -280,7 +335,13 @@ def _ordered(mapping: dict) -> dict:
         for n in mapping
         if n not in seen and n not in stale and n not in pri
     }
-    regate = {n: mapping[n] for n in mapping if n in stale}
+    regate_pri = {
+        n: mapping[n] for n in _STALE_PRIORITY if n in mapping and n in stale
+    }
+    regate = {
+        n: mapping[n] for n in mapping if n in stale and n not in regate_pri
+    }
+    regate = {**regate_pri, **regate}
     rest = {n: mapping[n] for n in mapping if n in seen}
     return {**pri, **fresh, **regate, **rest}
 
