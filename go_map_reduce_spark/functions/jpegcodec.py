@@ -15,13 +15,15 @@ forces the decoder to BUILD its tables from the bitstream the way
 every real JPEG decoder must, instead of special-casing known
 constants.
 
-Scope: baseline sequential DCT, 8-bit — grayscale (1 component),
-YCbCr 4:4:4 (3 interleaved components), or YCbCr 4:2:0 (the dominant
-real-world layout: 16x16 MCUs of four Y blocks + one Cb + one Cr,
-2x2-averaged chroma, nearest-neighbor upsample on decode). JFIF
-conversion matrix, per-component DC predictors, edge-replication
-padding. Progressive JPEG remains out of scope
-(multimodal.decode_image keeps its PIL gate for it).
+Scope: 8-bit grayscale (1 component), YCbCr 4:4:4 (3 interleaved
+components), or YCbCr 4:2:0 (the dominant real-world layout: 16x16
+MCUs of four Y blocks + one Cb + one Cr, 2x2-averaged chroma,
+nearest-neighbor upsample on decode) — in BOTH baseline sequential
+DCT (SOF0) and progressive DCT (SOF2, T.81 Annex G: spectral
+selection + successive approximation, DC/AC first and refinement
+scans, EOBRUN). JFIF conversion matrix, per-component DC predictors,
+edge-replication padding. Restart markers are supported in baseline
+streams; progressive streams with DRI raise ValueError.
 """
 
 from __future__ import annotations
@@ -73,6 +75,20 @@ AC_VALS = [0x00, 0xF0] + [
     (run << 4) | size for run in range(16) for size in range(1, 11)
 ]
 AC_BITS = [0] * 7 + [len(AC_VALS)] + [0] * 8
+
+# Progressive AC table: baseline symbols PLUS the EOBn run-length
+# symbols ((r<<4)|0 for r=1..14) that only exist in progressive scans
+# (T.81 G.1.2.2 — EOBRUN lengths 2..32767). 176 symbols, all 8 bits.
+AC_VALS_PROG = AC_VALS + [(r << 4) for r in range(1, 15)]
+AC_BITS_PROG = [0] * 7 + [len(AC_VALS_PROG)] + [0] * 8
+
+# Chroma table set (destination 1) for the two-table-set layout real
+# camera JPEGs use: same canonical lengths, DELIBERATELY different
+# symbol ordering, so a decoder that ignores the SOS/DQT destination
+# IDs (last-defined-table-wins) decodes garbage instead of silently
+# passing — this is what pins the table-keying behavior.
+DC_VALS_CHROMA = list(reversed(DC_VALS))
+AC_VALS_CHROMA = list(reversed(AC_VALS))
 
 
 def build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -202,13 +218,17 @@ def _dct_matrix():
     return m
 
 
-def _encode_block(w: "_BitWriter", block, q, m, prev_dc: int) -> int:
+def _encode_block(
+    w: "_BitWriter", block, q, m, prev_dc: int, dc_codes=None, ac_codes=None
+) -> int:
     """Forward-DCT, quantize, and entropy-encode one 8x8 block (DC
-    differential against ``prev_dc``); returns the new DC predictor."""
+    differential against ``prev_dc``); returns the new DC predictor.
+    ``dc_codes``/``ac_codes`` select the Huffman table set (default:
+    the shared table-0 spec)."""
     import numpy as np
 
-    dc_codes = build_codes(DC_BITS, DC_VALS)
-    ac_codes = build_codes(AC_BITS, AC_VALS)
+    dc_codes = dc_codes or build_codes(DC_BITS, DC_VALS)
+    ac_codes = ac_codes or build_codes(AC_BITS, AC_VALS)
     coef = m @ (block - 128.0) @ m.T
     qc = np.rint(coef / q).astype(np.int64)
     zz = [int(qc[r, c]) for (r, c) in ZIGZAG]
@@ -346,18 +366,36 @@ def _block_pixels(zz, q, m):
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline JPEG (grayscale, or YCbCr 4:4:4 interleaved):
-    marker walk, DQT/DHT table builds, Huffman entropy decode with
-    per-component DC prediction, dequantize, dezigzag, IDCT, level
-    shift, color conversion for 3 components, clamp, crop. Returns
-    (width, height, bits-per-pixel [8|24], row-major bytes)."""
+    marker walk, DQT/DHT table builds keyed by their destination IDs
+    (Tq for quant, (Tc, Th) for Huffman — multi-table DQT/DHT segments
+    loop their payloads), SOS component-spec parsing so each scan
+    component uses the Td/Ta tables it names and the Tq table its SOF
+    entry names, Huffman entropy decode with per-component DC
+    prediction, dequantize, dezigzag, IDCT, level shift, color
+    conversion for 3 components, clamp, crop. Malformed streams
+    (truncated segments, truncated entropy data) raise ValueError.
+    Returns (width, height, bits-per-pixel [8|24], row-major bytes)."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except (IndexError, struct.error) as ex:
+        # truncated entropy stream / truncated marker segment — normalize
+        # so callers (multimodal.decode_image) need only catch ValueError
+        raise ValueError(f"malformed JPEG stream: {ex!r}") from ex
+
+
+def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
-    quant = None
+    quant: dict[int, list[int]] = {}  # Tq -> natural-order table
     width = height = ncomp = None
-    dc_map = ac_map = None
+    comp_tq: list[int] = []  # SOF: per-component quant destination
+    comp_ids: list[int] = []  # SOF: component identifiers
+    dc_maps: dict[int, dict] = {}  # Th -> decode map
+    ac_maps: dict[int, dict] = {}
+    scan_spec: list[tuple[int, int, int]] = []  # (comp idx, Td, Ta)
     scan_at = None
     dri = 0  # restart interval in MCUs (0 = no restarts)
     while pos < len(payload):
@@ -368,24 +406,35 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             break
         (length,) = struct.unpack_from(">H", payload, pos + 2)
         data = payload[pos + 4 : pos + 2 + length]
-        if marker == 0xDB:  # DQT
-            if data[0] & 0xF0:
-                raise ValueError("16-bit quant tables unsupported")
-            zz_q = list(data[1:65])
-            quant = [0] * 64
-            for i, (r, c) in enumerate(ZIGZAG):
-                quant[r * 8 + c] = zz_q[i]
+        if marker == 0xDB:  # DQT — payload is a sequence of (PqTq, table)
+            at = 0
+            while at < len(data):
+                pq_tq = data[at]
+                if pq_tq & 0xF0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz_q = list(data[at + 1 : at + 65])
+                if len(zz_q) < 64:
+                    raise ValueError("truncated DQT table")
+                tbl = [0] * 64
+                for i, (r, c) in enumerate(ZIGZAG):
+                    tbl[r * 8 + c] = zz_q[i]
+                quant[pq_tq & 0x0F] = tbl
+                at += 65
         elif marker == 0xC0:  # SOF0 baseline
             precision, height, width, ncomp = struct.unpack_from(">BHHB", data, 0)
             if precision != 8 or ncomp not in (1, 3):
                 raise ValueError("only 8-bit 1- or 3-component baseline supported")
             # component specs follow: (id, H/V, Tq) triples from data[6]
+            comp_ids = [data[6 + 3 * ci] for ci in range(ncomp)]
             samp = tuple(data[7 + 3 * ci] for ci in range(ncomp))
+            comp_tq = [data[8 + 3 * ci] for ci in range(ncomp)]
             if samp not in ((0x11,), (0x11, 0x11, 0x11), (0x22, 0x11, 0x11)):
                 raise ValueError(
                     f"unsupported sampling layout {samp} (4:4:4 or 4:2:0 only)"
                 )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker == 0xC2:  # SOF2 — progressive DCT
+            return _decode_progressive(payload)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("non-baseline JPEG frame unsupported")
         elif marker == 0xC4:  # DHT (may carry several tables)
             at = 0
@@ -394,23 +443,50 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 bits = list(data[at + 1 : at + 17])
                 n = sum(bits)
                 vals = list(data[at + 17 : at + 17 + n])
+                if len(bits) < 16 or len(vals) < n:
+                    raise ValueError("truncated DHT table")
                 table = build_decode_map(bits, vals)
                 if tc_th >> 4 == 0:
-                    dc_map = table
+                    dc_maps[tc_th & 0x0F] = table
                 else:
-                    ac_map = table
+                    ac_maps[tc_th & 0x0F] = table
                 at += 17 + n
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack_from(">H", data, 0)
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — parse component -> table mappings
+            if ncomp is None:
+                raise ValueError("SOS before SOF")
+            ns = data[0]
+            if ns != ncomp:
+                raise ValueError(
+                    "baseline decoder requires a single interleaved scan"
+                )
+            for si in range(ns):
+                cs, td_ta = data[1 + 2 * si], data[2 + 2 * si]
+                if cs not in comp_ids:
+                    raise ValueError(f"SOS names unknown component {cs}")
+                scan_spec.append((comp_ids.index(cs), td_ta >> 4, td_ta & 0x0F))
+            if [s[0] for s in scan_spec] != list(range(ncomp)):
+                raise ValueError("scan component order must match SOF order")
             scan_at = pos + 2 + length
             break
         pos += 2 + length
-    if None in (quant, width, dc_map, ac_map, scan_at):
+    if width is None or scan_at is None or not quant:
         raise ValueError("JPEG stream missing required segments")
+    # resolve each component's tables up front; a missing destination is
+    # a malformed (or unsupported-layout) stream -> ValueError, which
+    # lets multimodal.decode_image's fallback gate engage
+    try:
+        comp_q = [
+            np.array(quant[comp_tq[ci]], dtype=np.float64).reshape(8, 8)
+            for ci in range(ncomp)
+        ]
+        comp_dc = [dc_maps[td] for (_, td, _) in scan_spec]
+        comp_ac = [ac_maps[ta] for (_, _, ta) in scan_spec]
+    except KeyError as ex:
+        raise ValueError(f"scan references undefined table {ex}") from ex
 
     m = _dct_matrix()
-    q = np.array(quant, dtype=np.float64).reshape(8, 8)
     r = _BitReader(payload, scan_at)
     prev_dc = [0] * ncomp
     mcu = rst = 0
@@ -435,14 +511,20 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 _maybe_restart()
                 for dy in (0, 1):
                     for dx in (0, 1):
-                        zz, prev_dc[0] = _decode_block(r, dc_map, ac_map, prev_dc[0])
+                        zz, prev_dc[0] = _decode_block(
+                            r, comp_dc[0], comp_ac[0], prev_dc[0]
+                        )
                         yy, xx = my * 16 + dy * 8, mx * 16 + dx * 8
-                        yplane[yy : yy + 8, xx : xx + 8] = _block_pixels(zz, q, m)
+                        yplane[yy : yy + 8, xx : xx + 8] = _block_pixels(
+                            zz, comp_q[0], m
+                        )
                 for ci in (1, 2):
-                    zz, prev_dc[ci] = _decode_block(r, dc_map, ac_map, prev_dc[ci])
+                    zz, prev_dc[ci] = _decode_block(
+                        r, comp_dc[ci], comp_ac[ci], prev_dc[ci]
+                    )
                     cy, cx = my * 8, mx * 8
                     cplanes[ci - 1][cy : cy + 8, cx : cx + 8] = _block_pixels(
-                        zz, q, m
+                        zz, comp_q[ci], m
                     )
         # nearest-neighbor chroma upsample back to luma resolution
         planes = [yplane] + [
@@ -455,9 +537,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             for bx in range(pw // 8):
                 _maybe_restart()
                 for ci in range(ncomp):  # interleaved MCU: one block per comp
-                    zz, prev_dc[ci] = _decode_block(r, dc_map, ac_map, prev_dc[ci])
+                    zz, prev_dc[ci] = _decode_block(
+                        r, comp_dc[ci], comp_ac[ci], prev_dc[ci]
+                    )
                     planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                        _block_pixels(zz, q, m)
+                        _block_pixels(zz, comp_q[ci], m)
                     )
     if ncomp == 1:
         out = np.clip(np.rint(planes[0][:height, :width]), 0, 255).astype(np.uint8)
@@ -491,14 +575,24 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, int, bytes]:
 
 
 def encode_jpeg_color(
-    width: int, height: int, rgb: bytes, quant: list[int] | None = None
+    width: int,
+    height: int,
+    rgb: bytes,
+    quant: list[int] | None = None,
+    chroma_quant: list[int] | None = None,
 ) -> bytes:
     """Encode 8-bit RGB pixels (row-major, ``width*height*3`` bytes) as
     a baseline YCbCr 4:4:4 JFIF stream: JFIF color conversion, three
-    interleaved components per MCU with independent DC predictors, one
-    shared quant and Huffman table set (table 0 for everything — legal
-    baseline, and it keeps the decoder honest about reading the
-    component-to-table mappings from SOS)."""
+    interleaved components per MCU with independent DC predictors.
+
+    With ``chroma_quant`` omitted, one shared quant/Huffman table set
+    (destination 0) serves all components. With ``chroma_quant`` given,
+    the stream uses the dominant real-world two-table-set layout: one
+    multi-table DQT segment carrying destinations 0 (luma) and 1
+    (chroma), separate chroma Huffman tables (DC1/AC1, deliberately
+    different symbol ordering), SOF Tq per component, and SOS Td/Ta
+    per component — which forces the decoder to key every table by its
+    destination ID (decode_jpeg parses all of these)."""
     import numpy as np
 
     quant = quant or [1] * 64
@@ -521,14 +615,27 @@ def encode_jpeg_color(
         for p in planes
     ]
     m = _dct_matrix()
-    q = np.array(quant, dtype=np.float64).reshape(8, 8)
+    q0 = np.array(quant, dtype=np.float64).reshape(8, 8)
+    two_sets = chroma_quant is not None
+    qc = np.array(chroma_quant, dtype=np.float64).reshape(8, 8) if two_sets else q0
+    dc_c = build_codes(DC_BITS, DC_VALS_CHROMA) if two_sets else None
+    ac_c = build_codes(AC_BITS, AC_VALS_CHROMA) if two_sets else None
+    comp_q = [q0, qc, qc]
     w = _BitWriter()
     prev_dc = [0, 0, 0]
     for by in range(ph // 8):
         for bx in range(pw // 8):
             for ci in range(3):  # interleaved MCU
                 block = planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                prev_dc[ci] = _encode_block(w, block, q, m, prev_dc[ci])
+                prev_dc[ci] = _encode_block(
+                    w,
+                    block,
+                    comp_q[ci],
+                    m,
+                    prev_dc[ci],
+                    dc_c if ci else None,
+                    ac_c if ci else None,
+                )
     w.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -537,12 +644,24 @@ def encode_jpeg_color(
     zz_quant = bytes(quant[r * 8 + c] for (r, c) in ZIGZAG)
     out = b"\xff\xd8"
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, b"\x00" + zz_quant)
-    comps = b"".join(bytes([cid, 0x11, 0x00]) for cid in (1, 2, 3))
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3) + comps)
-    out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
-    out += seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
-    out += seg(0xFFDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
+    if two_sets:
+        zz_cq = bytes(chroma_quant[r * 8 + c] for (r, c) in ZIGZAG)
+        # one DQT segment, two tables — exercises multi-table parsing
+        out += seg(0xFFDB, b"\x00" + zz_quant + b"\x01" + zz_cq)
+        comps = bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+        out += seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3) + comps)
+        out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+        out += seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+        out += seg(0xFFC4, b"\x01" + bytes(DC_BITS) + bytes(DC_VALS_CHROMA))
+        out += seg(0xFFC4, b"\x11" + bytes(AC_BITS) + bytes(AC_VALS_CHROMA))
+        out += seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+    else:
+        out += seg(0xFFDB, b"\x00" + zz_quant)
+        comps = b"".join(bytes([cid, 0x11, 0x00]) for cid in (1, 2, 3))
+        out += seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3) + comps)
+        out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+        out += seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+        out += seg(0xFFDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
     out += bytes(w.out)
     out += b"\xff\xd9"
     return out
@@ -613,3 +732,639 @@ def encode_jpeg_color_420(
     out += bytes(w.out)
     out += b"\xff\xd9"
     return out
+
+
+# --------------------------------------------------------------------------
+# progressive DCT (SOF2, T.81 Annex G): decoder
+# --------------------------------------------------------------------------
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map an s-bit magnitude to its signed value."""
+    if s and v < (1 << (s - 1)):
+        v -= (1 << s) - 1
+    return v
+
+
+def _next_marker(payload: bytes, pos: int) -> int:
+    """Advance past entropy-coded data to the next real marker (skips
+    stuffed 0xFF00 and fill 0xFF bytes)."""
+    n = len(payload)
+    while pos < n - 1:
+        if payload[pos] == 0xFF and payload[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    raise ValueError("ran off the end of the JPEG stream looking for a marker")
+
+
+def _decode_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a progressive JPEG (SOF2): accumulate per-component
+    dequantization-ready coefficient arrays across every scan — DC
+    first/refinement (interleaved or single-component), AC
+    first/refinement (single-component bands with EOBRUN) — then
+    dequantize + IDCT once at the end. Supports the same component
+    layouts as the baseline path (gray, 4:4:4, 4:2:0)."""
+    import numpy as np
+
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    dc_maps: dict[int, dict] = {}
+    ac_maps: dict[int, dict] = {}
+    width = height = ncomp = None
+    comp_ids: list[int] = []
+    comp_hv: list[tuple[int, int]] = []
+    comp_tq: list[int] = []
+    coefs: list = []  # per component: int32 [bh, bw, 64] zigzag-indexed
+    dims: list[tuple[int, int, int, int]] = []  # (bh_mcu, bw_mcu, bh_nat, bw_nat)
+    mcus_x = mcus_y = 0
+    dri = 0
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        data = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:
+            at = 0
+            while at < len(data):
+                pq_tq = data[at]
+                if pq_tq & 0xF0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz_q = list(data[at + 1 : at + 65])
+                if len(zz_q) < 64:
+                    raise ValueError("truncated DQT table")
+                tbl = [0] * 64
+                for i, (r, c) in enumerate(ZIGZAG):
+                    tbl[r * 8 + c] = zz_q[i]
+                quant[pq_tq & 0x0F] = tbl
+                at += 65
+        elif marker == 0xC4:
+            at = 0
+            while at < len(data):
+                tc_th = data[at]
+                bits = list(data[at + 1 : at + 17])
+                n = sum(bits)
+                vals = list(data[at + 17 : at + 17 + n])
+                if len(bits) < 16 or len(vals) < n:
+                    raise ValueError("truncated DHT table")
+                table = build_decode_map(bits, vals)
+                (dc_maps if tc_th >> 4 == 0 else ac_maps)[tc_th & 0x0F] = table
+                at += 17 + n
+        elif marker == 0xDD:
+            (dri,) = struct.unpack_from(">H", data, 0)
+            if dri:
+                raise ValueError(
+                    "restart markers in progressive streams unsupported"
+                )
+        elif marker == 0xC2:  # SOF2
+            precision, height, width, ncomp = struct.unpack_from(">BHHB", data, 0)
+            if precision != 8 or ncomp not in (1, 3):
+                raise ValueError(
+                    "only 8-bit 1- or 3-component progressive supported"
+                )
+            comp_ids = [data[6 + 3 * ci] for ci in range(ncomp)]
+            hv = [data[7 + 3 * ci] for ci in range(ncomp)]
+            comp_hv = [(b >> 4, b & 0x0F) for b in hv]
+            comp_tq = [data[8 + 3 * ci] for ci in range(ncomp)]
+            if tuple(hv) not in ((0x11,), (0x11, 0x11, 0x11), (0x22, 0x11, 0x11)):
+                raise ValueError(
+                    f"unsupported sampling layout {tuple(hv)} "
+                    "(4:4:4 or 4:2:0 only)"
+                )
+            hmax = max(h for h, _ in comp_hv)
+            vmax = max(v for _, v in comp_hv)
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            for h, v in comp_hv:
+                bw_mcu, bh_mcu = mcus_x * h, mcus_y * v
+                bw_nat = -(-(-(-width * h // hmax)) // 8)
+                bh_nat = -(-(-(-height * v // vmax)) // 8)
+                dims.append((bh_mcu, bw_mcu, bh_nat, bw_nat))
+                coefs.append(np.zeros((bh_mcu, bw_mcu, 64), dtype=np.int64))
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("mixed frame types unsupported")
+        elif marker == 0xDA:  # SOS — one scan of the progression
+            if ncomp is None:
+                raise ValueError("SOS before SOF2")
+            ns = data[0]
+            spec = []  # (comp index, Td, Ta)
+            for si in range(ns):
+                cs, td_ta = data[1 + 2 * si], data[2 + 2 * si]
+                if cs not in comp_ids:
+                    raise ValueError(f"SOS names unknown component {cs}")
+                spec.append((comp_ids.index(cs), td_ta >> 4, td_ta & 0x0F))
+            ss, se, ah_al = data[1 + 2 * ns], data[2 + 2 * ns], data[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 0x0F
+            r = _BitReader(payload, pos + 2 + length)
+            _decode_scan(
+                r, coefs, dims, comp_hv, spec, ss, se, ah, al,
+                dc_maps, ac_maps, mcus_x, mcus_y,
+            )
+            pos = _next_marker(payload, r.pos)
+            continue
+        pos += 2 + length
+    if width is None or not coefs:
+        raise ValueError("progressive stream missing SOF2/scans")
+    try:
+        comp_q = [
+            np.array(quant[comp_tq[ci]], dtype=np.float64).reshape(8, 8)
+            for ci in range(ncomp)
+        ]
+    except KeyError as ex:
+        raise ValueError(f"frame references undefined quant table {ex}") from ex
+    m = _dct_matrix()
+    planes = []
+    for ci in range(ncomp):
+        bh, bw = dims[ci][0], dims[ci][1]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _block_pixels(
+                    coefs[ci][by, bx].tolist(), comp_q[ci], m
+                )
+        h, v = comp_hv[ci]
+        hmax = max(hh for hh, _ in comp_hv)
+        vmax = max(vv for _, vv in comp_hv)
+        if (h, v) != (hmax, vmax):  # chroma upsample (4:2:0 only here)
+            plane = np.repeat(
+                np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1
+            )
+        planes.append(plane[:height, :width])
+    if ncomp == 1:
+        out = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+        return width, height, 8, out.tobytes()
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    out = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return width, height, 24, out.tobytes()
+
+
+def _decode_scan(
+    r, coefs, dims, comp_hv, spec, ss, se, ah, al, dc_maps, ac_maps,
+    mcus_x, mcus_y,
+):
+    """Decode one progressive scan into the coefficient accumulators."""
+    if ss == 0:  # DC scan (must cover Se=0)
+        if se != 0:
+            raise ValueError("DC scan must have Se=0")
+        if ah == 0:  # first DC scan
+            try:
+                maps = [dc_maps[td] for (_, td, _) in spec]
+            except KeyError as ex:
+                raise ValueError(f"scan references undefined table {ex}") from ex
+            pred = [0] * len(spec)
+            for _si, blocks in _scan_blocks(spec, dims, comp_hv, mcus_x, mcus_y):
+                si = _si
+                for by, bx in blocks:
+                    s = r.read_symbol(maps[si])
+                    diff = _extend(r.read_bits(s), s) if s else 0
+                    pred[si] += diff
+                    coefs[spec[si][0]][by, bx, 0] = pred[si] << al
+        else:  # DC refinement: one raw bit per block
+            for si, blocks in _scan_blocks(spec, dims, comp_hv, mcus_x, mcus_y):
+                for by, bx in blocks:
+                    if r.read_bit():
+                        coefs[spec[si][0]][by, bx, 0] |= 1 << al
+        return
+    # AC scan: exactly one component, non-interleaved
+    if len(spec) != 1:
+        raise ValueError("AC progressive scan must be single-component")
+    ci, _td, ta = spec[0]
+    try:
+        ac = ac_maps[ta]
+    except KeyError as ex:
+        raise ValueError(f"scan references undefined table {ex}") from ex
+    _bh_mcu, _bw_mcu, bh_nat, bw_nat = dims[ci]
+    block_list = [(by, bx) for by in range(bh_nat) for bx in range(bw_nat)]
+    eobrun = 0
+    if ah == 0:  # first AC scan of this band
+        for by, bx in block_list:
+            if eobrun:
+                eobrun -= 1
+                continue
+            zz = coefs[ci][by, bx]
+            k = ss
+            while k <= se:
+                rs = r.read_symbol(ac)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += r.read_bits(run)
+                    break
+                k += run
+                if k > se:
+                    raise ValueError("AC run overflows spectral band")
+                zz[k] = _extend(r.read_bits(size), size) << al
+                k += 1
+    else:  # AC refinement scan
+        p1, m1 = 1 << al, -1 << al
+        for by, bx in block_list:
+            zz = coefs[ci][by, bx]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = r.read_symbol(ac)
+                    run, size = rs >> 4, rs & 0x0F
+                    val = 0
+                    if size == 0:
+                        if run < 15:
+                            eobrun = 1 << run
+                            if run:
+                                eobrun += r.read_bits(run)
+                            break
+                        # run == 15: ZRL — skip 16 zero-history slots
+                    else:
+                        if size != 1:
+                            raise ValueError(
+                                "refinement scan symbol with size > 1"
+                            )
+                        val = p1 if r.read_bit() else m1
+                    while k <= se:
+                        if zz[k] != 0:
+                            if r.read_bit() and (zz[k] & p1) == 0:
+                                zz[k] += p1 if zz[k] > 0 else m1
+                        else:
+                            run -= 1
+                            if run < 0:
+                                break
+                        k += 1
+                    if val:
+                        if k > se:
+                            raise ValueError("refinement run overflows band")
+                        zz[k] = val
+                    k += 1
+            if eobrun > 0:  # correction bits for the rest of the band
+                while k <= se:
+                    if zz[k] != 0:
+                        if r.read_bit() and (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] > 0 else m1
+                    k += 1
+                eobrun -= 1
+
+
+def _scan_blocks(spec, dims, comp_hv, mcus_x, mcus_y):
+    """Yield (scan-component-index, block-coordinate iterator) units in
+    entropy order: interleaved MCU order when the scan has several
+    components, natural raster order for a single-component scan.
+    Interleaved order interleaves WITHIN each MCU, so this yields one
+    (si, [single block]) unit per data unit in MCU order."""
+    if len(spec) == 1:
+        _bh_mcu, _bw_mcu, bh_nat, bw_nat = dims[spec[0][0]]
+        yield 0, [(by, bx) for by in range(bh_nat) for bx in range(bw_nat)]
+        return
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for si, (ci, _td, _ta) in enumerate(spec):
+                h, v = comp_hv[ci]
+                yield si, [
+                    (my * v + dy, mx * h + dx)
+                    for dy in range(v)
+                    for dx in range(h)
+                ]
+
+
+# --------------------------------------------------------------------------
+# progressive DCT (SOF2): encoder — used to pin the decoder round-trip
+# --------------------------------------------------------------------------
+
+
+class _RefineWriter:
+    """AC-refinement entropy writer: buffers correction bits and EOBRUN
+    across blocks per T.81 G.1.2.3 (flushed before the next symbol)."""
+
+    def __init__(self, w: _BitWriter, ac_codes) -> None:
+        self.w = w
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush_eob(self) -> None:
+        if self.eobrun:
+            run = self.eobrun.bit_length() - 1
+            code, length = self.ac[run << 4]
+            self.w.write(code, length)
+            if run:
+                self.w.write(self.eobrun - (1 << run), run)
+            self.eobrun = 0
+        for bit in self.pending:
+            self.w.write(bit, 1)
+        self.pending = []
+
+    def end_scan(self) -> None:
+        self.flush_eob()
+
+
+def _enc_ac_first_block(rw: "_RefineWriter", t: list, ss: int, se: int) -> None:
+    """Encode one block's band for a first (Ah=0) AC scan; ``t`` holds
+    the point-transformed coefficients."""
+    nz = [k for k in range(ss, se + 1) if t[k]]
+    if not nz:
+        rw.eobrun += 1
+        if rw.eobrun == 0x7FFF:
+            rw.flush_eob()
+        return
+    rw.flush_eob()
+    run = 0
+    for k in range(ss, se + 1):
+        v = t[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = rw.ac[0xF0]
+            rw.w.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = rw.ac[(run << 4) | s]
+        rw.w.write(code, length)
+        rw.w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if nz[-1] != se:
+        rw.eobrun += 1
+        if rw.eobrun == 0x7FFF:
+            rw.flush_eob()
+
+
+def _enc_ac_refine_block(
+    rw: "_RefineWriter", zz: list, ss: int, se: int, al: int
+) -> None:
+    """Encode one block's band for a refinement (Ah=Al+1) AC scan:
+    newly-nonzero coefficients as (run,1)+sign, history coefficients as
+    buffered correction bits, trailing content as EOBRUN."""
+    absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+    eob = -1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i
+    run = 0
+    tail: list[int] = []  # correction bits after the last new nonzero
+    for i, t in enumerate(absv):
+        k = ss + i
+        if t == 0:
+            run += 1
+            continue
+        if t > 1:
+            (rw.pending if i > eob else tail).append(t & 1)
+            continue
+        # newly nonzero (t == 1)
+        rw.flush_eob()
+        while run > 15:
+            code, length = rw.ac[0xF0]
+            rw.w.write(code, length)
+            run -= 16
+            for bit in tail:
+                rw.w.write(bit, 1)
+            tail = []
+        code, length = rw.ac[(run << 4) | 1]
+        rw.w.write(code, length)
+        rw.w.write(1 if zz[k] > 0 else 0, 1)
+        for bit in tail:
+            rw.w.write(bit, 1)
+        tail = []
+        run = 0
+    if run > 0 or rw.pending:
+        rw.eobrun += 1
+        if rw.eobrun == 0x7FFF:
+            rw.flush_eob()
+
+
+def _enc_units(comp_sel, comp_hv, dims, mcus_x, mcus_y):
+    """Encoder-side mirror of ``_scan_blocks``: yields (scan index,
+    blocks) data units in entropy order for the selected components."""
+    if len(comp_sel) == 1:
+        _bh_mcu, _bw_mcu, bh_nat, bw_nat = dims[comp_sel[0]]
+        yield 0, [(by, bx) for by in range(bh_nat) for bx in range(bw_nat)]
+        return
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for si, ci in enumerate(comp_sel):
+                h, v = comp_hv[ci]
+                yield si, [
+                    (my * v + dy, mx * h + dx)
+                    for dy in range(v)
+                    for dx in range(h)
+                ]
+
+
+def _quantized_coefs(plane, q, m):
+    """Forward-DCT + quantize a padded plane into a zigzag-ordered
+    int coefficient array [bh, bw, 64]."""
+    import numpy as np
+
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    out = np.zeros((bh, bw, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            qc = np.rint((m @ (block - 128.0) @ m.T) / q).astype(np.int64)
+            for i, (r, c) in enumerate(ZIGZAG):
+                out[by, bx, i] = qc[r, c]
+    return out
+
+
+def _emit_progressive_scans(
+    out: bytearray, coefs, comp_hv, comp_ids, dims, mcus_x, mcus_y
+) -> None:
+    """Append the scan script: DC first (Al=1, interleaved), DC
+    refinement, then per component AC first + refinement over two
+    spectral bands — which exercises spectral selection, successive
+    approximation, EOBRUN, ZRL, and correction-bit buffering."""
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dc_codes = build_codes(DC_BITS, DC_VALS)
+    ac_codes = build_codes(AC_BITS_PROG, AC_VALS_PROG)
+    ncomp = len(coefs)
+    all_sel = list(range(ncomp))
+
+    def sos(comp_sel, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_sel)])
+        for ci in comp_sel:
+            body += bytes([comp_ids[ci], 0x00])
+        return seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    # 1) DC first, point transform Al=1, all components interleaved
+    out += sos(all_sel, 0, 0, 0, 1)
+    w = _BitWriter()
+    pred = [0] * ncomp
+    for si, blocks in _enc_units(all_sel, comp_hv, dims, mcus_x, mcus_y):
+        for by, bx in blocks:
+            t = int(coefs[all_sel[si]][by, bx, 0]) >> 1
+            diff = t - pred[si]
+            pred[si] = t
+            s = _category(diff)
+            code, length = dc_codes[s]
+            w.write(code, length)
+            if s:
+                w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    w.flush()
+    out += bytes(w.out)
+    # 2) DC refinement (Ah=1, Al=0): one raw bit per block
+    out += sos(all_sel, 0, 0, 1, 0)
+    w = _BitWriter()
+    for si, blocks in _enc_units(all_sel, comp_hv, dims, mcus_x, mcus_y):
+        for by, bx in blocks:
+            w.write(int(coefs[all_sel[si]][by, bx, 0]) & 1, 1)
+    w.flush()
+    out += bytes(w.out)
+    # 3) AC scans per component, two spectral bands each
+    bands = [(1, 5), (6, 63)]
+    for ci in range(ncomp):
+        for ss, se in bands:
+            out += sos([ci], ss, se, 0, 1)
+            w = _BitWriter()
+            rw = _RefineWriter(w, ac_codes)
+            for _si, blocks in _enc_units([ci], comp_hv, dims, mcus_x, mcus_y):
+                for by, bx in blocks:
+                    zz = coefs[ci][by, bx]
+                    t = [0] * 64
+                    for k in range(ss, se + 1):
+                        v = int(zz[k])
+                        t[k] = (abs(v) >> 1) * (1 if v >= 0 else -1)
+                    _enc_ac_first_block(rw, t, ss, se)
+            rw.end_scan()
+            w.flush()
+            out += bytes(w.out)
+    for ci in range(ncomp):
+        for ss, se in bands:
+            out += sos([ci], ss, se, 1, 0)
+            w = _BitWriter()
+            rw = _RefineWriter(w, ac_codes)
+            for _si, blocks in _enc_units([ci], comp_hv, dims, mcus_x, mcus_y):
+                for by, bx in blocks:
+                    _enc_ac_refine_block(
+                        rw, [int(v) for v in coefs[ci][by, bx]], ss, se, 0
+                    )
+            rw.end_scan()
+            w.flush()
+            out += bytes(w.out)
+
+
+def encode_jpeg_progressive_gray(
+    width: int, height: int, pixels: bytes, quant: list[int] | None = None
+) -> bytes:
+    """Encode 8-bit grayscale as a progressive (SOF2) JFIF stream using
+    a 6-scan script (DC first + refinement, two AC bands first +
+    refinement). With the default all-ones quant table the completed
+    progression reconstructs the same coefficients as the baseline
+    path, so decode matches ``encode_jpeg_gray``'s roundtrip."""
+    import numpy as np
+
+    quant = quant or [1] * 64
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    img = np.pad(
+        img, ((0, ph - height), (0, pw - width)), mode="edge"
+    ).astype(np.float64)
+    m = _dct_matrix()
+    q = np.array(quant, dtype=np.float64).reshape(8, 8)
+    coefs = [_quantized_coefs(img, q, m)]
+    dims = [(ph // 8, pw // 8, -(-height // 8), -(-width // 8))]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zz_quant = bytes(quant[r * 8 + c] for (r, c) in ZIGZAG)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + zz_quant)
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+    out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(AC_BITS_PROG) + bytes(AC_VALS_PROG))
+    _emit_progressive_scans(
+        out, coefs, [(1, 1)], [1], dims, pw // 8, ph // 8
+    )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive_color(
+    width: int,
+    height: int,
+    rgb: bytes,
+    quant: list[int] | None = None,
+    subsample: bool = False,
+) -> bytes:
+    """Encode 8-bit RGB as a progressive (SOF2) YCbCr stream — 4:4:4,
+    or 4:2:0 when ``subsample`` is set — with the same 2+12-scan script
+    per ``_emit_progressive_scans`` (DC interleaved, AC bands per
+    component)."""
+    import numpy as np
+
+    quant = quant or [1] * 64
+    img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(
+        np.float64
+    )
+    r_, g_, b_ = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+    cb = 128.0 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_
+    cr = 128.0 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_
+    m = _dct_matrix()
+    q = np.array(quant, dtype=np.float64).reshape(8, 8)
+    if subsample:
+        ph, pw = -(-height // 16) * 16, -(-width // 16) * 16
+        mcus_x, mcus_y = pw // 16, ph // 16
+        comp_hv = [(2, 2), (1, 1), (1, 1)]
+        pad = lambda p: np.pad(  # noqa: E731
+            p, ((0, ph - height), (0, pw - width)), mode="edge"
+        )
+        yp = np.clip(np.rint(pad(y)), 0, 255)
+        sub = lambda p: np.clip(  # noqa: E731
+            np.rint(
+                pad(p).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            ),
+            0,
+            255,
+        )
+        planes = [yp, sub(cb), sub(cr)]
+        dims = [
+            (ph // 8, pw // 8, -(-height // 8), -(-width // 8)),
+            (ph // 16, pw // 16, -(--(-height // 2) // 8), -(--(-width // 2) // 8)),
+            (ph // 16, pw // 16, -(--(-height // 2) // 8), -(--(-width // 2) // 8)),
+        ]
+    else:
+        ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+        mcus_x, mcus_y = pw // 8, ph // 8
+        comp_hv = [(1, 1)] * 3
+        pad = lambda p: np.pad(  # noqa: E731
+            np.clip(np.rint(p), 0, 255),
+            ((0, ph - height), (0, pw - width)),
+            mode="edge",
+        )
+        planes = [pad(y), pad(cb), pad(cr)]
+        dims = [(ph // 8, pw // 8, -(-height // 8), -(-width // 8))] * 3
+    coefs = [_quantized_coefs(p, q, m) for p in planes]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zz_quant = bytes(quant[r * 8 + c] for (r, c) in ZIGZAG)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + zz_quant)
+    comps = b"".join(
+        bytes([cid, (h << 4) | v, 0x00])
+        for cid, (h, v) in zip((1, 2, 3), comp_hv)
+    )
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, height, width, 3) + comps)
+    out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(AC_BITS_PROG) + bytes(AC_VALS_PROG))
+    _emit_progressive_scans(
+        out, coefs, comp_hv, [1, 2, 3], dims, mcus_x, mcus_y
+    )
+    out += b"\xff\xd9"
+    return bytes(out)

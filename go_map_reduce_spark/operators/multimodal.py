@@ -59,33 +59,29 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decode_image(payload: bytes):
     """Decode a binary payload into (width, height, bpp, pixel_bytes).
 
-    Uncompressed 24-bit BMP and 8-bit truecolor PNG decode natively
-    (pure-Python parsers — ``decode_bmp`` / ``decode_png``; PNG's
-    DEFLATE is stdlib zlib); DCT/arithmetic codecs (JPEG et al.) need
-    PIL/opencv, which this container lacks, and raise until a codec
-    library appears.
+    Uncompressed 24-bit BMP, 8-bit truecolor PNG, and JPEG (baseline
+    SOF0 and progressive SOF2, in grayscale / 4:4:4 / 4:2:0) all decode
+    natively with the pure-Python codecs in this package — no PIL.
+    Every codec normalizes malformed-payload failures to ValueError; an
+    unrecognized or unsupported payload raises ValueError so callers
+    need exactly one exception type. When PIL happens to be installed
+    it serves only as a fallback for layouts outside the native scope
+    (e.g. 12-bit or arithmetic-coded JPEG).
     """
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
-        # baseline JPEG (grayscale or YCbCr 4:4:4) decodes natively;
-        # progressive/subsampled variants fall through to the PIL gate
         from go_map_reduce_spark.functions.jpegcodec import decode_jpeg
 
         try:
             return decode_jpeg(payload)
         except ValueError:
             if not HAS_PIL:
-                raise NotImplementedError(
-                    "progressive/subsampled JPEG decode requires PIL; "
-                    "not available in this environment"
-                )
+                raise
     if not HAS_PIL:
-        raise NotImplementedError(
-            "image codec not recognized and PIL is not available"
-        )
+        raise ValueError("unrecognized image payload")
     import io
 
     img = Image.open(io.BytesIO(payload))
@@ -116,10 +112,17 @@ def encode_bmp(width: int, height: int, rows: list[bytes]) -> bytes:
 
 def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
     """Parse an uncompressed 24-bit BMP: returns (width, height, bpp,
-    pixel bytes with row padding stripped, bottom-up row order)."""
+    pixel bytes with row padding stripped, bottom-up row order).
+    Truncated headers raise ValueError."""
     import struct
 
-    magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    try:
+        magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+        if magic == b"BM":
+            struct.unpack_from("<IiiHHI", payload, 14)  # header must fit
+    except struct.error as ex:
+        raise ValueError(f"malformed BMP header: {ex!r}") from ex
+
     if magic != b"BM":
         raise ValueError("not a BMP payload")
     (hdr_size, width, height, _planes, bpp, compression) = struct.unpack_from(
@@ -679,8 +682,19 @@ def encode_png(width: int, height: int, rows: list[bytes]) -> bytes:
 def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     """Parse an 8-bit truecolor PNG: signature, chunk walk with CRC
     verification, IHDR, zlib-inflated IDAT, and per-scanline filter
-    reconstruction. Returns (width, height, bits-per-pixel, top-down
-    pixel bytes)."""
+    reconstruction. Malformed payloads (truncated chunks, bad DEFLATE
+    data) raise ValueError. Returns (width, height, bits-per-pixel,
+    top-down pixel bytes)."""
+    import struct
+    import zlib
+
+    try:
+        return _decode_png_impl(payload)
+    except (IndexError, struct.error, zlib.error) as ex:
+        raise ValueError(f"malformed PNG stream: {ex!r}") from ex
+
+
+def _decode_png_impl(payload: bytes) -> tuple[int, int, int, bytes]:
     import struct
     import zlib
 

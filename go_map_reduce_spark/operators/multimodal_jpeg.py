@@ -1,6 +1,7 @@
-"""Baseline-JPEG multimodal tier: the compressed-codec decode that was
+"""JPEG multimodal tier: the compressed-codec decode that was
 PIL-gated in earlier rounds, now native (functions/jpegcodec.py —
-pure-stdlib marker/Huffman machinery + numpy DCT; public ITU-T T.81).
+pure-stdlib marker/Huffman machinery + numpy DCT; public ITU-T T.81,
+baseline AND progressive).
 
 Query shape mirrors the BMP/PNG tiers: synthesize a deterministic
 payload per document (mapInPandas encode stage), decode it back
@@ -35,7 +36,19 @@ from go_map_reduce_spark.registry import query
 def _synth_jpeg_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """One deterministic grayscale JPEG per doc: width = 8*(1+doc_id%3),
     height = 8*(1+doc_id%2); block (bx, by) is solid
-    (doc_id*7 + bx*13 + by*29) % 256 — closed-form, block-constant."""
+    (doc_id*7 + bx*13 + by*29) % 256 — closed-form, block-constant.
+
+    The STREAM LAYOUT varies by doc_id so the one driver-gated query
+    exercises all three entropy layouts: doc_id%3==0 encodes
+    progressive (SOF2 — DC+AC first/refinement scans, EOBRUN),
+    doc_id%3==1 baseline with restart markers every 2 MCUs (DRI/RSTn),
+    else plain baseline. Block-constant content with an all-ones quant
+    table decodes bit-exactly under every layout, so the closed-form
+    oracle is layout-invariant."""
+    from go_map_reduce_spark.functions.jpegcodec import (
+        encode_jpeg_progressive_gray,
+    )
+
     for pdf in batches:
         payloads = []
         for doc_id in pdf["doc_id"]:
@@ -44,7 +57,14 @@ def _synth_jpeg_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             for y in range(h):
                 for x in range(w):
                     img.append((doc_id * 7 + (x // 8) * 13 + (y // 8) * 29) % 256)
-            payloads.append(encode_jpeg_gray(w, h, bytes(img)))
+            if doc_id % 3 == 0:
+                payloads.append(encode_jpeg_progressive_gray(w, h, bytes(img)))
+            elif doc_id % 3 == 1:
+                payloads.append(
+                    encode_jpeg_gray(w, h, bytes(img), restart_interval=2)
+                )
+            else:
+                payloads.append(encode_jpeg_gray(w, h, bytes(img)))
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
@@ -85,11 +105,13 @@ def _decode_jpeg_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     """,
 )
 def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL baseline-JPEG decode through the multimodal path: marker
-    walk, DHT canonical-Huffman table build, entropy decode with DC
-    prediction and byte unstuffing, dequantize, dezigzag, IDCT — the
-    full T.81 baseline pipeline, dependency-free
-    (functions/jpegcodec.py). The oracle predicts
+    """REAL JPEG decode through the multimodal path: marker walk, DHT
+    canonical-Huffman table build, entropy decode with DC prediction
+    and byte unstuffing, dequantize, dezigzag, IDCT — the full T.81
+    pipeline, dependency-free (functions/jpegcodec.py), across all
+    three entropy layouts (baseline, baseline+restart markers,
+    progressive SOF2 — one per doc_id residue class, see
+    ``_synth_jpeg_batch``). The oracle predicts
     width/height/bpp/pixel_sum from the block-constant synthesis
     closed form (the construction under which the lossy codec is
     exact — see module docstring); any table-build, prediction, or

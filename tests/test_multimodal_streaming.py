@@ -65,11 +65,15 @@ def test_media_table_schema(spark, sf_dir):
     assert isinstance(row["payload"], (bytes, bytearray))
 
 
-def test_decode_image_is_stubbed_for_compressed_formats():
+def test_decode_image_rejects_unrecognized_payloads():
+    """BMP/PNG/JPEG (baseline + progressive) all decode natively now;
+    anything else — including a payload that merely STARTS like a PNG
+    signature — raises ValueError, the single documented exception
+    type."""
     from go_map_reduce_spark.operators.multimodal import HAS_PIL, decode_image
 
     if not HAS_PIL:
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             decode_image(b"\x89PNG")
 
 

@@ -261,3 +261,80 @@ def test_restart_markers_roundtrip_and_are_verified():
             break
     with pytest.raises(ValueError, match="RST"):
         decode_jpeg_gray(bytes(p))
+
+
+def test_two_table_set_layout_keys_tables_by_destination():
+    """The dominant real-world layout: one multi-table DQT segment
+    (destinations 0+1), separate chroma Huffman tables (DC1/AC1 with a
+    DIFFERENT symbol ordering), SOF Tq and SOS Td/Ta per component. A
+    decoder that ignores destination IDs (last-defined-table-wins)
+    would dequantize luma with the coarse chroma table and read luma
+    symbols through the reversed chroma Huffman map — garbage, not a
+    ±1 image. Gray-valued RGB has exactly-constant chroma (Cb=Cr=128),
+    so with a coarse chroma quant the image must STILL come back within
+    DCT rounding."""
+    from go_map_reduce_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    g = np.random.RandomState(3).randint(0, 256, size=(16, 24), dtype=np.uint8)
+    rgb = np.stack([g, g, g], axis=-1)
+    stream = encode_jpeg_color(24, 16, rgb.tobytes(), chroma_quant=[99] * 64)
+    # structural: exactly one DQT segment, four DHT segments
+    assert stream.count(b"\xff\xdb") == 1
+    assert stream.count(b"\xff\xc4") == 4
+    w, h, bpp, px = decode_jpeg(stream)
+    assert (w, h, bpp) == (24, 16, 24)
+    b = np.frombuffer(px, dtype=np.uint8).reshape(16, 24, 3)
+    assert np.abs(rgb.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_two_table_set_chroma_quant_hits_chroma_only():
+    """Coarse chroma quant must degrade color content but leave
+    gray-axis content alone — proof each component dequantizes with
+    ITS Tq table."""
+    from go_map_reduce_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.RandomState(21)
+    a = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    fine = decode_jpeg(encode_jpeg_color(16, 16, a.tobytes(), chroma_quant=[1] * 64))
+    coarse = decode_jpeg(
+        encode_jpeg_color(16, 16, a.tobytes(), chroma_quant=[80] * 64)
+    )
+    ef = np.abs(
+        a.astype(int) - np.frombuffer(fine[3], dtype=np.uint8).reshape(16, 16, 3).astype(int)
+    ).max()
+    ec = np.abs(
+        a.astype(int) - np.frombuffer(coarse[3], dtype=np.uint8).reshape(16, 16, 3).astype(int)
+    ).max()
+    assert ef <= 2 and ec > ef  # chroma loss shows, luma path unharmed
+
+
+def test_scan_referencing_undefined_table_is_rejected():
+    """SOS naming a Huffman destination that no DHT defined must raise
+    ValueError (so decode_image's fallback gate engages) rather than
+    decode with the wrong table."""
+    from go_map_reduce_spark.functions.jpegcodec import decode_jpeg
+
+    good = bytearray(encode_jpeg_gray(8, 8, bytes(range(64))))
+    # SOS payload for gray: 01 01 00 00 3f 00 — set Td/Ta to table 3
+    at = good.find(b"\xff\xda")
+    assert at > 0
+    good[at + 6] = 0x33
+    with pytest.raises(ValueError, match="undefined table"):
+        decode_jpeg(bytes(good))
+
+
+@pytest.mark.parametrize("cut", [2, 25, -10])
+def test_truncated_streams_normalize_to_valueerror(cut):
+    """Truncation anywhere — mid-segment or mid-entropy-stream — must
+    surface as ValueError, never raw IndexError/struct.error, so the
+    multimodal decode_image fallback only needs one exception type."""
+    good = encode_jpeg_gray(8, 8, bytes(range(64)))
+    trunc = good[: cut if cut > 0 else len(good) + cut]
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(trunc)

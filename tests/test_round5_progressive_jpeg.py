@@ -1,0 +1,134 @@
+"""Progressive JPEG (SOF2, T.81 Annex G) tier: the completed
+progression must reconstruct EXACTLY the coefficients the baseline
+path produces for the same content and quant table, so every
+round-trip here is pinned bit-for-bit against the already-proven
+baseline decode — not just within a tolerance. Covers DC first +
+refinement (successive approximation), AC spectral bands, AC
+refinement with correction bits, EOBRUN, gray / 4:4:4 / 4:2:0, odd
+dimensions (natural vs MCU-padded block grids), and decode_image
+routing."""
+
+import numpy as np
+import pytest
+
+from go_map_reduce_spark.functions.jpegcodec import (
+    decode_jpeg,
+    decode_jpeg_gray,
+    encode_jpeg_color,
+    encode_jpeg_color_420,
+    encode_jpeg_gray,
+    encode_jpeg_progressive_color,
+    encode_jpeg_progressive_gray,
+)
+
+
+@pytest.mark.parametrize("w,h", [(8, 8), (24, 16), (21, 13), (1, 1), (40, 9)])
+def test_progressive_gray_matches_baseline_decode_bitexact(w, h):
+    a = np.random.RandomState(w * 100 + h).randint(
+        0, 256, size=(h, w), dtype=np.uint8
+    )
+    _w, _h, bpp, px = decode_jpeg(encode_jpeg_progressive_gray(w, h, a.tobytes()))
+    assert (_w, _h, bpp) == (w, h, 8)
+    _, _, _, px0 = decode_jpeg_gray(encode_jpeg_gray(w, h, a.tobytes()))
+    assert px == px0
+
+
+def test_progressive_stream_is_sof2_with_multiple_scans():
+    a = np.random.RandomState(1).randint(0, 256, size=(16, 16), dtype=np.uint8)
+    p = encode_jpeg_progressive_gray(16, 16, a.tobytes())
+    assert b"\xff\xc2" in p and b"\xff\xc0" not in p
+    # 6-scan script for one component: DC first/refine + 2 bands x 2
+    assert p.count(b"\xff\xda") == 6
+
+
+def test_progressive_color_444_matches_baseline_decode():
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 256, size=(13, 21, 3), dtype=np.uint8)
+    _w, _h, bpp, px = decode_jpeg(
+        encode_jpeg_progressive_color(21, 13, a.tobytes())
+    )
+    assert bpp == 24
+    _, _, _, px0 = decode_jpeg(encode_jpeg_color(21, 13, a.tobytes()))
+    assert px == px0
+
+
+@pytest.mark.parametrize("w,h", [(40, 24), (21, 13), (16, 16)])
+def test_progressive_420_matches_baseline_420_decode(w, h):
+    a = np.random.RandomState(h).randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    _w, _h, bpp, px = decode_jpeg(
+        encode_jpeg_progressive_color(w, h, a.tobytes(), subsample=True)
+    )
+    assert (_w, _h, bpp) == (w, h, 24)
+    _, _, _, px0 = decode_jpeg(encode_jpeg_color_420(w, h, a.tobytes()))
+    assert px == px0
+
+
+def test_progressive_coarse_quant_matches_baseline():
+    """Coarse quantization shrinks coefficient magnitudes into the
+    successive-approximation sweet spot (lots of ±1 'newly nonzero'
+    refinement placements + long EOBRUNs) — still must complete to the
+    baseline coefficients exactly."""
+    a = np.random.RandomState(9).randint(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    _, _, _, px = decode_jpeg(
+        encode_jpeg_progressive_color(24, 24, a.tobytes(), quant=[12] * 64)
+    )
+    _, _, _, px0 = decode_jpeg(
+        encode_jpeg_color(24, 24, a.tobytes(), quant=[12] * 64)
+    )
+    assert px == px0
+
+
+def test_progressive_sparse_content_exercises_eobrun_and_zrl():
+    g = np.zeros((48, 64), dtype=np.uint8)
+    g[10:14, 20:24] = 255
+    g[40, 60] = 128
+    p = encode_jpeg_progressive_gray(64, 48, g.tobytes())
+    _, _, _, px = decode_jpeg(p)
+    _, _, _, px0 = decode_jpeg_gray(encode_jpeg_gray(64, 48, g.tobytes()))
+    assert px == px0
+
+
+def test_progressive_truncation_normalizes_to_valueerror():
+    a = np.random.RandomState(2).randint(0, 256, size=(16, 16), dtype=np.uint8)
+    p = encode_jpeg_progressive_gray(16, 16, a.tobytes())
+    for cut in (len(p) - 6, len(p) // 2, 30):
+        with pytest.raises(ValueError):
+            decode_jpeg(p[:cut])
+
+
+def test_progressive_dri_is_rejected_not_misdecoded():
+    """Restart markers inside progressive scans are out of scope; the
+    decoder must say so (ValueError) instead of desyncing."""
+    a = np.random.RandomState(3).randint(0, 256, size=(16, 16), dtype=np.uint8)
+    p = bytearray(encode_jpeg_progressive_gray(16, 16, a.tobytes()))
+    at = p.find(b"\xff\xc2")
+    dri = b"\xff\xdd\x00\x04\x00\x02"
+    p = bytes(p[:at]) + dri + bytes(p[at:])
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(p)
+
+
+def test_decode_image_routes_progressive_natively():
+    from go_map_reduce_spark.operators.multimodal import decode_image
+
+    a = np.random.RandomState(5).randint(0, 256, size=(8, 16), dtype=np.uint8)
+    w, h, bpp, _px = decode_image(encode_jpeg_progressive_gray(16, 8, a.tobytes()))
+    assert (w, h, bpp) == (16, 8, 8)
+
+
+def test_decode_image_malformed_payloads_raise_valueerror_only():
+    """Every native codec (BMP/PNG/JPEG) normalizes truncation and
+    garbage to ValueError — the single exception type decode_image
+    documents."""
+    from go_map_reduce_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    rows = [bytes(24) for _ in range(8)]
+    png = encode_png(8, 8, rows)
+    jpg = encode_jpeg_gray(8, 8, bytes(64))
+    bmp_stub = b"BM" + bytes(10)  # truncated header
+    for bad in (png[:30], jpg[:30], bmp_stub, b"\x00\x01garbage"):
+        with pytest.raises(ValueError):
+            decode_image(bad)
