@@ -12,6 +12,8 @@ Env:
   SPARK_GRAFT_CPUS    local[] parallelism (default 32)
   BENCH_QUERIES       comma-separated subset (default: all registered)
   BENCH_REPEAT        timed repetitions per query, best-of (default 1)
+  BENCH_DETAIL_PATH   where to write the full timing map
+                      (default: BENCH_DETAIL.json next to this file)
 """
 
 from __future__ import annotations
@@ -96,6 +98,15 @@ def main() -> None:
         "trending_parts_weekly",
         "price_trend_by_brand",
         "knn_label_purity_ann",
+        # Composed dedup pipelines: 13-15 s cold vs 3-5 s marathon-warm
+        # at sf0.1 on IDENTICAL code (r04 isolated A/B vs r03) — the
+        # delta is query-specific codegen JIT + run position, so
+        # best-of-2 stops marathon-to-marathon whipsawing.
+        "minhash_recall_eval",
+        "repeated_ngram_spans",
+        "near_dup_survivors",
+        "semantic_dedup_survivors",
+        "boilerplate_shingles",
     }
     for name in names:
         fn = QUERIES[name]
@@ -137,7 +148,9 @@ def main() -> None:
     spark.stop()
 
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
-    detail_path = os.path.join(
+    # BENCH_DETAIL_PATH lets tests (and ad-hoc subset runs) redirect the
+    # detail artifact so they can't clobber the committed full-suite one.
+    detail_path = os.environ.get("BENCH_DETAIL_PATH") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as f:
@@ -168,7 +181,7 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "queries": {k: round(v, 2) for k, v in slowest.items()},
-                "detail": "BENCH_DETAIL.json",
+                "detail": os.path.basename(detail_path),
             }
         )
     )

@@ -11,12 +11,18 @@ import sys
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_emits_one_parseable_json_line():
+def test_bench_emits_one_parseable_json_line(tmp_path):
+    # Redirect the detail artifact into the test's tmpdir so this run
+    # can never clobber the committed full-suite BENCH_DETAIL.json
+    # (restoring via `git checkout` would silently discard an
+    # uncommitted bench round's results).
+    detail_path = tmp_path / "BENCH_DETAIL.json"
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="4",
         BENCH_QUERIES="wordcount,q1_pricing_summary",
+        BENCH_DETAIL_PATH=str(detail_path),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(HERE, "bench.py")],
@@ -38,12 +44,6 @@ def test_bench_emits_one_parseable_json_line():
     assert payload["sf"] == 0.001
     assert payload["n_queries"] == 2
     assert set(payload["queries"]) <= {"wordcount", "q1_pricing_summary"}
-    # the full map lands in BENCH_DETAIL.json next to bench.py
-    detail = json.load(open(os.path.join(HERE, "BENCH_DETAIL.json")))
+    # the full map lands at BENCH_DETAIL_PATH
+    detail = json.load(open(detail_path))
     assert set(detail["queries"]) == {"wordcount", "q1_pricing_summary"}
-    # keep the repo artifact at its committed full-suite state
-    subprocess.run(
-        ["git", "-C", HERE, "checkout", "--", "BENCH_DETAIL.json"],
-        check=False,
-        capture_output=True,
-    )
