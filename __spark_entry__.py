@@ -157,7 +157,10 @@ _STALE_PRIORITY = [
     "order_date_arithmetic",
     "lateral_top_orders_per_segment",
     "not_in_null_semantics",
-    # dedup/ANN tier
+    # dedup/ANN tier — knn_label_purity_ann first: its candidate-cap
+    # change (r05, pipeline18.PURITY_BUCKET_CAP) altered the registered
+    # semantics, so its r04 evidence must be refreshed this round
+    "knn_label_purity_ann",
     "dedup_exact_summary",
     "dedup_exact_survivors",
     "minhash_signatures",

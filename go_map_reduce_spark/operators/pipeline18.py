@@ -235,6 +235,15 @@ from go_map_reduce_spark.operators.dedup import (  # noqa: E402
     SIGN_BUCKET_DIMS,
 )
 
+# Degenerate-bucket guard for the ANN purity sweep (the analog of
+# dedup.LSH_BUCKET_CAP): at most this many CANDIDATES per bucket enter
+# the pair join (deterministic vec_id order — mirrored in the oracle),
+# so total pair work is Σ bucket·min(bucket, cap) — linear in corpus
+# size even when the {SIGN_BUCKET_DIMS}-bit bucketing degenerates.
+# Queries are never dropped: a query in an over-cap bucket ranks
+# against the bucket's capped candidate set.
+PURITY_BUCKET_CAP = 128
+
 
 @query(
     "knn_label_purity_ann",
@@ -245,6 +254,13 @@ from go_map_reduce_spark.operators.dedup import (  # noqa: E402
              {sql_dot('embedding', 'embedding')} AS nsq
       FROM embeddings
     ),
+    cand AS (
+      SELECT * FROM (
+        SELECT e.*, row_number() OVER (
+          PARTITION BY bucket ORDER BY vec_id
+        ) AS crk FROM e
+      ) WHERE crk <= {PURITY_BUCKET_CAP}
+    ),
     scored AS (
       SELECT q.vec_id, q.label AS own_label, c.label AS nb_label,
              row_number() OVER (
@@ -252,7 +268,7 @@ from go_map_reduce_spark.operators.dedup import (  # noqa: E402
                ORDER BY {sql_cosine('q.embedding', 'c.embedding',
                                     'q.nsq', 'c.nsq')} DESC, c.vec_id
              ) AS rk
-      FROM e q JOIN e c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      FROM e q JOIN cand c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
     )
     SELECT own_label AS label,
            CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vectors,
@@ -268,12 +284,16 @@ def knn_label_purity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN label purity over ANN candidates — the production tier of
     the embedding-quality metric: neighbors come from the sign-bit LSH
     bucketing (the same candidate generator as similarity.ann_lsh_topk),
-    so the per-query candidate set is one bucket, the join is an
-    equality hash join on the bucket key, and total pair work is
-    Σ bucket² — bounded by bucket size, never corpus². EVERY vector is
-    a query (no sampling needed: the bounded join makes the full sweep
-    affordable — exactly why the brute-force tier above was demoted to
-    eval-only).
+    so the per-query candidate set is one bucket and the join is an
+    equality hash join on the bucket key. Because the bucketing is a
+    fixed {SIGN_BUCKET_DIMS}-bit code (2^{SIGN_BUCKET_DIMS} buckets), a
+    degenerate corpus could still make one bucket O(corpus); the
+    {PURITY_BUCKET_CAP}-candidate-per-bucket cap (deterministic vec_id
+    order, mirrored in the oracle — the analog of dedup's
+    LSH_BUCKET_CAP) bounds total pair work at Σ bucket·min(bucket, cap),
+    linear in corpus size. EVERY vector is a query (no sampling needed:
+    the bounded join makes the full sweep affordable — exactly why the
+    brute-force tier above was demoted to eval-only).
 
     Purity semantics are identical to the brute tier: each query's
     top-{PURITY_K} bucket-mates by cosine (vec_id tiebreak), fraction
@@ -299,6 +319,14 @@ def knn_label_purity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.alias("bucket"),
         norm_sq(F.col("embedding")).alias("nsq"),
     )
+    return _ann_purity(e, PURITY_BUCKET_CAP)
+
+
+def _ann_purity(e: DataFrame, cap: int) -> DataFrame:
+    """The capped bucket-join purity pipeline over a prepared
+    (vec_id, embedding, label, bucket, nsq) frame — factored out so the
+    degenerate-bucket cap path is directly testable on an adversarial
+    frame (tests/test_round5_pipeline18.py)."""
     q = e.select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("q_emb"),
@@ -306,7 +334,11 @@ def knn_label_purity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("q_bucket"),
         F.col("nsq").alias("q_nsq"),
     )
-    scored = e.join(
+    # candidate-side bucket cap: the window partitions on the same key
+    # the join shuffles on, so AQE reuses the exchange
+    crk = F.row_number().over(W.partitionBy("bucket").orderBy("vec_id"))
+    cand = e.withColumn("crk", crk).where(F.col("crk") <= cap).drop("crk")
+    scored = cand.join(
         q,
         (F.col("bucket") == F.col("q_bucket"))
         & (F.col("vec_id") != F.col("qid")),

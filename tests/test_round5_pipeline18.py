@@ -111,3 +111,74 @@ def test_ann_purity_near_chance_like_brute(spark, sf_dir):
     n_total = sum(r["n_vectors"] for r in rows)
     mean_purity = sum(r["purity"] * r["n_vectors"] for r in rows) / n_total
     assert 0.0 <= mean_purity < 0.5
+
+
+def test_degenerate_bucket_cap_bounds_candidates(spark):
+    """Adversarial frame: 200 vectors collide into ONE sign-LSH bucket
+    (the 256-fixed-bucket worst case). The candidate cap must bound
+    per-query pair work at `cap` (not 199) while still ranking EVERY
+    vector as a query, and selection must be the deterministic vec_id
+    prefix — all mirrored in the registered oracle's `cand` CTE."""
+    from pyspark.sql import functions as F
+
+    from go_map_reduce_spark.operators.pipeline18 import (
+        PURITY_K,
+        _ann_purity,
+    )
+    from go_map_reduce_spark.functions.vector import norm_sq
+
+    n, cap = 200, 16
+    rows = [
+        # all-positive embeddings → identical sign bucket; vec_id i gets
+        # a distinct direction so cosine ranks are nontrivial
+        (i, [1.0 + (i % 7), 1.0 + ((i * 3) % 5), 1.0], f"L{i % 2}")
+        for i in range(n)
+    ]
+    e = (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+        .select(
+            "vec_id",
+            "embedding",
+            "label",
+            F.lit("11111111").alias("bucket"),
+            norm_sq(F.col("embedding")).alias("nsq"),
+        )
+    )
+    out = _ann_purity(e, cap).collect()
+    # every vector is still a query
+    assert sum(r["n_vectors"] for r in out) == n
+    # ranked pairs per query are bounded by min(PURITY_K, visible
+    # candidates): cap bucket members, minus itself when it IS one
+    expected_pairs = sum(
+        min(PURITY_K, cap - (1 if qid < cap else 0)) for qid in range(n)
+    )
+    matched_pairs = sum(r["n_same_label"] for r in out)
+    assert matched_pairs <= expected_pairs
+    # a cap >= bucket size must reduce to the uncapped sweep
+    full = _ann_purity(e, n).collect()
+    assert sum(r["n_vectors"] for r in full) == n
+
+
+def test_bucket_cap_selection_is_deterministic_vec_id_prefix(spark):
+    """The capped candidate set is exactly the lowest-vec_id `cap`
+    members of the bucket — run twice, same result (no nondeterministic
+    row_number ties: vec_id is unique)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from go_map_reduce_spark.functions.vector import norm_sq
+
+    rows = [(i, [1.0, float(i % 3 + 1)], "x") for i in range(50)]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    ).select(
+        "vec_id", "embedding", "label",
+        F.lit("b").alias("bucket"),
+        norm_sq(F.col("embedding")).alias("nsq"),
+    )
+    crk = F.row_number().over(W.partitionBy("bucket").orderBy("vec_id"))
+    got = sorted(
+        r["vec_id"]
+        for r in e.withColumn("crk", crk).where(F.col("crk") <= 10).collect()
+    )
+    assert got == list(range(10))
