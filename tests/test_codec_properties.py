@@ -129,3 +129,48 @@ def test_wav_roundtrip_bit_exact(channels, n_frames, seed):
         for i in range(n_frames)
     ]
     assert got == frames
+
+
+@settings(max_examples=25, deadline=None)
+@given(w=dims, h=dims, seed=seeds)
+def test_progressive_gray_equals_baseline_decode(w, h, seed):
+    """Progressive (SOF2) invariant: the completed progression carries
+    EXACTLY the baseline path's coefficients, so for any dims/content
+    the decoded bytes must be identical — not merely within rounding."""
+    from go_map_reduce_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_progressive_gray,
+    )
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    _w, _h, bpp, px = decode_jpeg(encode_jpeg_progressive_gray(w, h, a.tobytes()))
+    assert (_w, _h, bpp) == (w, h, 8)
+    _, _, _, px0 = decode_jpeg_gray(encode_jpeg_gray(w, h, a.tobytes()))
+    assert px == px0
+
+
+@settings(max_examples=15, deadline=None)
+@given(w=dims, h=dims, seed=seeds, coarse=st.booleans(), sub=st.booleans())
+def test_progressive_color_equals_baseline_decode(w, h, seed, coarse, sub):
+    """Color progressive across generated dims, quant coarseness, and
+    4:4:4/4:2:0 — always bit-identical to the corresponding baseline
+    layout's decode."""
+    from go_map_reduce_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_color,
+        encode_jpeg_color_420,
+        encode_jpeg_progressive_color,
+    )
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    quant = [9] * 64 if coarse else None
+    _, _, _, px = decode_jpeg(
+        encode_jpeg_progressive_color(
+            w, h, a.tobytes(), quant=quant, subsample=sub
+        )
+    )
+    base = encode_jpeg_color_420 if sub else encode_jpeg_color
+    _, _, _, px0 = decode_jpeg(base(w, h, a.tobytes(), quant=quant))
+    assert px == px0
