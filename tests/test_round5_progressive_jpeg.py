@@ -132,3 +132,28 @@ def test_decode_image_malformed_payloads_raise_valueerror_only():
     for bad in (png[:30], jpg[:30], bmp_stub, b"\x00\x01garbage"):
         with pytest.raises(ValueError):
             decode_image(bad)
+
+
+@pytest.mark.parametrize("progressive", [False, True])
+def test_corrupted_entropy_bytes_fail_closed(progressive):
+    """Flip bytes throughout the stream (headers AND entropy data):
+    the decoder must either return an image with the declared dims or
+    raise ValueError — never a foreign exception, never a hang. (A
+    flipped entropy byte can still be a VALID alternate decoding; that
+    is fine — the contract is fail-closed, not detect-everything.)"""
+    a = np.random.RandomState(6).randint(0, 256, size=(16, 24), dtype=np.uint8)
+    enc = encode_jpeg_progressive_gray if progressive else (
+        lambda w, h, px: encode_jpeg_gray(w, h, px)
+    )
+    good = enc(24, 16, a.tobytes())
+    rng = np.random.RandomState(99)
+    for _ in range(60):
+        p = bytearray(good)
+        at = rng.randint(2, len(p))
+        p[at] ^= 1 << rng.randint(0, 8)
+        try:
+            w, h, bpp, px = decode_jpeg(bytes(p))
+        except ValueError:
+            continue
+        assert bpp in (8, 24)
+        assert len(px) == w * h * (bpp // 8)
