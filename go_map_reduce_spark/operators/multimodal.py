@@ -10,14 +10,17 @@ other narrow transformation: no shuffle, executor-local, bounded-memory
 batches (spark.sql.execution.arrow.maxRecordsPerBatch).
 
 The general image/audio codec libraries are NOT in this container.
-Uncompressed 24-bit BMP and COMPRESSED 8-bit truecolor PNG both decode
-for real with dependency-free pure-Python parsers (`decode_bmp` —
-magic number, DIB header, row padding; `decode_png` — chunk walk with
-CRC verification, stdlib-zlib DEFLATE inflate, and all five scanline
-filter reconstructions), each exercised end-to-end by its own gated
-query. Only DCT/arithmetic codecs (JPEG et al.) stay behind the PIL
-import-try in `decode_image`. The Spark-side plumbing — BinaryType
-schema, UDF signature, batch iteration — is identical for every tier.
+Uncompressed 24-bit BMP, COMPRESSED 8-bit truecolor PNG, and JPEG
+(baseline SOF0 and progressive SOF2) all decode for real with
+dependency-free pure-Python parsers (`decode_bmp` — magic number, DIB
+header, row padding; `decode_png` — chunk walk with CRC verification,
+stdlib-zlib DEFLATE inflate, and all five scanline filter
+reconstructions; `functions/jpegcodec.py` — the full T.81 pipeline),
+each exercised end-to-end by its own gated query. The PIL import-try
+in `decode_image` survives only as an optional fallback for layouts
+outside the native scope (12-bit, arithmetic-coded). The Spark-side
+plumbing — BinaryType schema, UDF signature, batch iteration — is
+identical for every tier.
 """
 
 from __future__ import annotations
@@ -612,9 +615,9 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (stdlib zlib) + per-scanline prediction filters, so unlike JPEG it is
 # fully decodable with the standard library — chunk walking with CRC
 # verification, IHDR parsing, zlib inflate, and all five filter
-# reconstructions (None/Sub/Up/Average/Paeth). This closes the
-# compressed-codec gap natively; only DCT/arithmetic codecs (JPEG et
-# al.) remain PIL-gated in decode_image.
+# reconstructions (None/Sub/Up/Average/Paeth). This closed the
+# compressed-codec gap natively; round 5 finished the job on the DCT
+# side too (functions/jpegcodec.py — baseline + progressive JPEG).
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_BPP = 3  # color type 2 (truecolor), bit depth 8
@@ -825,8 +828,8 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     form: any filter-reconstruction or inflate mistake diverges
     pixel_sum. Same two narrow mapInPandas stages as the BMP tier —
     compressed media decode is still a shuffle-free map at 100 TB.
-    (JPEG and other DCT codecs remain PIL-gated in ``decode_image`` —
-    DEFLATE is stdlib, a DCT pipeline is not.)"""
+    (JPEG decodes natively too — baseline and progressive, see
+    ``multimodal_jpeg_decode``.)"""
     from go_map_reduce_spark.shipping import ensure_package_shipped
 
     ensure_package_shipped(spark)
