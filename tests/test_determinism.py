@@ -71,6 +71,11 @@ def test_repeat_run_stability(name, spark, sf_dir):
         "unigram_logprob_scores",    # dsum of 6dp ln() terms
         "pagerank_supplier_part",    # iterative decimal contributions
         "rfm_customer_segments",     # global ntile windows
+        "knn_label_purity_ann",      # r05 bucket cap: row_number over
+                                     # unique vec_id must be partition-
+                                     # count-invariant
+        "multimodal_jpeg_decode",    # r05 mixed-layout codec synth:
+                                     # pure per-row maps, no shuffle
     ],
 )
 def test_parallelism_invariance(name, spark, sf_dir):
