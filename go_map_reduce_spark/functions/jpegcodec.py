@@ -191,6 +191,19 @@ class _BitReader:
         self.pos += 2
 
 
+# The component layouts both decoders accept: grayscale, and YCbCr
+# with the common luma sampling factors (chroma always 1x1). The
+# generic MCU walk handles any of these; anything else raises
+# ValueError so decode_image's fallback gate engages.
+_SUPPORTED_SAMPLING = (
+    (0x11,),
+    (0x11, 0x11, 0x11),  # 4:4:4
+    (0x22, 0x11, 0x11),  # 4:2:0
+    (0x21, 0x11, 0x11),  # 4:2:2 (horizontal-only chroma subsampling)
+    (0x12, 0x11, 0x11),  # 4:4:0 (vertical-only)
+)
+
+
 def _category(v: int) -> int:
     s = 0
     a = abs(v)
@@ -428,9 +441,10 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
             comp_ids = [data[6 + 3 * ci] for ci in range(ncomp)]
             samp = tuple(data[7 + 3 * ci] for ci in range(ncomp))
             comp_tq = [data[8 + 3 * ci] for ci in range(ncomp)]
-            if samp not in ((0x11,), (0x11, 0x11, 0x11), (0x22, 0x11, 0x11)):
+            if samp not in _SUPPORTED_SAMPLING:
                 raise ValueError(
-                    f"unsupported sampling layout {samp} (4:4:4 or 4:2:0 only)"
+                    f"unsupported sampling layout {samp} "
+                    "(gray / 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 only)"
                 )
         elif marker == 0xC2:  # SOF2 — progressive DCT
             return _decode_progressive(payload)
@@ -500,49 +514,40 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
                 prev_dc[ci] = 0
         mcu += 1
 
-    if samp == (0x22, 0x11, 0x11):  # 4:2:0 — 16x16 MCU: 4 Y + Cb + Cr
-        ph, pw = -(-height // 16) * 16, -(-width // 16) * 16
-        yplane = np.zeros((ph, pw), dtype=np.float64)
-        cplanes = [
-            np.zeros((ph // 2, pw // 2), dtype=np.float64) for _ in range(2)
-        ]
-        for my in range(ph // 16):
-            for mx in range(pw // 16):
-                _maybe_restart()
-                for dy in (0, 1):
-                    for dx in (0, 1):
-                        zz, prev_dc[0] = _decode_block(
-                            r, comp_dc[0], comp_ac[0], prev_dc[0]
+    # Generic interleaved MCU walk over per-component (H, V) sampling
+    # factors — one loop covers gray, 4:4:4, 4:2:0, 4:2:2, and 4:4:0
+    # (block order within the MCU is component-major, raster within
+    # each component, per T.81 A.2.3). Sub-sampled planes are
+    # nearest-neighbor upsampled back to luma resolution afterwards.
+    hv = [(b >> 4, b & 0x0F) for b in samp]
+    hmax = max(h for h, _ in hv)
+    vmax = max(v for _, v in hv)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    planes = [
+        np.zeros((mcus_y * v * 8, mcus_x * h * 8), dtype=np.float64)
+        for (h, v) in hv
+    ]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            _maybe_restart()
+            for ci, (h, v) in enumerate(hv):
+                for dy in range(v):
+                    for dx in range(h):
+                        zz, prev_dc[ci] = _decode_block(
+                            r, comp_dc[ci], comp_ac[ci], prev_dc[ci]
                         )
-                        yy, xx = my * 16 + dy * 8, mx * 16 + dx * 8
-                        yplane[yy : yy + 8, xx : xx + 8] = _block_pixels(
-                            zz, comp_q[0], m
+                        yy = (my * v + dy) * 8
+                        xx = (mx * h + dx) * 8
+                        planes[ci][yy : yy + 8, xx : xx + 8] = _block_pixels(
+                            zz, comp_q[ci], m
                         )
-                for ci in (1, 2):
-                    zz, prev_dc[ci] = _decode_block(
-                        r, comp_dc[ci], comp_ac[ci], prev_dc[ci]
-                    )
-                    cy, cx = my * 8, mx * 8
-                    cplanes[ci - 1][cy : cy + 8, cx : cx + 8] = _block_pixels(
-                        zz, comp_q[ci], m
-                    )
-        # nearest-neighbor chroma upsample back to luma resolution
-        planes = [yplane] + [
-            np.repeat(np.repeat(p, 2, axis=0), 2, axis=1) for p in cplanes
-        ]
-    else:
-        ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
-        planes = [np.zeros((ph, pw), dtype=np.float64) for _ in range(ncomp)]
-        for by in range(ph // 8):
-            for bx in range(pw // 8):
-                _maybe_restart()
-                for ci in range(ncomp):  # interleaved MCU: one block per comp
-                    zz, prev_dc[ci] = _decode_block(
-                        r, comp_dc[ci], comp_ac[ci], prev_dc[ci]
-                    )
-                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                        _block_pixels(zz, comp_q[ci], m)
-                    )
+    planes = [
+        np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)
+        if (h, v) != (hmax, vmax)
+        else p
+        for p, (h, v) in zip(planes, hv)
+    ]
     if ncomp == 1:
         out = np.clip(np.rint(planes[0][:height, :width]), 0, 255).astype(np.uint8)
         return width, height, 8, out.tobytes()
@@ -734,6 +739,85 @@ def encode_jpeg_color_420(
     return out
 
 
+def encode_jpeg_color_subsampled(
+    width: int,
+    height: int,
+    rgb: bytes,
+    quant: list[int] | None = None,
+    factors: tuple[int, int] = (2, 2),
+) -> bytes:
+    """Encode 8-bit RGB as baseline YCbCr with luma sampling
+    ``factors`` = (H, V): (2, 2) is 4:2:0, (2, 1) is 4:2:2
+    (horizontal-only chroma subsampling — the common video-frame
+    layout), (1, 2) is 4:4:0. Chroma planes are HxV block-mean
+    subsampled before the DCT; the MCU carries H*V Y blocks + Cb + Cr
+    in T.81 A.2.3 order. The generic decoder MCU walk consumes all of
+    these."""
+    import numpy as np
+
+    fh, fv = factors
+    if (fh, fv) not in ((2, 2), (2, 1), (1, 2)):
+        raise ValueError(f"unsupported luma sampling factors {factors}")
+    quant = quant or [1] * 64
+    img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(
+        np.float64
+    )
+    r_, g_, b_ = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+    cb = 128.0 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_
+    cr = 128.0 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_
+    mh, mw = 8 * fv, 8 * fh  # MCU pixel dims (vertical, horizontal)
+    ph, pw = -(-height // mh) * mh, -(-width // mw) * mw
+    pad = lambda p: np.pad(  # noqa: E731
+        p, ((0, ph - height), (0, pw - width)), mode="edge"
+    )
+    y = np.clip(np.rint(pad(y)), 0, 255)
+    sub = lambda p: np.clip(  # noqa: E731
+        np.rint(
+            pad(p).reshape(ph // fv, fv, pw // fh, fh).mean(axis=(1, 3))
+        ),
+        0,
+        255,
+    )
+    cb, cr = sub(cb), sub(cr)
+    m = _dct_matrix()
+    q = np.array(quant, dtype=np.float64).reshape(8, 8)
+    w = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(ph // mh):
+        for mx in range(pw // mw):
+            for dy in range(fv):  # luma blocks, raster order within MCU
+                for dx in range(fh):
+                    yy, xx = my * mh + dy * 8, mx * mw + dx * 8
+                    prev[0] = _encode_block(
+                        w, y[yy : yy + 8, xx : xx + 8], q, m, prev[0]
+                    )
+            cy, cx = my * 8, mx * 8
+            prev[1] = _encode_block(w, cb[cy : cy + 8, cx : cx + 8], q, m, prev[1])
+            prev[2] = _encode_block(w, cr[cy : cy + 8, cx : cx + 8], q, m, prev[2])
+    w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zz_quant = bytes(quant[r * 8 + c] for (r, c) in ZIGZAG)
+    out = b"\xff\xd8"
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + zz_quant)
+    comps = (
+        bytes([1, (fh << 4) | fv, 0x00])
+        + bytes([2, 0x11, 0x00])
+        + bytes([3, 0x11, 0x00])
+    )
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3) + comps)
+    out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    out += seg(0xFFDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
+    out += bytes(w.out)
+    out += b"\xff\xd9"
+    return out
+
+
 # --------------------------------------------------------------------------
 # progressive DCT (SOF2, T.81 Annex G): decoder
 # --------------------------------------------------------------------------
@@ -828,10 +912,10 @@ def _decode_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
             hv = [data[7 + 3 * ci] for ci in range(ncomp)]
             comp_hv = [(b >> 4, b & 0x0F) for b in hv]
             comp_tq = [data[8 + 3 * ci] for ci in range(ncomp)]
-            if tuple(hv) not in ((0x11,), (0x11, 0x11, 0x11), (0x22, 0x11, 0x11)):
+            if tuple(hv) not in _SUPPORTED_SAMPLING:
                 raise ValueError(
                     f"unsupported sampling layout {tuple(hv)} "
-                    "(4:4:4 or 4:2:0 only)"
+                    "(gray / 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 only)"
                 )
             hmax = max(h for h, _ in comp_hv)
             vmax = max(v for _, v in comp_hv)

@@ -157,3 +157,52 @@ def test_corrupted_entropy_bytes_fail_closed(progressive):
             continue
         assert bpp in (8, 24)
         assert len(px) == w * h * (bpp // 8)
+
+
+def test_generalized_subsampled_encoder_matches_legacy_420_bytes():
+    """encode_jpeg_color_subsampled(factors=(2,2)) must produce a
+    byte-identical stream to the proven 4:2:0 encoder — the refactored
+    generic MCU walk is an equivalence, not a behavior change."""
+    from go_map_reduce_spark.functions.jpegcodec import (
+        encode_jpeg_color_420,
+        encode_jpeg_color_subsampled,
+    )
+
+    a = np.random.RandomState(17).randint(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    assert encode_jpeg_color_subsampled(
+        40, 24, a.tobytes(), factors=(2, 2)
+    ) == encode_jpeg_color_420(40, 24, a.tobytes())
+
+
+@pytest.mark.parametrize("factors", [(2, 1), (1, 2)])
+def test_422_and_440_layouts_roundtrip(factors):
+    """The third common real-world layout (4:2:2, horizontal-only
+    chroma) and its vertical twin: gray content keeps full luma detail
+    (err <= DCT rounding), a 4:4:4-lossless constant color survives
+    exactly, and the stream is smaller than 4:4:4."""
+    from go_map_reduce_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_color,
+        encode_jpeg_color_subsampled,
+    )
+
+    g = np.random.RandomState(8).randint(0, 256, size=(16, 32), dtype=np.uint8)
+    rgb = np.stack([g, g, g], axis=-1)
+    w, h, bpp, px = decode_jpeg(
+        encode_jpeg_color_subsampled(32, 16, rgb.tobytes(), factors=factors)
+    )
+    assert (w, h, bpp) == (32, 16, 24)
+    b = np.frombuffer(px, dtype=np.uint8).reshape(16, 32, 3)
+    assert np.abs(rgb.astype(int) - b.astype(int)).max() <= 1
+
+    c = np.zeros((13, 21, 3), dtype=np.uint8)
+    c[..., 0], c[..., 1], c[..., 2] = 180, 64, 201
+    _, _, _, px2 = decode_jpeg(
+        encode_jpeg_color_subsampled(21, 13, c.tobytes(), factors=factors)
+    )
+    assert np.frombuffer(px2, dtype=np.uint8).reshape(13, 21, 3).tobytes() == c.tobytes()
+
+    a = np.random.RandomState(2).randint(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    assert len(
+        encode_jpeg_color_subsampled(48, 32, a.tobytes(), factors=factors)
+    ) < len(encode_jpeg_color(48, 32, a.tobytes()))
