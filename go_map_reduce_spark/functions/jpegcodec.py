@@ -22,8 +22,10 @@ nearest-neighbor upsample on decode) — in BOTH baseline sequential
 DCT (SOF0) and progressive DCT (SOF2, T.81 Annex G: spectral
 selection + successive approximation, DC/AC first and refinement
 scans, EOBRUN). JFIF conversion matrix, per-component DC predictors,
-edge-replication padding. Restart markers are supported in baseline
-streams; progressive streams with DRI raise ValueError.
+edge-replication padding. Restart markers (DRI/RSTn) are supported in
+both baseline and progressive streams — in progressive they apply per
+scan with the modulo-8 sequence restarting at 0 and DC-predictor /
+EOBRUN resets at each marker.
 """
 
 from __future__ import annotations
@@ -847,7 +849,8 @@ def _decode_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
     first/refinement (interleaved or single-component), AC
     first/refinement (single-component bands with EOBRUN) — then
     dequantize + IDCT once at the end. Supports the same component
-    layouts as the baseline path (gray, 4:4:4, 4:2:0)."""
+    layouts as the baseline path (``_SUPPORTED_SAMPLING``) and
+    per-scan restart markers."""
     import numpy as np
 
     pos = 2
@@ -898,10 +901,6 @@ def _decode_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
                 at += 17 + n
         elif marker == 0xDD:
             (dri,) = struct.unpack_from(">H", data, 0)
-            if dri:
-                raise ValueError(
-                    "restart markers in progressive streams unsupported"
-                )
         elif marker == 0xC2:  # SOF2
             precision, height, width, ncomp = struct.unpack_from(">BHHB", data, 0)
             if precision != 8 or ncomp not in (1, 3):
@@ -944,7 +943,7 @@ def _decode_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
             r = _BitReader(payload, pos + 2 + length)
             _decode_scan(
                 r, coefs, dims, comp_hv, spec, ss, se, ah, al,
-                dc_maps, ac_maps, mcus_x, mcus_y,
+                dc_maps, ac_maps, mcus_x, mcus_y, dri,
             )
             pos = _next_marker(payload, r.pos)
             continue
@@ -994,9 +993,24 @@ def _decode_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
 
 def _decode_scan(
     r, coefs, dims, comp_hv, spec, ss, se, ah, al, dc_maps, ac_maps,
-    mcus_x, mcus_y,
+    mcus_x, mcus_y, dri=0,
 ):
-    """Decode one progressive scan into the coefficient accumulators."""
+    """Decode one progressive scan into the coefficient accumulators.
+    ``dri`` > 0 expects byte-aligned RSTn markers every that-many
+    restart units (MCUs for an interleaved scan, blocks for a
+    single-component scan — T.81 E.1.4 applied per scan, sequence
+    number restarting at 0), resetting DC predictors / EOBRUN."""
+    rst_n = 0
+
+    def _restart_boundary(ui: int) -> bool:
+        nonlocal rst_n
+        if dri and ui and ui % dri == 0:
+            r.expect_restart(rst_n)
+            rst_n += 1
+            return True
+        return False
+
+    units = list(_scan_units(spec, dims, comp_hv, mcus_x, mcus_y))
     if ss == 0:  # DC scan (must cover Se=0)
         if se != 0:
             raise ValueError("DC scan must have Se=0")
@@ -1006,16 +1020,18 @@ def _decode_scan(
             except KeyError as ex:
                 raise ValueError(f"scan references undefined table {ex}") from ex
             pred = [0] * len(spec)
-            for _si, blocks in _scan_blocks(spec, dims, comp_hv, mcus_x, mcus_y):
-                si = _si
-                for by, bx in blocks:
+            for ui, unit in enumerate(units):
+                if _restart_boundary(ui):
+                    pred = [0] * len(spec)
+                for si, by, bx in unit:
                     s = r.read_symbol(maps[si])
                     diff = _extend(r.read_bits(s), s) if s else 0
                     pred[si] += diff
                     coefs[spec[si][0]][by, bx, 0] = pred[si] << al
         else:  # DC refinement: one raw bit per block
-            for si, blocks in _scan_blocks(spec, dims, comp_hv, mcus_x, mcus_y):
-                for by, bx in blocks:
+            for ui, unit in enumerate(units):
+                _restart_boundary(ui)
+                for si, by, bx in unit:
                     if r.read_bit():
                         coefs[spec[si][0]][by, bx, 0] |= 1 << al
         return
@@ -1027,11 +1043,12 @@ def _decode_scan(
         ac = ac_maps[ta]
     except KeyError as ex:
         raise ValueError(f"scan references undefined table {ex}") from ex
-    _bh_mcu, _bw_mcu, bh_nat, bw_nat = dims[ci]
-    block_list = [(by, bx) for by in range(bh_nat) for bx in range(bw_nat)]
     eobrun = 0
     if ah == 0:  # first AC scan of this band
-        for by, bx in block_list:
+        for ui, unit in enumerate(units):
+            if _restart_boundary(ui):
+                eobrun = 0  # EOB runs cannot cross a restart
+            _si, by, bx = unit[0]
             if eobrun:
                 eobrun -= 1
                 continue
@@ -1055,7 +1072,10 @@ def _decode_scan(
                 k += 1
     else:  # AC refinement scan
         p1, m1 = 1 << al, -1 << al
-        for by, bx in block_list:
+        for ui, unit in enumerate(units):
+            if _restart_boundary(ui):
+                eobrun = 0
+            _si, by, bx = unit[0]
             zz = coefs[ci][by, bx]
             k = ss
             if eobrun == 0:
@@ -1099,25 +1119,29 @@ def _decode_scan(
                 eobrun -= 1
 
 
-def _scan_blocks(spec, dims, comp_hv, mcus_x, mcus_y):
-    """Yield (scan-component-index, block-coordinate iterator) units in
-    entropy order: interleaved MCU order when the scan has several
-    components, natural raster order for a single-component scan.
-    Interleaved order interleaves WITHIN each MCU, so this yields one
-    (si, [single block]) unit per data unit in MCU order."""
+def _scan_units(spec, dims, comp_hv, mcus_x, mcus_y):
+    """Yield restart-countable entropy units in scan order, each a list
+    of (scan-component-index, by, bx) data units: one MCU per unit for
+    an interleaved scan (component-major, raster within component —
+    T.81 A.2.3), one block per unit for a single-component scan in
+    natural raster order over the component's un-padded block grid."""
     if len(spec) == 1:
         _bh_mcu, _bw_mcu, bh_nat, bw_nat = dims[spec[0][0]]
-        yield 0, [(by, bx) for by in range(bh_nat) for bx in range(bw_nat)]
+        for by in range(bh_nat):
+            for bx in range(bw_nat):
+                yield [(0, by, bx)]
         return
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            unit = []
             for si, (ci, _td, _ta) in enumerate(spec):
                 h, v = comp_hv[ci]
-                yield si, [
-                    (my * v + dy, mx * h + dx)
+                unit += [
+                    (si, my * v + dy, mx * h + dx)
                     for dy in range(v)
                     for dx in range(h)
                 ]
+            yield unit
 
 
 # --------------------------------------------------------------------------
@@ -1225,24 +1249,6 @@ def _enc_ac_refine_block(
             rw.flush_eob()
 
 
-def _enc_units(comp_sel, comp_hv, dims, mcus_x, mcus_y):
-    """Encoder-side mirror of ``_scan_blocks``: yields (scan index,
-    blocks) data units in entropy order for the selected components."""
-    if len(comp_sel) == 1:
-        _bh_mcu, _bw_mcu, bh_nat, bw_nat = dims[comp_sel[0]]
-        yield 0, [(by, bx) for by in range(bh_nat) for bx in range(bw_nat)]
-        return
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for si, ci in enumerate(comp_sel):
-                h, v = comp_hv[ci]
-                yield si, [
-                    (my * v + dy, mx * h + dx)
-                    for dy in range(v)
-                    for dx in range(h)
-                ]
-
-
 def _quantized_coefs(plane, q, m):
     """Forward-DCT + quantize a padded plane into a zigzag-ordered
     int coefficient array [bh, bw, 64]."""
@@ -1260,12 +1266,18 @@ def _quantized_coefs(plane, q, m):
 
 
 def _emit_progressive_scans(
-    out: bytearray, coefs, comp_hv, comp_ids, dims, mcus_x, mcus_y
+    out: bytearray, coefs, comp_hv, comp_ids, dims, mcus_x, mcus_y,
+    restart_interval: int = 0,
 ) -> None:
     """Append the scan script: DC first (Al=1, interleaved), DC
     refinement, then per component AC first + refinement over two
     spectral bands — which exercises spectral selection, successive
-    approximation, EOBRUN, ZRL, and correction-bit buffering."""
+    approximation, EOBRUN, ZRL, and correction-bit buffering.
+    ``restart_interval`` > 0 emits byte-aligned RSTn markers every
+    that-many restart units in EVERY scan (sequence number restarting
+    at 0 per scan), with DC-predictor/EOBRUN resets — the decoder's
+    exact mirror. Entropy order comes from the same ``_scan_units``
+    generator the decoder walks, so the two sides cannot drift."""
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -1281,12 +1293,35 @@ def _emit_progressive_scans(
             body += bytes([comp_ids[ci], 0x00])
         return seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
 
+    def units_for(comp_sel):
+        spec = [(ci, 0, 0) for ci in comp_sel]
+        return list(_scan_units(spec, dims, comp_hv, mcus_x, mcus_y))
+
+    class _Rst:
+        """Per-scan restart emitter (modulo-8 sequence from 0)."""
+
+        def __init__(self, w: _BitWriter, rw: "_RefineWriter" = None) -> None:
+            self.w, self.rw, self.n = w, rw, 0
+
+        def boundary(self, ui: int) -> bool:
+            if restart_interval and ui and ui % restart_interval == 0:
+                if self.rw is not None:
+                    self.rw.flush_eob()  # EOB runs cannot cross a restart
+                self.w.flush()
+                self.w.out += bytes([0xFF, 0xD0 | (self.n % 8)])
+                self.n += 1
+                return True
+            return False
+
     # 1) DC first, point transform Al=1, all components interleaved
     out += sos(all_sel, 0, 0, 0, 1)
     w = _BitWriter()
+    rst = _Rst(w)
     pred = [0] * ncomp
-    for si, blocks in _enc_units(all_sel, comp_hv, dims, mcus_x, mcus_y):
-        for by, bx in blocks:
+    for ui, unit in enumerate(units_for(all_sel)):
+        if rst.boundary(ui):
+            pred = [0] * ncomp
+        for si, by, bx in unit:
             t = int(coefs[all_sel[si]][by, bx, 0]) >> 1
             diff = t - pred[si]
             pred[si] = t
@@ -1300,8 +1335,10 @@ def _emit_progressive_scans(
     # 2) DC refinement (Ah=1, Al=0): one raw bit per block
     out += sos(all_sel, 0, 0, 1, 0)
     w = _BitWriter()
-    for si, blocks in _enc_units(all_sel, comp_hv, dims, mcus_x, mcus_y):
-        for by, bx in blocks:
+    rst = _Rst(w)
+    for ui, unit in enumerate(units_for(all_sel)):
+        rst.boundary(ui)
+        for si, by, bx in unit:
             w.write(int(coefs[all_sel[si]][by, bx, 0]) & 1, 1)
     w.flush()
     out += bytes(w.out)
@@ -1312,14 +1349,16 @@ def _emit_progressive_scans(
             out += sos([ci], ss, se, 0, 1)
             w = _BitWriter()
             rw = _RefineWriter(w, ac_codes)
-            for _si, blocks in _enc_units([ci], comp_hv, dims, mcus_x, mcus_y):
-                for by, bx in blocks:
-                    zz = coefs[ci][by, bx]
-                    t = [0] * 64
-                    for k in range(ss, se + 1):
-                        v = int(zz[k])
-                        t[k] = (abs(v) >> 1) * (1 if v >= 0 else -1)
-                    _enc_ac_first_block(rw, t, ss, se)
+            rst = _Rst(w, rw)
+            for ui, unit in enumerate(units_for([ci])):
+                rst.boundary(ui)
+                _si, by, bx = unit[0]
+                zz = coefs[ci][by, bx]
+                t = [0] * 64
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    t[k] = (abs(v) >> 1) * (1 if v >= 0 else -1)
+                _enc_ac_first_block(rw, t, ss, se)
             rw.end_scan()
             w.flush()
             out += bytes(w.out)
@@ -1328,18 +1367,24 @@ def _emit_progressive_scans(
             out += sos([ci], ss, se, 1, 0)
             w = _BitWriter()
             rw = _RefineWriter(w, ac_codes)
-            for _si, blocks in _enc_units([ci], comp_hv, dims, mcus_x, mcus_y):
-                for by, bx in blocks:
-                    _enc_ac_refine_block(
-                        rw, [int(v) for v in coefs[ci][by, bx]], ss, se, 0
-                    )
+            rst = _Rst(w, rw)
+            for ui, unit in enumerate(units_for([ci])):
+                rst.boundary(ui)
+                _si, by, bx = unit[0]
+                _enc_ac_refine_block(
+                    rw, [int(v) for v in coefs[ci][by, bx]], ss, se, 0
+                )
             rw.end_scan()
             w.flush()
             out += bytes(w.out)
 
 
 def encode_jpeg_progressive_gray(
-    width: int, height: int, pixels: bytes, quant: list[int] | None = None
+    width: int,
+    height: int,
+    pixels: bytes,
+    quant: list[int] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode 8-bit grayscale as a progressive (SOF2) JFIF stream using
     a 6-scan script (DC first + refinement, two AC bands first +
@@ -1367,10 +1412,12 @@ def encode_jpeg_progressive_gray(
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xFFDB, b"\x00" + zz_quant)
     out += seg(0xFFC2, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
     out += seg(0xFFC4, b"\x10" + bytes(AC_BITS_PROG) + bytes(AC_VALS_PROG))
     _emit_progressive_scans(
-        out, coefs, [(1, 1)], [1], dims, pw // 8, ph // 8
+        out, coefs, [(1, 1)], [1], dims, pw // 8, ph // 8, restart_interval
     )
     out += b"\xff\xd9"
     return bytes(out)
@@ -1382,6 +1429,7 @@ def encode_jpeg_progressive_color(
     rgb: bytes,
     quant: list[int] | None = None,
     subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode 8-bit RGB as a progressive (SOF2) YCbCr stream — 4:4:4,
     or 4:2:0 when ``subsample`` is set — with the same 2+12-scan script
@@ -1445,10 +1493,13 @@ def encode_jpeg_progressive_color(
         for cid, (h, v) in zip((1, 2, 3), comp_hv)
     )
     out += seg(0xFFC2, struct.pack(">BHHB", 8, height, width, 3) + comps)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
     out += seg(0xFFC4, b"\x10" + bytes(AC_BITS_PROG) + bytes(AC_VALS_PROG))
     _emit_progressive_scans(
-        out, coefs, comp_hv, [1, 2, 3], dims, mcus_x, mcus_y
+        out, coefs, comp_hv, [1, 2, 3], dims, mcus_x, mcus_y,
+        restart_interval,
     )
     out += b"\xff\xd9"
     return bytes(out)

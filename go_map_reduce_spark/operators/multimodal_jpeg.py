@@ -58,7 +58,14 @@ def _synth_jpeg_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 for x in range(w):
                     img.append((doc_id * 7 + (x // 8) * 13 + (y // 8) * 29) % 256)
             if doc_id % 3 == 0:
-                payloads.append(encode_jpeg_progressive_gray(w, h, bytes(img)))
+                # even ids in this slice also carry per-scan restart
+                # markers — the progressive+DRI combination
+                payloads.append(
+                    encode_jpeg_progressive_gray(
+                        w, h, bytes(img),
+                        restart_interval=2 if doc_id % 2 == 0 else 0,
+                    )
+                )
             elif doc_id % 3 == 1:
                 payloads.append(
                     encode_jpeg_gray(w, h, bytes(img), restart_interval=2)

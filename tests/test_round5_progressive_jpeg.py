@@ -96,16 +96,51 @@ def test_progressive_truncation_normalizes_to_valueerror():
             decode_jpeg(p[:cut])
 
 
-def test_progressive_dri_is_rejected_not_misdecoded():
-    """Restart markers inside progressive scans are out of scope; the
-    decoder must say so (ValueError) instead of desyncing."""
-    a = np.random.RandomState(3).randint(0, 256, size=(16, 16), dtype=np.uint8)
-    p = bytearray(encode_jpeg_progressive_gray(16, 16, a.tobytes()))
-    at = p.find(b"\xff\xc2")
-    dri = b"\xff\xdd\x00\x04\x00\x02"
-    p = bytes(p[:at]) + dri + bytes(p[at:])
-    with pytest.raises(ValueError, match="restart"):
-        decode_jpeg(p)
+@pytest.mark.parametrize("ri", [1, 3, 7])
+def test_progressive_restart_markers_roundtrip(ri):
+    """Restart markers in progressive streams (per scan, sequence from
+    0, DC-predictor/EOBRUN resets): the completed progression must
+    still equal the baseline decode bit-exactly, and the stream must
+    actually carry RSTn markers."""
+    a = np.random.RandomState(3).randint(0, 256, size=(24, 40), dtype=np.uint8)
+    p = encode_jpeg_progressive_gray(40, 24, a.tobytes(), restart_interval=ri)
+    n_rst = sum(
+        1 for i in range(len(p) - 1) if p[i] == 0xFF and 0xD0 <= p[i + 1] <= 0xD7
+    )
+    assert n_rst > 0
+    _, _, _, px = decode_jpeg(p)
+    _, _, _, px0 = decode_jpeg_gray(encode_jpeg_gray(40, 24, a.tobytes()))
+    assert px == px0
+
+
+def test_progressive_restart_color_and_eobrun_interplay():
+    """Coarse-quant 4:2:0 progressive with restart_interval=1: every
+    scan restarts between every unit, forcing EOBRUN flushes at each
+    boundary — still bit-identical to the baseline 4:2:0 decode."""
+    a = np.random.RandomState(3).randint(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    p = encode_jpeg_progressive_color(
+        40, 24, a.tobytes(), quant=[12] * 64, subsample=True, restart_interval=1
+    )
+    _, _, _, px = decode_jpeg(p)
+    _, _, _, px0 = decode_jpeg(
+        encode_jpeg_color_420(40, 24, a.tobytes(), quant=[12] * 64)
+    )
+    assert px == px0
+
+
+def test_progressive_restart_sequence_is_verified():
+    """A corrupted RSTn sequence number must be detected, not skipped
+    blind — same contract as the baseline decoder."""
+    a = np.random.RandomState(3).randint(0, 256, size=(24, 40), dtype=np.uint8)
+    p = bytearray(
+        encode_jpeg_progressive_gray(40, 24, a.tobytes(), restart_interval=2)
+    )
+    for i in range(len(p) - 1):
+        if p[i] == 0xFF and p[i + 1] == 0xD1:
+            p[i + 1] = 0xD4
+            break
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(p))
 
 
 def test_decode_image_routes_progressive_natively():
