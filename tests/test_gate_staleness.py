@@ -140,3 +140,55 @@ def test_gate_priority_names_are_all_registered():
     # and the priority list has no duplicates (a dup would double-count
     # its window slot in planning)
     assert len(gate._GATE_PRIORITY) == len(set(gate._GATE_PRIORITY))
+
+
+def test_stale_priority_names_are_all_registered():
+    """Same contract as _GATE_PRIORITY: a typo'd _STALE_PRIORITY name
+    silently loses its deliberate re-gate position."""
+    from go_map_reduce_spark.registry import QUERIES
+
+    missing = [n for n in gate._STALE_PRIORITY if n not in QUERIES]
+    assert not missing, missing
+    assert len(gate._STALE_PRIORITY) == len(set(gate._STALE_PRIORITY))
+
+
+def test_stale_tier_orders_by_stale_priority(fake_repo, monkeypatch):
+    """With several queries stale, _ordered must sort the stale tier by
+    _STALE_PRIORITY (listed names first, in list order) while
+    never-evidenced still lead everything."""
+    # evidence two queries off the same (edited) module
+    (fake_repo / "CORRECTNESS_r01.json").write_text(
+        __import__("json").dumps(
+            {
+                name: {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": True,
+                    "spark_rows": 1,
+                    "oracle_rows": 1,
+                    "err": None,
+                }
+                for name in ("stale_low", "stale_high")
+            }
+        )
+    )
+    _git(
+        fake_repo, "-c", "user.email=t@t", "-c", "user.name=t",
+        "add", "-A",
+    )
+    _git(
+        fake_repo, "-c", "user.email=t@t", "-c", "user.name=t",
+        "commit", "-q", "-m", "two rows",
+    )
+    (fake_repo / MOD_REL).write_text(MOD_SRC + "\n# edited\n")
+    monkeypatch.setattr(
+        gate,
+        "_module_relpath",
+        lambda name: MOD_REL if name in ("stale_low", "stale_high") else None,
+    )
+    monkeypatch.setattr(gate, "_STALE_PRIORITY", ["stale_high"])
+    _clear_caches()
+    order = list(
+        gate._ordered({"stale_low": 1, "neverq": 2, "stale_high": 3})
+    )
+    assert order == ["neverq", "stale_high", "stale_low"]
