@@ -182,3 +182,78 @@ def test_bucket_cap_selection_is_deterministic_vec_id_prefix(spark):
         for r in e.withColumn("crk", crk).where(F.col("crk") <= 10).collect()
     )
     assert got == list(range(10))
+
+
+def test_degenerate_bucket_cap_matches_duckdb_oracle(spark):
+    """Exact differential on the adversarial one-bucket frame: the
+    capped Spark pipeline must equal an independent DuckDB formulation
+    of the same semantics (vec_id-prefix candidates, top-K by cosine
+    with vec_id tiebreak, per-label purity) — not just satisfy
+    bounds."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from go_map_reduce_spark.functions.vector import norm_sq
+    from go_map_reduce_spark.operators.pipeline18 import PURITY_K, _ann_purity
+
+    n, cap = 60, 8
+    rows = [
+        (i, [1.0 + (i % 7), 1.0 + ((i * 3) % 5), 1.0], f"L{i % 3}")
+        for i in range(n)
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    ).select(
+        "vec_id", "embedding", "label",
+        F.lit("b").alias("bucket"),
+        norm_sq(F.col("embedding")).alias("nsq"),
+    )
+    got = (
+        _ann_purity(e, cap)
+        .toPandas()
+        .sort_values("label", ignore_index=True)
+    )
+
+    pdf = pd.DataFrame(
+        rows, columns=["vec_id", "embedding", "label"]
+    )
+    con = duckdb.connect()
+    con.register("emb", pdf)
+    want = con.sql(f"""
+        WITH e AS (
+          SELECT vec_id, embedding, label,
+                 list_reduce(list_transform(embedding, x -> x * x),
+                             (a, b) -> a + b) AS nsq
+          FROM emb
+        ),
+        cand AS (
+          SELECT * FROM (
+            SELECT e.*, row_number() OVER (ORDER BY vec_id) AS crk FROM e
+          ) WHERE crk <= {cap}
+        ),
+        scored AS (
+          SELECT q.vec_id, q.label AS own_label, c.label AS nb_label,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_reduce(
+                     list_transform(range(1, len(q.embedding) + 1),
+                       i -> q.embedding[i] * c.embedding[i]),
+                     (a, b) -> a + b) / sqrt(q.nsq * c.nsq) DESC,
+                   c.vec_id
+                 ) AS rk
+          FROM e q JOIN cand c ON c.vec_id <> q.vec_id
+        )
+        SELECT own_label AS label,
+               CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vectors,
+               CAST(SUM(CASE WHEN nb_label = own_label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_same_label,
+               round(SUM(CASE WHEN nb_label = own_label THEN 1.0 ELSE 0.0 END)
+                     / COUNT(*), 6) AS purity
+        FROM scored WHERE rk <= {PURITY_K}
+        GROUP BY own_label ORDER BY own_label
+    """).df()
+    assert got["label"].tolist() == want["label"].tolist()
+    assert got["n_vectors"].tolist() == want["n_vectors"].tolist()
+    assert got["n_same_label"].tolist() == want["n_same_label"].tolist()
+    assert got["purity"].tolist() == want["purity"].tolist()
