@@ -159,8 +159,12 @@ _STALE_PRIORITY = [
     "not_in_null_semantics",
     # dedup/ANN tier — knn_label_purity_ann first: its candidate-cap
     # change (r05, pipeline18.PURITY_BUCKET_CAP) altered the registered
-    # semantics, so its r04 evidence must be refreshed this round
+    # semantics, so its r04 evidence must be refreshed this round; its
+    # two pipeline18 module-mates were staled by the same edit
+    # (module-level tracking) and refresh alongside it
     "knn_label_purity_ann",
+    "events_latest_per_user_type",
+    "rfm_customer_segments",
     "dedup_exact_summary",
     "dedup_exact_survivors",
     "minhash_signatures",
@@ -218,6 +222,38 @@ def _current_source(relpath: str) -> str | None:
             return f.read()
     except OSError:
         return None
+
+
+@functools.lru_cache(maxsize=None)
+def _normalized(src: str) -> str:
+    """Behavior-bearing view of a module's source: the AST dump with
+    docstrings stripped. Two sources that differ only in comments,
+    whitespace/formatting, or docstrings normalize equal, so a doc
+    polish can't mass-invalidate the evidence base the way the r04
+    registry.py edit did (149 rows). Nothing in the package introspects
+    __doc__ or source text, so equal-normalized implies equal behavior;
+    any code change (including string literals used as oracles) still
+    differs. Unparseable sources fall back to raw text."""
+    import ast
+
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return src
+    for node in ast.walk(tree):
+        if isinstance(
+            node,
+            (ast.Module, ast.ClassDef, ast.FunctionDef, ast.AsyncFunctionDef),
+        ):
+            body = node.body
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                node.body = body[1:] or [ast.Pass()]
+    return ast.dump(tree)
 
 
 def _module_relpath(name: str) -> str | None:
@@ -310,10 +346,12 @@ def _evidenced() -> tuple[frozenset, frozenset]:
             now = _current_source(dep)
             if now is None:
                 continue  # dep vanished from the tree — unreadable, skip
-            if then is None or then != now:
-                # changed since the evidence round, or didn't exist at
-                # that commit (rename / new dependency) — either way the
-                # evidenced behavior isn't the current behavior
+            if then is None or _normalized(then) != _normalized(now):
+                # behavior-bearing change since the evidence round, or
+                # the dep didn't exist at that commit (rename / new
+                # dependency) — either way the evidenced behavior isn't
+                # the current behavior. Comment/docstring-only edits
+                # normalize equal and keep the evidence valid.
                 fresh = False
                 break
         (seen if fresh else stale).add(name)

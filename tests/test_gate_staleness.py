@@ -12,7 +12,9 @@ artifact and verify that:
 - unchanged module        → evidence stays valid (query sits last),
 - edited module           → query re-enters the window as stale,
 - edited intra-package dep → same (the _tracked_paths attribution),
-- a never-evidenced query  → strictly precedes the stale one.
+- a never-evidenced query  → strictly precedes the stale one,
+- comment/docstring-only edits → evidence STAYS valid (the r05
+  AST-normalized comparison: only behavior-bearing changes cascade).
 """
 
 from __future__ import annotations
@@ -102,7 +104,7 @@ def test_unchanged_module_keeps_evidence_valid(fake_repo):
 
 
 def test_edited_module_reenters_window(fake_repo):
-    (fake_repo / MOD_REL).write_text(MOD_SRC + "\n# changed behavior\n")
+    (fake_repo / MOD_REL).write_text(MOD_SRC + "\nEXTRA = 1  # new binding\n")
     _clear_caches()
     valid, stale = gate._evidenced()
     assert "fakeq" in stale and "fakeq" not in valid
@@ -121,7 +123,7 @@ def test_edited_intra_package_dep_reenters_window(fake_repo):
 
 
 def test_reverting_the_edit_restores_validity(fake_repo):
-    (fake_repo / MOD_REL).write_text(MOD_SRC + "\n# changed\n")
+    (fake_repo / MOD_REL).write_text(MOD_SRC + "\nEXTRA = 1\n")
     _clear_caches()
     assert "fakeq" in gate._evidenced()[1]
     (fake_repo / MOD_REL).write_text(MOD_SRC)
@@ -180,7 +182,7 @@ def test_stale_tier_orders_by_stale_priority(fake_repo, monkeypatch):
         fake_repo, "-c", "user.email=t@t", "-c", "user.name=t",
         "commit", "-q", "-m", "two rows",
     )
-    (fake_repo / MOD_REL).write_text(MOD_SRC + "\n# edited\n")
+    (fake_repo / MOD_REL).write_text(MOD_SRC + "\nEXTRA = 1\n")
     monkeypatch.setattr(
         gate,
         "_module_relpath",
@@ -192,3 +194,36 @@ def test_stale_tier_orders_by_stale_priority(fake_repo, monkeypatch):
         gate._ordered({"stale_low": 1, "neverq": 2, "stale_high": 3})
     )
     assert order == ["neverq", "stale_high", "stale_low"]
+
+
+def test_comment_and_docstring_edits_keep_evidence_valid(fake_repo):
+    """A doc polish must not invalidate evidence: add a module
+    docstring, a function docstring, comments, and reformat whitespace
+    — the AST-normalized comparison sees identical behavior."""
+    (fake_repo / MOD_REL).write_text(
+        '"""New module docstring."""\n'
+        "from go_map_reduce_spark.operators.fakedep import helper\n"
+        "\n"
+        "\n"
+        "def the_query(spark, sf_dir):\n"
+        '    """Documented now."""\n'
+        "    # a clarifying comment\n"
+        "    return helper()\n"
+    )
+    _clear_caches()
+    valid, stale = gate._evidenced()
+    assert "fakeq" in valid and "fakeq" not in stale
+
+
+def test_string_literal_changes_still_cascade(fake_repo):
+    """Oracle SQL lives in plain string literals (not docstrings) —
+    changing one IS a behavior change and must re-enter the window."""
+    (fake_repo / MOD_REL).write_text(
+        "from go_map_reduce_spark.operators.fakedep import helper\n"
+        'ORACLE = "SELECT 2"\n'
+        "def the_query(spark, sf_dir):\n"
+        "    return helper()\n"
+    )
+    _clear_caches()
+    _valid, stale = gate._evidenced()
+    assert "fakeq" in stale
