@@ -193,6 +193,41 @@ class _BitReader:
         self.pos += 2
 
 
+def _parse_dqt(data: bytes, quant: dict) -> None:
+    """Parse one DQT segment payload into ``quant`` keyed by Tq — a
+    segment may carry several tables back to back (shared by the
+    baseline and progressive decoders)."""
+    at = 0
+    while at < len(data):
+        pq_tq = data[at]
+        if pq_tq & 0xF0:
+            raise ValueError("16-bit quant tables unsupported")
+        zz_q = list(data[at + 1 : at + 65])
+        if len(zz_q) < 64:
+            raise ValueError("truncated DQT table")
+        tbl = [0] * 64
+        for i, (r, c) in enumerate(ZIGZAG):
+            tbl[r * 8 + c] = zz_q[i]
+        quant[pq_tq & 0x0F] = tbl
+        at += 65
+
+
+def _parse_dht(data: bytes, dc_maps: dict, ac_maps: dict) -> None:
+    """Parse one DHT segment payload into the (Tc, Th)-keyed decode
+    maps — may carry several tables (shared by both decoders)."""
+    at = 0
+    while at < len(data):
+        tc_th = data[at]
+        bits = list(data[at + 1 : at + 17])
+        n = sum(bits)
+        vals = list(data[at + 17 : at + 17 + n])
+        if len(bits) < 16 or len(vals) < n:
+            raise ValueError("truncated DHT table")
+        table = build_decode_map(bits, vals)
+        (dc_maps if tc_th >> 4 == 0 else ac_maps)[tc_th & 0x0F] = table
+        at += 17 + n
+
+
 # The component layouts both decoders accept: grayscale, and YCbCr
 # with the common luma sampling factors (chroma always 1x1). The
 # generic MCU walk handles any of these; anything else raises
@@ -422,19 +457,7 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
         (length,) = struct.unpack_from(">H", payload, pos + 2)
         data = payload[pos + 4 : pos + 2 + length]
         if marker == 0xDB:  # DQT — payload is a sequence of (PqTq, table)
-            at = 0
-            while at < len(data):
-                pq_tq = data[at]
-                if pq_tq & 0xF0:
-                    raise ValueError("16-bit quant tables unsupported")
-                zz_q = list(data[at + 1 : at + 65])
-                if len(zz_q) < 64:
-                    raise ValueError("truncated DQT table")
-                tbl = [0] * 64
-                for i, (r, c) in enumerate(ZIGZAG):
-                    tbl[r * 8 + c] = zz_q[i]
-                quant[pq_tq & 0x0F] = tbl
-                at += 65
+            _parse_dqt(data, quant)
         elif marker == 0xC0:  # SOF0 baseline
             precision, height, width, ncomp = struct.unpack_from(">BHHB", data, 0)
             if precision != 8 or ncomp not in (1, 3):
@@ -453,20 +476,7 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("non-baseline JPEG frame unsupported")
         elif marker == 0xC4:  # DHT (may carry several tables)
-            at = 0
-            while at < len(data):
-                tc_th = data[at]
-                bits = list(data[at + 1 : at + 17])
-                n = sum(bits)
-                vals = list(data[at + 17 : at + 17 + n])
-                if len(bits) < 16 or len(vals) < n:
-                    raise ValueError("truncated DHT table")
-                table = build_decode_map(bits, vals)
-                if tc_th >> 4 == 0:
-                    dc_maps[tc_th & 0x0F] = table
-                else:
-                    ac_maps[tc_th & 0x0F] = table
-                at += 17 + n
+            _parse_dht(data, dc_maps, ac_maps)
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack_from(">H", data, 0)
         elif marker == 0xDA:  # SOS — parse component -> table mappings
@@ -683,62 +693,11 @@ def encode_jpeg_color_420(
     width: int, height: int, rgb: bytes, quant: list[int] | None = None
 ) -> bytes:
     """Encode 8-bit RGB as baseline YCbCr 4:2:0 — the dominant
-    real-world JPEG layout: each MCU carries four Y blocks (2x2) and
-    one Cb + one Cr block covering the same 16x16 pixel area, chroma
-    planes averaged 2x2 before the DCT. Y samples at 0x22, chroma at
-    0x11."""
-    import numpy as np
-
-    quant = quant or [1] * 64
-    img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(
-        np.float64
-    )
-    r_, g_, b_ = img[..., 0], img[..., 1], img[..., 2]
-    y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
-    cb = 128.0 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_
-    cr = 128.0 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_
-    ph, pw = -(-height // 16) * 16, -(-width // 16) * 16
-    pad = lambda p: np.pad(  # noqa: E731
-        p, ((0, ph - height), (0, pw - width)), mode="edge"
-    )
-    y = np.clip(np.rint(pad(y)), 0, 255)
-    # chroma: pad first, then 2x2 block mean (the subsampling step)
-    sub = lambda p: np.clip(  # noqa: E731
-        np.rint(pad(p).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))), 0, 255
-    )
-    cb, cr = sub(cb), sub(cr)
-    m = _dct_matrix()
-    q = np.array(quant, dtype=np.float64).reshape(8, 8)
-    w = _BitWriter()
-    prev = [0, 0, 0]  # per-component DC predictors
-    for my in range(ph // 16):
-        for mx in range(pw // 16):
-            for dy in (0, 1):  # four Y blocks, raster order within MCU
-                for dx in (0, 1):
-                    yy, xx = my * 16 + dy * 8, mx * 16 + dx * 8
-                    prev[0] = _encode_block(
-                        w, y[yy : yy + 8, xx : xx + 8], q, m, prev[0]
-                    )
-            cy, cx = my * 8, mx * 8
-            prev[1] = _encode_block(w, cb[cy : cy + 8, cx : cx + 8], q, m, prev[1])
-            prev[2] = _encode_block(w, cr[cy : cy + 8, cx : cx + 8], q, m, prev[2])
-    w.flush()
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
-    zz_quant = bytes(quant[r * 8 + c] for (r, c) in ZIGZAG)
-    out = b"\xff\xd8"
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, b"\x00" + zz_quant)
-    comps = bytes([1, 0x22, 0x00]) + bytes([2, 0x11, 0x00]) + bytes([3, 0x11, 0x00])
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 3) + comps)
-    out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
-    out += seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
-    out += seg(0xFFDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
-    out += bytes(w.out)
-    out += b"\xff\xd9"
-    return out
+    real-world JPEG layout (each MCU: four Y blocks + Cb + Cr over a
+    16x16 pixel area, 2x2 chroma averaging). Thin delegate to the
+    generalized subsampled encoder at factors (2, 2); the byte-exact
+    equivalence is pinned in tests."""
+    return encode_jpeg_color_subsampled(width, height, rgb, quant, (2, 2))
 
 
 def encode_jpeg_color_subsampled(
@@ -874,31 +833,9 @@ def _decode_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
         (length,) = struct.unpack_from(">H", payload, pos + 2)
         data = payload[pos + 4 : pos + 2 + length]
         if marker == 0xDB:
-            at = 0
-            while at < len(data):
-                pq_tq = data[at]
-                if pq_tq & 0xF0:
-                    raise ValueError("16-bit quant tables unsupported")
-                zz_q = list(data[at + 1 : at + 65])
-                if len(zz_q) < 64:
-                    raise ValueError("truncated DQT table")
-                tbl = [0] * 64
-                for i, (r, c) in enumerate(ZIGZAG):
-                    tbl[r * 8 + c] = zz_q[i]
-                quant[pq_tq & 0x0F] = tbl
-                at += 65
+            _parse_dqt(data, quant)
         elif marker == 0xC4:
-            at = 0
-            while at < len(data):
-                tc_th = data[at]
-                bits = list(data[at + 1 : at + 17])
-                n = sum(bits)
-                vals = list(data[at + 17 : at + 17 + n])
-                if len(bits) < 16 or len(vals) < n:
-                    raise ValueError("truncated DHT table")
-                table = build_decode_map(bits, vals)
-                (dc_maps if tc_th >> 4 == 0 else ac_maps)[tc_th & 0x0F] = table
-                at += 17 + n
+            _parse_dht(data, dc_maps, ac_maps)
         elif marker == 0xDD:
             (dri,) = struct.unpack_from(">H", data, 0)
         elif marker == 0xC2:  # SOF2
@@ -1211,40 +1148,54 @@ def _enc_ac_refine_block(
 ) -> None:
     """Encode one block's band for a refinement (Ah=Al+1) AC scan:
     newly-nonzero coefficients as (run,1)+sign, history coefficients as
-    buffered correction bits, trailing content as EOBRUN."""
+    buffered correction bits, trailing content as EOBRUN.
+
+    Bit placement follows T.81 G.1.2.3 exactly: pending ZRLs are
+    flushed the moment ANY nonzero coefficient is reached with more
+    than 15 zero-history positions outstanding (within the EOB range),
+    BEFORE the current coefficient is processed — which guarantees
+    every buffered correction bit lies inside the 16-zero span of the
+    ZRL (or the run of the symbol) it is emitted after, matching where
+    the decoder's forward walk consumes it. Deferring the ZRL past a
+    history coefficient (the pre-r05-review bug) put bits ahead of the
+    symbol whose span contains them and desynchronized sparse blocks."""
     absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
     eob = -1
     for i, t in enumerate(absv):
         if t == 1:
             eob = i
     run = 0
-    tail: list[int] = []  # correction bits after the last new nonzero
+    br: list[int] = []  # correction bits owed to the NEXT symbol
     for i, t in enumerate(absv):
         k = ss + i
         if t == 0:
             run += 1
             continue
-        if t > 1:
-            (rw.pending if i > eob else tail).append(t & 1)
-            continue
-        # newly nonzero (t == 1)
-        rw.flush_eob()
-        while run > 15:
+        # any nonzero: flush pending ZRLs first (never foldable into
+        # EOB once a newly-nonzero coefficient still lies ahead)
+        while run > 15 and i <= eob:
+            rw.flush_eob()
             code, length = rw.ac[0xF0]
             rw.w.write(code, length)
             run -= 16
-            for bit in tail:
+            for bit in br:
                 rw.w.write(bit, 1)
-            tail = []
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        # newly nonzero (t == 1)
+        rw.flush_eob()
         code, length = rw.ac[(run << 4) | 1]
         rw.w.write(code, length)
         rw.w.write(1 if zz[k] > 0 else 0, 1)
-        for bit in tail:
+        for bit in br:
             rw.w.write(bit, 1)
-        tail = []
+        br = []
         run = 0
-    if run > 0 or rw.pending:
+    if run > 0 or br:
         rw.eobrun += 1
+        rw.pending.extend(br)
         if rw.eobrun == 0x7FFF:
             rw.flush_eob()
 

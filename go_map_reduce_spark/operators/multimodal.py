@@ -87,8 +87,13 @@ def decode_image(payload: bytes):
         raise ValueError("unrecognized image payload")
     import io
 
-    img = Image.open(io.BytesIO(payload))
-    return (img.width, img.height, 24, img.tobytes())
+    try:
+        img = Image.open(io.BytesIO(payload))
+        return (img.width, img.height, 24, img.tobytes())
+    except ValueError:
+        raise
+    except Exception as ex:  # PIL raises UnidentifiedImageError/OSError
+        raise ValueError(f"unrecognized image payload: {ex!r}") from ex
 
 
 # --- pure-Python uncompressed-BMP codec (BITMAPINFOHEADER, BI_RGB) -------
