@@ -1,4 +1,4 @@
-"""Dependency-free baseline JPEG (ITU-T T.81) grayscale codec.
+"""Dependency-free JPEG (ITU-T T.81) codec — baseline and progressive.
 
 Everything here is the public T.81 machinery, implemented fresh:
 marker segments (SOI/APP0/DQT/SOF0/DHT/SOS/EOI), zigzag ordering
@@ -15,13 +15,15 @@ forces the decoder to BUILD its tables from the bitstream the way
 every real JPEG decoder must, instead of special-casing known
 constants.
 
-Scope: 8-bit grayscale (1 component), YCbCr 4:4:4 (3 interleaved
-components), or YCbCr 4:2:0 (the dominant real-world layout: 16x16
-MCUs of four Y blocks + one Cb + one Cr, 2x2-averaged chroma,
-nearest-neighbor upsample on decode) — in BOTH baseline sequential
-DCT (SOF0) and progressive DCT (SOF2, T.81 Annex G: spectral
-selection + successive approximation, DC/AC first and refinement
-scans, EOBRUN). JFIF conversion matrix, per-component DC predictors,
+Scope: 8-bit grayscale (1 component) and YCbCr at the common sampling
+layouts — 4:4:4, 4:2:0 (the dominant real-world layout: 16x16 MCUs of
+four Y blocks + one Cb + one Cr, 2x2-averaged chroma, nearest-neighbor
+upsample on decode), 4:2:2, and 4:4:0 via a generic per-component MCU
+walk — in BOTH baseline sequential DCT (SOF0) and progressive DCT
+(SOF2, T.81 Annex G: spectral selection + successive approximation,
+DC/AC first and refinement scans, EOBRUN). Tables are keyed by their
+DQT/DHT destination IDs with SOS component-spec mapping (two-table-set
+layouts decode correctly). JFIF conversion matrix, per-component DC predictors,
 edge-replication padding. Restart markers (DRI/RSTn) are supported in
 both baseline and progressive streams — in progressive they apply per
 scan with the modulo-8 sequence restarting at 0 and DC-predictor /
