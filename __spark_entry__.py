@@ -274,13 +274,18 @@ import re  # noqa: E402
 @functools.lru_cache(maxsize=None)
 def _tracked_paths(relpath: str) -> tuple:
     """The module paths a query's behavior depends on: its own module
-    plus every go_map_reduce_spark module its SOURCE references (function
-    bodies import lazily, so a text scan catches `from ... import` at
-    any nesting — this is what attributes a dedup.py edit to the
-    pipeline3/advanced queries composed on top of it)."""
+    plus every go_map_reduce_spark module its NORMALIZED source
+    references (function bodies import lazily, so the scan catches
+    `from ... import` at any nesting — this is what attributes a
+    dedup.py edit to the pipeline3/advanced queries composed on top of
+    it). Scanning the AST-normalized form (imports and string literals
+    survive; comments and docstrings don't) keeps the doc-edit
+    invariant airtight: a docstring CITING a module — this repo cites
+    file paths liberally — must not create a dependency edge that a
+    doc-only edit could then stale."""
     src = _current_source(relpath) or ""
     deps = {relpath}
-    for dotted in re.findall(r"go_map_reduce_spark(?:\.\w+)*", src):
+    for dotted in re.findall(r"go_map_reduce_spark(?:\.\w+)*", _normalized(src)):
         cand = dotted.replace(".", os.sep) + ".py"
         if _current_source(cand) is not None:
             deps.add(cand)

@@ -29,6 +29,68 @@ import go_map_reduce_spark  # noqa: E402  (populates registry)
 from go_map_reduce_spark.registry import QUERIES  # noqa: E402
 from go_map_reduce_spark.session import get_spark  # noqa: E402
 
+# Iterative / multi-job pipelines are the contention-noisiest timings
+# (driver round-trips per iteration, streaming micro-batches): take
+# best-of-2 on them even when BENCH_REPEAT=1 so round-over-round
+# comparisons aren't GC/scheduler noise.
+# ...and on the multi-job pipelines whose first run is dominated by
+# query-specific whole-stage-codegen compilation (iterative graph
+# loops, candidate-join dedup, the Python data source): measured at
+# sf0.1, pagerank is 21 s cold vs ~6 s steady-state — the steady-state
+# figure is the engine's throughput; the JIT tax is a constant that
+# amortizes away over any real workload. Module-level so tests can pin
+# that every name is a real registration (a typo'd entry would
+# silently lose its best-of-2 treatment).
+NOISY = {
+    "kmeans_ivf_assignments",
+    "ivf_probe_topk",
+    "dedup_clusters",
+    "events_stateful_user_totals",
+    "events_hourly_stream",
+    "events_session_windows",
+    "events_purchase_click_stream_join",
+    "pagerank_supplier_part",
+    "triangle_count",
+    "bfs_reachability",
+    "ngram_jaccard_pairs",
+    "minhash_near_dup_pairs",
+    "custom_source_scan",
+    "cheapest_supplier_per_part",
+    "dedup_clusters_largestar",
+    "heavy_hitters_exact",
+    "bfs_frontier_iterative",
+    "bloom_contamination_prefilter",
+    "events_incremental_mv",
+    "events_stream_dedup",
+    "events_sliding_stream",
+    "events_stream_static_join",
+    "events_purchase_click_outer_join",
+    "stream_source_groups",
+    "pq_ann_topk",
+    "dynamic_partition_pruning",
+    "kcore_suppliers",
+    "label_propagation_communities",
+    "bpe_merge_training",
+    "schema_evolution_read",
+    "fuzzy_match_names",
+    # r03's 26.5 s heavy head: plans audited as correct, timings
+    # dominated by first-run codegen — best-of-2 keeps
+    # round-over-round comparisons out of the JIT noise.
+    "global_price_rank_twophase",
+    "trending_parts_weekly",
+    "price_trend_by_brand",
+    "knn_label_purity_ann",
+    # Composed dedup pipelines: 13-15 s cold vs 3-5 s marathon-warm
+    # at sf0.1 on IDENTICAL code (r04 isolated A/B vs r03) — the
+    # delta is query-specific codegen JIT + run position, so
+    # best-of-2 stops marathon-to-marathon whipsawing.
+    "minhash_recall_eval",
+    "repeated_ngram_spans",
+    "near_dup_survivors",
+    "semantic_dedup_survivors",
+    "boilerplate_shingles",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,71 +111,12 @@ def main() -> None:
     ).count().collect()
     timings: dict[str, float] = {}
     total = 0.0
-    # Iterative / multi-job pipelines are the contention-noisiest timings
-    # (driver round-trips per iteration, streaming micro-batches): take
-    # best-of-2 on them even when BENCH_REPEAT=1 so round-over-round
-    # comparisons aren't GC/scheduler noise.
-    # ...and on the multi-job pipelines whose first run is dominated by
-    # query-specific whole-stage-codegen compilation (iterative graph
-    # loops, candidate-join dedup, the Python data source): measured at
-    # sf0.1, pagerank is 21 s cold vs ~6 s steady-state — the steady-state
-    # figure is the engine's throughput; the JIT tax is a constant that
-    # amortizes away over any real workload.
-    noisy = {
-        "kmeans_ivf_assignments",
-        "ivf_probe_topk",
-        "dedup_clusters",
-        "events_stateful_user_totals",
-        "events_hourly_stream",
-        "events_session_windows",
-        "events_purchase_click_stream_join",
-        "pagerank_supplier_part",
-        "triangle_count",
-        "bfs_reachability",
-        "ngram_jaccard_pairs",
-        "minhash_near_dup_pairs",
-        "custom_source_scan",
-        "cheapest_supplier_per_part",
-        "dedup_clusters_largestar",
-        "heavy_hitters_exact",
-        "bfs_frontier_iterative",
-        "bloom_contamination_prefilter",
-        "events_incremental_mv",
-        "events_stream_dedup",
-        "events_sliding_stream",
-        "events_stream_static_join",
-        "events_purchase_click_outer_join",
-        "stream_source_groups",
-        "pq_ann_topk",
-        "dynamic_partition_pruning",
-        "kcore_suppliers",
-        "label_propagation_communities",
-        "bpe_merge_training",
-        "schema_evolution_read",
-        "fuzzy_match_names",
-        # r03's 26.5 s heavy head: plans audited as correct, timings
-        # dominated by first-run codegen — best-of-2 keeps
-        # round-over-round comparisons out of the JIT noise.
-        "global_price_rank_twophase",
-        "trending_parts_weekly",
-        "price_trend_by_brand",
-        "knn_label_purity_ann",
-        # Composed dedup pipelines: 13-15 s cold vs 3-5 s marathon-warm
-        # at sf0.1 on IDENTICAL code (r04 isolated A/B vs r03) — the
-        # delta is query-specific codegen JIT + run position, so
-        # best-of-2 stops marathon-to-marathon whipsawing.
-        "minhash_recall_eval",
-        "repeated_ngram_spans",
-        "near_dup_survivors",
-        "semantic_dedup_survivors",
-        "boilerplate_shingles",
-    }
     for name in names:
         fn = QUERIES[name]
         # Each timing covers plan construction + optimization + execution
         # (with repeat>1, best-of drops first-run JIT/analysis noise).
         best = float("inf")
-        for _ in range(max(repeat, 2) if name in noisy else repeat):
+        for _ in range(max(repeat, 2) if name in NOISY else repeat):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()  # full execution; rows land JVM-side only
@@ -181,7 +184,11 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "queries": {k: round(v, 2) for k, v in slowest.items()},
-                "detail": os.path.basename(detail_path),
+                "detail": (
+                    detail_path
+                    if os.environ.get("BENCH_DETAIL_PATH")
+                    else os.path.basename(detail_path)
+                ),
             }
         )
     )

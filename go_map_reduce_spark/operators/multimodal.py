@@ -121,27 +121,34 @@ def encode_bmp(width: int, height: int, rows: list[bytes]) -> bytes:
 def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
     """Parse an uncompressed 24-bit BMP: returns (width, height, bpp,
     pixel bytes with row padding stripped, bottom-up row order).
-    Truncated headers raise ValueError."""
+    Malformed payloads — truncated headers, non-positive or forged
+    dimensions, pixel data that doesn't fit the payload — raise
+    ValueError (never an allocation proportional to a forged height
+    field)."""
     import struct
 
     try:
         magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
-        if magic == b"BM":
-            struct.unpack_from("<IiiHHI", payload, 14)  # header must fit
+        if magic != b"BM":
+            raise ValueError("not a BMP payload")
+        (hdr_size, width, height, _planes, bpp, compression) = struct.unpack_from(
+            "<IiiHHI", payload, 14
+        )
     except struct.error as ex:
         raise ValueError(f"malformed BMP header: {ex!r}") from ex
-
-    if magic != b"BM":
-        raise ValueError("not a BMP payload")
-    (hdr_size, width, height, _planes, bpp, compression) = struct.unpack_from(
-        "<IiiHHI", payload, 14
-    )
     if hdr_size < 40 or compression != 0 or bpp != 24:
         raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
     if height < 0:  # negative height = top-down row order
         height = -height
     row_bytes = width * 3
     stride = row_bytes + (4 - row_bytes % 4) % 4
+    # dimension sanity BEFORE any allocation proportional to them: the
+    # declared pixel array must fit inside the payload, which bounds
+    # height at len(payload) // stride
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid BMP dimensions {width}x{height}")
+    if offset + stride * height > len(payload):
+        raise ValueError(f"BMP pixel data ({width}x{height}) exceeds payload")
     rows = [
         payload[offset + y * stride : offset + y * stride + row_bytes]
         for y in range(height)

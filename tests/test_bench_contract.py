@@ -47,3 +47,14 @@ def test_bench_emits_one_parseable_json_line(tmp_path):
     # the full map lands at BENCH_DETAIL_PATH
     detail = json.load(open(detail_path))
     assert set(detail["queries"]) == {"wordcount", "q1_pricing_summary"}
+
+
+def test_noisy_set_names_are_all_registered():
+    """Same contract as the gate's priority lists: a typo'd (or later
+    renamed) entry in bench.NOISY silently loses its best-of-2
+    treatment and re-enters the marathon JIT whipsaw."""
+    import bench
+    from go_map_reduce_spark.registry import QUERIES
+
+    missing = [n for n in bench.NOISY if n not in QUERIES]
+    assert not missing, missing

@@ -227,3 +227,41 @@ def test_string_literal_changes_still_cascade(fake_repo):
     _clear_caches()
     _valid, stale = gate._evidenced()
     assert "fakeq" in stale
+
+
+def test_docstring_citation_creates_no_dependency_edge(fake_repo):
+    """This repo's docstrings cite module paths liberally; a CITATION
+    (docstring/comment mention of go_map_reduce_spark.operators.fakedep2)
+    must not create a dependency edge — editing the cited module leaves
+    the evidence valid. A real import (fakedep) still cascades."""
+    dep2 = fake_repo / "go_map_reduce_spark" / "operators" / "fakedep2.py"
+    dep2.write_text("def other():\n    return 1\n")
+    (fake_repo / MOD_REL).write_text(
+        '"""Cites go_map_reduce_spark.operators.fakedep2 in docs only."""\n'
+        "from go_map_reduce_spark.operators.fakedep import helper\n"
+        "def the_query(spark, sf_dir):\n"
+        "    # see go_map_reduce_spark.operators.fakedep2 for the twin\n"
+        "    return helper()\n"
+    )
+    _git(fake_repo, "-c", "user.email=t@t", "-c", "user.name=t", "add", "-A")
+    _git(
+        fake_repo, "-c", "user.email=t@t", "-c", "user.name=t",
+        "commit", "-q", "-m", "cite dep2",
+    )
+    # re-point the artifact at this commit so the evidence is fresh
+    (fake_repo / "CORRECTNESS_r01.json").touch()
+    _git(fake_repo, "-c", "user.email=t@t", "-c", "user.name=t", "add", "-A")
+    _git(
+        fake_repo, "-c", "user.email=t@t", "-c", "user.name=t",
+        "commit", "-q", "-m", "re-evidence", "--allow-empty",
+    )
+    _clear_caches()
+    assert "fakeq" in gate._evidenced()[0]
+    # editing the CITED-only module: no cascade
+    dep2.write_text("def other():\n    return 2\n")
+    _clear_caches()
+    assert "fakeq" in gate._evidenced()[0]
+    # editing the IMPORTED module: cascades
+    (fake_repo / DEP_REL).write_text("def helper():\n    return 43\n")
+    _clear_caches()
+    assert "fakeq" in gate._evidenced()[1]

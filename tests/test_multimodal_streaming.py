@@ -204,3 +204,24 @@ def test_video_framesample_oracle(spark, sf_dir):
         ORACLES["multimodal_video_framesample"],
         sf_dir,
     )
+
+
+def test_bmp_forged_dimensions_fail_closed():
+    """A crafted header declaring huge (or zero/negative) dimensions
+    must raise ValueError BEFORE any allocation proportional to them —
+    the declared pixel array has to fit inside the actual payload."""
+    import struct
+
+    from go_map_reduce_spark.operators.multimodal import decode_bmp
+
+    def header(width, height):
+        return (
+            struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+            + struct.pack("<IiiHHI", 40, width, height, 1, 24, 0)
+            + struct.pack("<II", 0, 0)  # pad header to 40 bytes
+            + bytes(12)
+        )
+
+    for w, h in ((1, 2**30), (2**20, 2**20), (0, 8), (8, 0), (-4, 8)):
+        with pytest.raises(ValueError):
+            decode_bmp(header(w, h) + bytes(16))

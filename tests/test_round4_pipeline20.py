@@ -88,9 +88,14 @@ def test_incremental_join_is_asymmetric_in_the_plan(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    n_joins = (
-        plan.count("SortMergeJoin")
-        + plan.count("ShuffledHashJoin")
-        + plan.count("BroadcastHashJoin")
+    n_shuffle_joins = plan.count("SortMergeJoin") + plan.count(
+        "ShuffledHashJoin"
     )
-    assert n_joins >= 1  # the band-key candidate join is an equality join
+    n_broadcast_joins = plan.count("BroadcastHashJoin")
+    # exactly ONE shuffle-side equality join — the NEW-bands ⋈
+    # INDEX-bands candidate join; every other join broadcasts the small
+    # (new-batch-derived) side. A symmetric full-corpus pipeline would
+    # add a second large-side join here; a cartesian would trip the
+    # asserts above.
+    assert n_shuffle_joins == 1, plan
+    assert n_shuffle_joins + n_broadcast_joins == 4, plan

@@ -157,6 +157,23 @@ def test_degenerate_bucket_cap_bounds_candidates(spark):
     # a cap >= bucket size must reduce to the uncapped sweep
     full = _ann_purity(e, n).collect()
     assert sum(r["n_vectors"] for r in full) == n
+    # DISCRIMINATING check (the bound above also holds uncapped): with
+    # cap < PURITY_K + 1 every query sees at most `cap` candidates, so
+    # total ranked pairs — reconstructed exactly from n_same_label /
+    # purity per label — must equal the closed form, which the uncapped
+    # sweep (PURITY_K pairs per query) cannot match
+    tiny = 3
+    tiny_out = _ann_purity(e, tiny).collect()
+    total_pairs = sum(
+        int(round(r["n_same_label"] / r["purity"])) for r in tiny_out
+        if r["purity"] > 0
+    )
+    expected_tiny = sum(
+        min(PURITY_K, tiny - (1 if qid < tiny else 0)) for qid in range(n)
+    )
+    uncapped_pairs = n * PURITY_K
+    assert expected_tiny < uncapped_pairs  # the two outcomes differ
+    assert total_pairs == expected_tiny
 
 
 def test_bucket_cap_selection_is_deterministic_vec_id_prefix(spark):
