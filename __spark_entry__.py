@@ -118,6 +118,18 @@ _GATE_PRIORITY = [
     "bigram_logprob_scores",
     "dq_cross_table_audit",
     "dq_reconciliation_drilldown",
+    # -- round-6 additions (training-data curation depth, pipeline22;
+    # strict-green at sf0.01 before commit). Fine-grained staleness
+    # (r06) collapsed the stale backlog to ~25 rows, so the window
+    # holds all of these PLUS every stale re-gate with room to spare —
+    # the condition the r05 verdict set for new breadth. -------------
+    "dsir_importance_weights",
+    "cross_doc_repeated_spans",
+    "embedding_truncation_recall",
+    "hybrid_bm25_vector_rrf",
+    "image_ahash_dedup",
+    "key_skew_profile",
+    "tokenizer_fertility_by_lang",
 ]
 
 # Re-gate ordering for STALE-evidence rows (the r04 registry.py edit
@@ -224,22 +236,11 @@ def _current_source(relpath: str) -> str | None:
         return None
 
 
-@functools.lru_cache(maxsize=None)
-def _normalized(src: str) -> str:
-    """Behavior-bearing view of a module's source: the AST dump with
-    docstrings stripped. Two sources that differ only in comments,
-    whitespace/formatting, or docstrings normalize equal, so a doc
-    polish can't mass-invalidate the evidence base the way the r04
-    registry.py edit did (149 rows). Nothing in the package introspects
-    __doc__ or source text, so equal-normalized implies equal behavior;
-    any code change (including string literals used as oracles) still
-    differs. Unparseable sources fall back to raw text."""
-    import ast
+import ast  # noqa: E402
 
-    try:
-        tree = ast.parse(src)
-    except SyntaxError:
-        return src
+
+def _strip_docstrings(tree: "ast.AST") -> "ast.AST":
+    """Drop docstring Expr nodes in place (module/class/function level)."""
     for node in ast.walk(tree):
         if isinstance(
             node,
@@ -253,7 +254,24 @@ def _normalized(src: str) -> str:
                 and isinstance(body[0].value.value, str)
             ):
                 node.body = body[1:] or [ast.Pass()]
-    return ast.dump(tree)
+    return tree
+
+
+@functools.lru_cache(maxsize=None)
+def _normalized(src: str) -> str:
+    """Behavior-bearing view of a module's source: the AST dump with
+    docstrings stripped. Two sources that differ only in comments,
+    whitespace/formatting, or docstrings normalize equal, so a doc
+    polish can't mass-invalidate the evidence base the way the r04
+    registry.py edit did (149 rows). Nothing in the package introspects
+    __doc__ or source text, so equal-normalized implies equal behavior;
+    any code change (including string literals used as oracles) still
+    differs. Unparseable sources fall back to raw text."""
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return src
+    return ast.dump(_strip_docstrings(tree))
 
 
 def _module_relpath(name: str) -> str | None:
@@ -290,6 +308,286 @@ def _tracked_paths(relpath: str) -> tuple:
         if _current_source(cand) is not None:
             deps.add(cand)
     return tuple(sorted(deps))
+
+
+# ---------------------------------------------------------------------------
+# Fine-grained (per-function) staleness attribution — r06.
+#
+# Whole-module comparison made every co-located edit cascade: the r05
+# pipeline18 cap edit re-staled its two innocent module-mates, and each
+# codec edit re-staled the whole multimodal family. The unit closure
+# below compares only the code a query can actually REACH: its top-level
+# function (decorator — and therefore its oracle SQL string — included),
+# plus, transitively, every top-level binding that code references, in
+# this module and across intra-package imports. Evidence stays valid iff
+# every reachable unit's docstring-stripped AST dump is unchanged since
+# the evidence round; anything unresolvable falls back conservatively
+# (whole module, or the pre-r06 coarse comparison).
+# ---------------------------------------------------------------------------
+
+_PKG = "go_map_reduce_spark"
+
+
+class _ClosureFallback(Exception):
+    """Unit closure can't be computed soundly — use the coarse path."""
+
+
+@functools.lru_cache(maxsize=None)
+def _source_at(commit: str | None, relpath: str) -> str | None:
+    """Module source at a commit, or the working tree when commit=None."""
+    if commit is None:
+        return _current_source(relpath)
+    return _blob_at(commit, relpath.replace(os.sep, "/"))
+
+
+def _dotted_relpath(commit: str | None, dotted: str) -> str | None:
+    """Repo path of an intra-package dotted module at a version, else
+    None (external import, or the module doesn't exist at that version
+    — the latter shows up as a signature difference, which is the
+    conservative direction)."""
+    if dotted != _PKG and not dotted.startswith(_PKG + "."):
+        return None
+    base = dotted.replace(".", os.sep)
+    for cand in (base + ".py", os.path.join(base, "__init__.py")):
+        if _source_at(commit, cand) is not None:
+            return cand
+    return None
+
+
+@functools.lru_cache(maxsize=None)
+def _module_index(commit: str | None, relpath: str):
+    """Unit-level view of a module at a version.
+
+    Top-level function/class defs, single-name assigns, and import
+    bindings become named units (dump + referenced identifiers +
+    import edges); every other top-level statement lands in a shared
+    residue that is included in every closure rooted in the module
+    (conditional defs, registration calls, and loops can affect any
+    query in the module — conservative). Returns None when the source
+    is missing or unparseable."""
+    src = _source_at(commit, relpath)
+    if src is None:
+        return None
+    try:
+        tree = _strip_docstrings(ast.parse(src))
+    except SyntaxError:
+        return None
+    pkg_parts = relpath.replace(os.sep, "/").split("/")[:-1]
+
+    def _resolve_from(node: "ast.ImportFrom") -> str:
+        mod = node.module or ""
+        if node.level:
+            base = pkg_parts[: len(pkg_parts) - (node.level - 1)]
+            mod = ".".join(base + ([mod] if mod else []))
+        return mod
+
+    def _refs_of(node) -> set:
+        return {s.id for s in ast.walk(node) if isinstance(s, ast.Name)}
+
+    def _edges_of(node) -> set:
+        """Intra-package dependency edges reachable from a node:
+        structural imports (top-level or lazy, any nesting) plus dotted
+        package paths in string literals (e.g. fully-qualified names
+        passed to Spark confs). ('from', module, name) edges resolve at
+        unit granularity; ('whole', module) edges pull the full module."""
+        out = set()
+        for sub in ast.walk(node):
+            if isinstance(sub, ast.ImportFrom):
+                mod = _resolve_from(sub)
+                for a in sub.names:
+                    if a.name == "*":
+                        out.add(("whole", mod))
+                    else:
+                        out.add(("from", mod, a.name))
+            elif isinstance(sub, ast.Import):
+                for a in sub.names:
+                    out.add(("whole", a.name))
+            elif isinstance(sub, ast.Constant) and isinstance(sub.value, str):
+                for dotted in re.findall(rf"{_PKG}(?:\.\w+)*", sub.value):
+                    out.add(("whole", dotted))
+        return out
+
+    units: dict = {}
+    refs: dict = {}
+    edges: dict = {}
+    res_dumps: list = []
+    res_refs: set = set()
+    res_edges: set = set()
+
+    def _add_unit(name: str, node) -> None:
+        units.setdefault(name, []).append(ast.dump(node))
+        refs.setdefault(name, set()).update(_refs_of(node))
+        edges.setdefault(name, set()).update(_edges_of(node))
+
+    for stmt in tree.body:
+        if isinstance(
+            stmt, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+        ):
+            _add_unit(stmt.name, stmt)
+        elif (
+            isinstance(stmt, ast.Assign)
+            and stmt.targets
+            and all(isinstance(t, ast.Name) for t in stmt.targets)
+        ):
+            for t in stmt.targets:
+                _add_unit(t.id, stmt)
+        elif isinstance(stmt, ast.AnnAssign) and isinstance(
+            stmt.target, ast.Name
+        ):
+            _add_unit(stmt.target.id, stmt)
+        elif isinstance(stmt, ast.ImportFrom):
+            mod = _resolve_from(stmt)
+            for a in stmt.names:
+                if a.name == "*":
+                    res_dumps.append(f"from {mod} import *")
+                    res_edges.add(("whole", mod))
+                    continue
+                bound = a.asname or a.name
+                # one binding unit per alias, so editing an unrelated
+                # name in the same import statement doesn't cascade
+                units.setdefault(bound, []).append(
+                    f"from {mod} import {a.name}"
+                )
+                refs.setdefault(bound, set())
+                edges.setdefault(bound, set()).add(("from", mod, a.name))
+        elif isinstance(stmt, ast.Import):
+            for a in stmt.names:
+                bound = a.asname or a.name.split(".")[0]
+                units.setdefault(bound, []).append(
+                    f"import {a.name} as {bound}"
+                )
+                refs.setdefault(bound, set())
+                edges.setdefault(bound, set()).add(("whole", a.name))
+        else:
+            res_dumps.append(ast.dump(stmt))
+            res_refs.update(_refs_of(stmt))
+            res_edges.update(_edges_of(stmt))
+
+    return (
+        {k: "\n".join(v) for k, v in units.items()},
+        {k: frozenset(v) for k, v in refs.items()},
+        {k: frozenset(v) for k, v in edges.items()},
+        "\n".join(res_dumps),
+        frozenset(res_refs),
+        frozenset(res_edges),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _closure_sig(commit: str | None, relpath: str, root: str) -> tuple:
+    """Signature of everything reachable from one top-level function:
+    {(module, unit) → dump}, frozen as a sorted tuple. Two versions
+    with equal signatures have byte-identical reachable behavior;
+    raises _ClosureFallback when the root can't be located.
+
+    Package ``__init__.py`` files get base-include (residue plus
+    whatever it references), never wholesale: they are import lists
+    that grow every time a module is registered, and an added import
+    cannot change an existing query's behavior (registration is
+    add-only; duplicates raise at import). Alias-style package imports
+    (``import go_map_reduce_spark...``) would bypass unit attribution,
+    so the package bans them (pinned by a gate test); ``from`` imports
+    and string-literal references cover the edge set."""
+    sig: dict = {}
+    included_mods: set = set()
+    stack: list = [(relpath, root, True)]
+
+    def _include_whole(p: str) -> None:
+        """Whole-module entry plus (recursively) every intra-package
+        module its normalized source references — the coarse treatment
+        for modules accessed through an alias (attribute access is
+        invisible to the unit scan)."""
+        if p.endswith("__init__.py"):
+            stack.append((p, "<base>", False))
+            return
+        key = (p, "*")
+        if key in sig:
+            return
+        src = _source_at(commit, p)
+        if src is None:
+            sig[key] = "<missing>"
+            return
+        norm = _normalized(src)
+        sig[key] = norm
+        for dotted in re.findall(rf"{_PKG}(?:\.\w+)*", norm):
+            sub = _dotted_relpath(commit, dotted)
+            if sub is not None:
+                _include_whole(sub)
+
+    def _edge(mod_dotted_edges) -> None:
+        for edge in mod_dotted_edges:
+            if edge[0] == "whole":
+                p = _dotted_relpath(commit, edge[1])
+                if p is not None:
+                    _include_whole(p)
+            else:  # ("from", module, name)
+                p = _dotted_relpath(commit, edge[1])
+                if p is None:
+                    continue  # external import — binding dump suffices
+                sub = _dotted_relpath(commit, f"{edge[1]}.{edge[2]}")
+                if sub is not None:  # imported a submodule, not a name
+                    _include_whole(sub)
+                    continue
+                idx = _module_index(commit, p)
+                if idx is None or edge[2] not in idx[0]:
+                    _include_whole(p)
+                else:
+                    stack.append((p, edge[2], False))
+
+    while stack:
+        mod, name, required = stack.pop()
+        if (mod, "*") in sig:
+            continue  # whole-module entry already covers every unit
+        idx = _module_index(commit, mod)
+        if idx is None:
+            if required:
+                raise _ClosureFallback(f"{mod} unreadable at {commit}")
+            sig[(mod, "*")] = "<missing>"
+            continue
+        units, refs, edges, res_dump, res_refs, res_edges = idx
+        if mod not in included_mods:
+            included_mods.add(mod)
+            sig[(mod, "<residue>")] = res_dump
+            for r in res_refs:
+                if r in units:
+                    stack.append((mod, r, False))
+            _edge(res_edges)
+        if (mod, name) in sig:
+            continue
+        if name not in units:
+            if required:
+                raise _ClosureFallback(f"{root} not a unit of {mod}")
+            continue  # builtin / function-local / external name
+        sig[(mod, name)] = units[name]
+        for r in refs[name]:
+            if r != name and r in units:
+                stack.append((mod, r, False))
+        _edge(edges[name])
+    return tuple(sorted(sig.items()))
+
+
+def _query_root(name: str) -> str | None:
+    """Top-level def enclosing a registered query's callable (the
+    callable itself, or — for the two factory-registered queries — the
+    factory whose subtree contains it). None → coarse fallback."""
+    fn = QUERIES.get(name)
+    qn = getattr(fn, "__qualname__", "")
+    top = qn.split(".")[0] if isinstance(qn, str) else ""
+    return top if top.isidentifier() else None
+
+
+def _fine_fresh(name: str, relpath: str, commit: str) -> bool | None:
+    """Unit-closure staleness verdict, or None when the fine-grained
+    path can't attribute soundly (caller uses the coarse comparison)."""
+    root = _query_root(name)
+    if root is None:
+        return None
+    try:
+        return _closure_sig(None, relpath, root) == _closure_sig(
+            commit, relpath, root
+        )
+    except (_ClosureFallback, RecursionError):
+        return None
 
 
 @functools.lru_cache(maxsize=1)
@@ -345,21 +643,26 @@ def _evidenced() -> tuple[frozenset, frozenset]:
         if relpath is None or commit is None:
             seen.add(name)  # can't attribute — keep the evidence
             continue
-        fresh = True
-        for dep in _tracked_paths(relpath):
-            then = _blob_at(commit, dep.replace(os.sep, "/"))
-            now = _current_source(dep)
-            if now is None:
-                continue  # dep vanished from the tree — unreadable, skip
-            if then is None or _normalized(then) != _normalized(now):
-                # behavior-bearing change since the evidence round, or
-                # the dep didn't exist at that commit (rename / new
-                # dependency) — either way the evidenced behavior isn't
-                # the current behavior. Comment/docstring-only edits
-                # normalize equal and keep the evidence valid.
-                fresh = False
-                break
-        (seen if fresh else stale).add(name)
+        verdict = _fine_fresh(name, relpath, commit)
+        if verdict is None:
+            # coarse whole-module fallback (pre-r06 behavior): compare
+            # every tracked module's normalized source wholesale.
+            verdict = True
+            for dep in _tracked_paths(relpath):
+                then = _blob_at(commit, dep.replace(os.sep, "/"))
+                now = _current_source(dep)
+                if now is None:
+                    continue  # dep vanished from the tree — skip
+                if then is None or _normalized(then) != _normalized(now):
+                    # behavior-bearing change since the evidence round,
+                    # or the dep didn't exist at that commit (rename /
+                    # new dependency) — either way the evidenced
+                    # behavior isn't the current behavior. Comment and
+                    # docstring-only edits normalize equal and keep the
+                    # evidence valid.
+                    verdict = False
+                    break
+        (seen if verdict else stale).add(name)
     return frozenset(seen), frozenset(stale)
 
 

@@ -88,11 +88,9 @@ def fake_repo(tmp_path, monkeypatch):
 
 
 def _clear_caches():
-    gate._artifact_commit.cache_clear()
-    gate._blob_at.cache_clear()
-    gate._current_source.cache_clear()
-    gate._tracked_paths.cache_clear()
-    gate._evidenced.cache_clear()
+    for val in vars(gate).values():
+        if hasattr(val, "cache_clear"):
+            val.cache_clear()
 
 
 def test_unchanged_module_keeps_evidence_valid(fake_repo):
@@ -265,3 +263,210 @@ def test_docstring_citation_creates_no_dependency_edge(fake_repo):
     (fake_repo / DEP_REL).write_text("def helper():\n    return 43\n")
     _clear_caches()
     assert "fakeq" in gate._evidenced()[1]
+
+
+# ---------------------------------------------------------------------------
+# Fine-grained (per-function) staleness attribution — r06.
+#
+# Whole-module comparison made every co-located edit cascade (the r05
+# pipeline18 cap edit re-staled its two innocent module-mates). The unit
+# closure compares only code a query can reach: its top-level function
+# (decorator and oracle string included) plus, transitively, every
+# top-level binding that code references, across intra-package imports.
+# ---------------------------------------------------------------------------
+
+FINE_MOD_REL = os.path.join("go_map_reduce_spark", "operators", "finemod.py")
+FINE_DEP_REL = os.path.join("go_map_reduce_spark", "operators", "finedep.py")
+INIT_REL = os.path.join("go_map_reduce_spark", "__init__.py")
+
+FINE_MOD_SRC = (
+    "from go_map_reduce_spark.operators.finedep import helper\n"
+    "PKG = \"go_map_reduce_spark\"\n"
+    "CONST_A = 1\n"
+    "CONST_B = 2\n"
+    "def deco(oracle):\n"
+    "    def d(fn):\n"
+    "        return fn\n"
+    "    return d\n"
+    "def util_a():\n"
+    "    return CONST_A\n"
+    "@deco(\"SELECT 1\")\n"
+    "def query_one(spark, sf_dir):\n"
+    "    return util_a() + helper() + len(PKG)\n"
+    "def query_two(spark, sf_dir):\n"
+    "    from go_map_reduce_spark.operators.finedep import lazy_helper\n"
+    "    return CONST_B + lazy_helper()\n"
+)
+FINE_DEP_SRC = (
+    "def helper():\n"
+    "    return 42\n"
+    "def lazy_helper():\n"
+    "    return 7\n"
+    "def unrelated():\n"
+    "    return 0\n"
+)
+
+
+@pytest.fixture()
+def fine_repo(tmp_path, monkeypatch):
+    """Throwaway git repo with TWO evidenced queries sharing finemod.py
+    (importing finedep.py) so co-located-edit isolation is observable."""
+    repo = tmp_path / "repo"
+    os.makedirs(repo / "go_map_reduce_spark" / "operators")
+    (repo / FINE_MOD_REL).write_text(FINE_MOD_SRC)
+    (repo / FINE_DEP_REL).write_text(FINE_DEP_SRC)
+    (repo / INIT_REL).write_text(
+        "from go_map_reduce_spark.operators import finedep\n"
+    )
+    (repo / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                name: {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": True,
+                    "spark_rows": 1,
+                    "oracle_rows": 1,
+                    "err": None,
+                }
+                for name in ("query_one", "query_two")
+            }
+        )
+    )
+    _git(repo, "init", "-q")
+    _git(repo, "-c", "user.email=t@t", "-c", "user.name=t", "add", "-A")
+    _git(
+        repo, "-c", "user.email=t@t", "-c", "user.name=t",
+        "commit", "-q", "-m", "round 1 artifacts",
+    )
+    monkeypatch.setattr(gate, "_HERE", str(repo))
+    monkeypatch.setattr(
+        gate,
+        "_module_relpath",
+        lambda name: FINE_MOD_REL
+        if name in ("query_one", "query_two")
+        else None,
+    )
+    # the fake queries aren't in the real registry — resolve roots by name
+    monkeypatch.setattr(
+        gate,
+        "_query_root",
+        lambda name: name if name in ("query_one", "query_two") else None,
+    )
+    _clear_caches()
+    yield repo
+    _clear_caches()
+
+
+def test_colocated_edit_stales_only_the_edited_query(fine_repo):
+    """THE r06 contract: editing one query's function re-enters only
+    that query — its module-mate keeps its evidence."""
+    (fine_repo / FINE_MOD_REL).write_text(
+        FINE_MOD_SRC.replace("return CONST_B + lazy_helper()",
+                             "return CONST_B + lazy_helper() + 1")
+    )
+    _clear_caches()
+    valid, stale = gate._evidenced()
+    assert "query_two" in stale and "query_one" in valid
+
+
+def test_true_callee_edit_stales_the_caller(fine_repo):
+    """util_a is only reachable from query_one — editing it stales
+    query_one and leaves query_two valid."""
+    (fine_repo / FINE_MOD_REL).write_text(
+        FINE_MOD_SRC.replace("return CONST_A", "return CONST_A + 1")
+    )
+    _clear_caches()
+    valid, stale = gate._evidenced()
+    assert "query_one" in stale and "query_two" in valid
+
+
+def test_module_constant_stales_only_its_readers(fine_repo):
+    (fine_repo / FINE_MOD_REL).write_text(
+        FINE_MOD_SRC.replace("CONST_B = 2", "CONST_B = 3")
+    )
+    _clear_caches()
+    valid, stale = gate._evidenced()
+    assert "query_two" in stale and "query_one" in valid
+
+
+def test_oracle_string_in_decorator_stales_the_query(fine_repo):
+    """The oracle SQL lives in the @query decorator — part of the
+    function's AST subtree, so changing it must re-enter the query."""
+    (fine_repo / FINE_MOD_REL).write_text(
+        FINE_MOD_SRC.replace('@deco("SELECT 1")', '@deco("SELECT 2")')
+    )
+    _clear_caches()
+    valid, stale = gate._evidenced()
+    assert "query_one" in stale and "query_two" in valid
+
+
+def test_cross_module_unit_edit_stales_only_reachers(fine_repo):
+    """helper() is called by query_one only; lazy_helper() (a
+    function-body import) by query_two only; unrelated() by neither."""
+    dep = fine_repo / FINE_DEP_REL
+    dep.write_text(FINE_DEP_SRC.replace("return 42", "return 43"))
+    _clear_caches()
+    valid, stale = gate._evidenced()
+    assert "query_one" in stale and "query_two" in valid
+
+    dep.write_text(FINE_DEP_SRC.replace("return 7", "return 8"))
+    _clear_caches()
+    valid, stale = gate._evidenced()
+    assert "query_two" in stale and "query_one" in valid
+
+    dep.write_text(FINE_DEP_SRC.replace("return 0", "return 1"))
+    _clear_caches()
+    valid, stale = gate._evidenced()
+    assert "query_one" in valid and "query_two" in valid
+
+
+def test_init_import_list_growth_does_not_stale(fine_repo):
+    """query_one references the bare package name (a string), which
+    routes through __init__.py — but an __init__ is an import list that
+    grows every round a module is added, and an added import cannot
+    change existing behavior. Base-include must keep evidence valid."""
+    (fine_repo / INIT_REL).write_text(
+        "from go_map_reduce_spark.operators import finedep\n"
+        "from go_map_reduce_spark.operators import finemod\n"
+    )
+    _clear_caches()
+    valid, _stale = gate._evidenced()
+    assert "query_one" in valid and "query_two" in valid
+
+
+def test_docstring_edit_keeps_fine_evidence_valid(fine_repo):
+    (fine_repo / FINE_MOD_REL).write_text(
+        FINE_MOD_SRC.replace(
+            "def query_one(spark, sf_dir):\n",
+            'def query_one(spark, sf_dir):\n    """Documented now."""\n',
+        )
+    )
+    _clear_caches()
+    valid, _stale = gate._evidenced()
+    assert "query_one" in valid and "query_two" in valid
+
+
+def test_package_bans_alias_style_package_imports():
+    """The unit tracker resolves `from` imports and string literals; an
+    alias-style `import go_map_reduce_spark...` would hide attribute
+    access from attribution. The package doesn't use that style — pin
+    it so a future module can't silently weaken the tracker."""
+    import ast as ast_mod
+
+    pkg_root = os.path.join(os.path.dirname(gate.__file__),
+                            "go_map_reduce_spark")
+    offenders = []
+    for root, _dirs, files in os.walk(pkg_root):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(root, f)
+            with open(path) as fh:
+                tree = ast_mod.parse(fh.read())
+            for node in ast_mod.walk(tree):
+                if isinstance(node, ast_mod.Import):
+                    for a in node.names:
+                        if a.name.split(".")[0] == "go_map_reduce_spark":
+                            offenders.append(f"{path}:{node.lineno}")
+    assert not offenders, offenders
