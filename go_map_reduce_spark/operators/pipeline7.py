@@ -154,7 +154,9 @@ def item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join as market_basket_pairs (pipeline6): fan-out is
     C(basket, 2), never catalog², and the support floor
     ({COOC_MIN_SUPP}) bounds the ranked frame. Item supports join back
-    by broadcast (one row per item). The normalization and ranking run
+    unhinted (one row per item — small at every tested SF, so
+    Catalyst/AQE picks broadcast; the frame grows with catalog size,
+    so a forced hint would be wrong at true 100x catalog scale). The normalization and ranking run
     on the already-reduced pair frame — at 100 TB the only heavy
     shuffles are the distinct and the pair count, both
     map-side-combinable."""
@@ -175,13 +177,11 @@ def item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sim = (
         co.join(
-            F.broadcast(isupp.select(F.col("p").alias("item"), F.col("s").alias("sa"))),
+            isupp.select(F.col("p").alias("item"), F.col("s").alias("sa")),
             "item",
         )
         .join(
-            F.broadcast(
-                isupp.select(F.col("p").alias("other"), F.col("s").alias("sb"))
-            ),
+            isupp.select(F.col("p").alias("other"), F.col("s").alias("sb")),
             "other",
         )
         .select(

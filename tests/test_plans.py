@@ -190,3 +190,23 @@ def test_every_oracle_parses_and_binds(sf_dir):
         except Exception as e:  # noqa: BLE001
             bad.append((name, f"{type(e).__name__}: {e}"))
     assert not bad, bad
+
+
+def test_item_cooc_support_join_unhinted_still_broadcasts(spark, sf_dir):
+    """r06: the per-item support frame joins back UNHINTED (it grows
+    with catalog size, so a forced broadcast would be wrong at true
+    100x catalog scale) — but at tested SF Catalyst must still pick a
+    broadcast hash join on its own, and the source must carry no hint."""
+    import ast, inspect
+
+    from go_map_reduce_spark.operators import pipeline7
+
+    src = inspect.getsource(pipeline7.item_cooccurrence_similarity)
+    calls = [
+        n.func.attr
+        for n in ast.walk(ast.parse(src))
+        if isinstance(n, ast.Call) and isinstance(n.func, ast.Attribute)
+    ]
+    assert "broadcast" not in calls, "forced hint crept back in"
+    plan = _plan(spark, "item_cooccurrence_similarity", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2  # both support joins
