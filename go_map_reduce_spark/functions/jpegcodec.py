@@ -32,7 +32,46 @@ EOBRUN resets at each marker.
 
 from __future__ import annotations
 
+import os
 import struct
+
+# Decompression-bomb guard: decoders run on untrusted payloads via
+# multimodal.decode_image, and a tiny forged SOF can declare up to
+# 65535x65535 (~34 GB of float64 per component plane). Frames whose
+# declared pixel count exceeds this cap are rejected BEFORE any
+# allocation (ValueError -> the caller's fallback gate engages).
+# 16.7M pixels (4096x4096) covers every legitimate use of this codec
+# by orders of magnitude; override via GMRS_JPEG_MAX_PIXELS.
+JPEG_MAX_PIXELS = int(os.environ.get("GMRS_JPEG_MAX_PIXELS", str(4096 * 4096)))
+
+
+def _check_frame_dims(
+    width: int, height: int, ncomp: int, payload_len: int, baseline: bool
+) -> None:
+    """Reject forged/implausible SOF dimensions before allocating.
+
+    Two independent gates, mirroring the BMP forged-dimension guard
+    (multimodal.decode_bmp): a hard pixel-count cap, and — for
+    baseline only — an entropy-size plausibility floor: a sequential
+    scan decodes every 8x8 block with at least two Huffman symbols
+    (DC category + first AC symbol/EOB), i.e. >= 2 bits per block, so
+    declared blocks needing more bits than the WHOLE payload holds
+    cannot be real. (Progressive gets no block floor: one EOBRUN
+    symbol can cover thousands of blocks.)"""
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid JPEG dimensions {width}x{height}")
+    if width * height > JPEG_MAX_PIXELS:
+        raise ValueError(
+            f"declared JPEG frame {width}x{height} exceeds "
+            f"JPEG_MAX_PIXELS={JPEG_MAX_PIXELS}"
+        )
+    if baseline:
+        blocks = (-(-width // 8)) * (-(-height // 8)) * ncomp
+        if 2 * blocks > 8 * payload_len:
+            raise ValueError(
+                f"declared block count {blocks} implausible for a "
+                f"{payload_len}-byte payload"
+            )
 
 # --------------------------------------------------------------------------
 # zigzag order (generated, 64 entries: zigzag index -> (row, col))
@@ -464,6 +503,7 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
             precision, height, width, ncomp = struct.unpack_from(">BHHB", data, 0)
             if precision != 8 or ncomp not in (1, 3):
                 raise ValueError("only 8-bit 1- or 3-component baseline supported")
+            _check_frame_dims(width, height, ncomp, len(payload), baseline=True)
             # component specs follow: (id, H/V, Tq) triples from data[6]
             comp_ids = [data[6 + 3 * ci] for ci in range(ncomp)]
             samp = tuple(data[7 + 3 * ci] for ci in range(ncomp))
@@ -846,6 +886,9 @@ def _decode_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(
                     "only 8-bit 1- or 3-component progressive supported"
                 )
+            _check_frame_dims(
+                width, height, ncomp, len(payload), baseline=False
+            )
             comp_ids = [data[6 + 3 * ci] for ci in range(ncomp)]
             hv = [data[7 + 3 * ci] for ci in range(ncomp)]
             comp_hv = [(b >> 4, b & 0x0F) for b in hv]
@@ -909,7 +952,7 @@ def _decode_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
         h, v = comp_hv[ci]
         hmax = max(hh for hh, _ in comp_hv)
         vmax = max(vv for _, vv in comp_hv)
-        if (h, v) != (hmax, vmax):  # chroma upsample (4:2:0 only here)
+        if (h, v) != (hmax, vmax):  # chroma upsample (4:2:0/4:2:2/4:4:0)
             plane = np.repeat(
                 np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1
             )

@@ -63,8 +63,9 @@ def decode_image(payload: bytes):
     """Decode a binary payload into (width, height, bpp, pixel_bytes).
 
     Uncompressed 24-bit BMP, 8-bit truecolor PNG, and JPEG (baseline
-    SOF0 and progressive SOF2, in grayscale / 4:4:4 / 4:2:0) all decode
-    natively with the pure-Python codecs in this package — no PIL.
+    SOF0 and progressive SOF2, in grayscale / 4:4:4 / 4:2:0 / 4:2:2 /
+    4:4:0) all decode natively with the pure-Python codecs in this
+    package — no PIL.
     Every codec normalizes malformed-payload failures to ValueError; an
     unrecognized or unsupported payload raises ValueError so callers
     need exactly one exception type. When PIL happens to be installed

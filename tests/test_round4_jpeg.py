@@ -338,3 +338,74 @@ def test_truncated_streams_normalize_to_valueerror(cut):
     trunc = good[: cut if cut > 0 else len(good) + cut]
     with pytest.raises(ValueError):
         decode_jpeg_gray(trunc)
+
+
+# ---------------------------------------------------------------------------
+# r06 forged-dimension guard (ADVICE): decoders must reject implausible
+# SOF dimensions BEFORE allocating pixel/coefficient planes, mirroring
+# the BMP forged-dimension guard.
+# ---------------------------------------------------------------------------
+
+
+def _forged_sof(marker: int, width: int, height: int) -> bytes:
+    """SOI + a single forged 1-component SOF segment (nothing else —
+    the guard must fire at SOF parse time, before any allocation)."""
+    import struct as _s
+
+    sof = _s.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    return (
+        b"\xff\xd8"
+        + bytes([0xFF, marker])
+        + _s.pack(">H", 2 + len(sof))
+        + sof
+    )
+
+
+def test_baseline_forged_huge_dimensions_rejected():
+    from go_map_reduce_spark.functions.jpegcodec import decode_jpeg
+
+    with pytest.raises(ValueError, match="JPEG_MAX_PIXELS"):
+        decode_jpeg(_forged_sof(0xC0, 65535, 65535))
+
+
+def test_progressive_forged_huge_dimensions_rejected():
+    from go_map_reduce_spark.functions.jpegcodec import decode_jpeg
+
+    with pytest.raises(ValueError, match="JPEG_MAX_PIXELS"):
+        decode_jpeg(_forged_sof(0xC2, 65535, 65535))
+
+
+def test_baseline_under_cap_but_implausible_block_count_rejected():
+    """3000x3000 is under the pixel cap, but a sequential scan needs
+    >= 2 bits per block — a ~20-byte payload cannot hold 140k blocks."""
+    from go_map_reduce_spark.functions.jpegcodec import decode_jpeg
+
+    with pytest.raises(ValueError, match="implausible"):
+        decode_jpeg(_forged_sof(0xC0, 3000, 3000))
+
+
+def test_decode_image_fallback_gate_engages_on_forged_sof():
+    """The multimodal entry point normalizes the guard's ValueError the
+    same way as every other malformed payload."""
+    from go_map_reduce_spark.operators.multimodal import decode_image
+
+    with pytest.raises(ValueError):
+        decode_image(_forged_sof(0xC0, 65535, 65535))
+
+
+def test_legitimate_small_frames_pass_the_guard():
+    """The guard must not reject real streams: round-trip an encode at
+    a few sizes through BOTH paths (the plausibility floor counts the
+    actual payload, which always holds >= 2 bits per block)."""
+    from go_map_reduce_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_progressive_gray,
+    )
+
+    pixels = bytes(
+        (x * 7 + y) % 256 for y in range(16) for x in range(24)
+    )
+    for enc in (encode_jpeg_gray, encode_jpeg_progressive_gray):
+        w, h, bpp, _px = decode_jpeg(enc(24, 16, pixels))
+        assert (w, h, bpp) == (24, 16, 8)
