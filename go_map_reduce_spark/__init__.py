@@ -61,6 +61,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline19,
     pipeline20,
     pipeline21,
+    pipeline22,
     sqlsurface,
     stats,
     quality_filters,
