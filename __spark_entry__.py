@@ -130,6 +130,12 @@ _GATE_PRIORITY = [
     "image_ahash_dedup",
     "key_skew_profile",
     "tokenizer_fertility_by_lang",
+    # second r06 batch (dedup calibration + corpus-audit depth)
+    "minhash_jaccard_estimate_error",
+    "cross_source_dup_matrix",
+    "doc_quality_composite_gate",
+    "contrastive_negative_sampling",
+    "conditional_entropy_lang_by_source",
 ]
 
 # Re-gate ordering for STALE-evidence rows (the r04 registry.py edit

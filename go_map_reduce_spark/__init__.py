@@ -62,6 +62,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline20,
     pipeline21,
     pipeline22,
+    pipeline23,
     sqlsurface,
     stats,
     quality_filters,
