@@ -210,3 +210,27 @@ def test_item_cooc_support_join_unhinted_still_broadcasts(spark, sf_dir):
     assert "broadcast" not in calls, "forced hint crept back in"
     plan = _plan(spark, "item_cooccurrence_similarity", sf_dir)
     assert plan.count("BroadcastHashJoin") >= 2  # both support joins
+
+
+def test_quality_gate_is_single_pass_no_shuffle(spark, sf_dir):
+    """The rule gate is pure per-row expressions — any Exchange in its
+    plan means someone joined a signal table back in and broke the
+    single-pass property."""
+    plan = _plan(spark, "doc_quality_composite_gate", sf_dir)
+    assert "Exchange" not in plan
+
+
+def test_ahash_dedup_shuffles_only_the_hash(spark, sf_dir):
+    """Perceptual image dedup: two narrow codec stages then ONE
+    hash-key shuffle for group sizes — the decoded pixels never
+    shuffle."""
+    plan = _plan(spark, "image_ahash_dedup", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_negative_sampling_bounds_window_state(spark, sf_dir):
+    """Hash-ranked sampling must prune to NEG_K rows per query BEFORE
+    the exchange (WindowGroupLimit), like every top-k in the engine."""
+    plan = _plan(spark, "contrastive_negative_sampling", sf_dir)
+    assert "WindowGroupLimit" in plan
