@@ -46,18 +46,26 @@ JPEG_MAX_PIXELS = int(os.environ.get("GMRS_JPEG_MAX_PIXELS", str(4096 * 4096)))
 
 
 def _check_frame_dims(
-    width: int, height: int, ncomp: int, payload_len: int, baseline: bool
+    width: int,
+    height: int,
+    ncomp: int,
+    payload_len: int,
+    baseline: bool,
+    hv: "list[tuple[int, int]] | None" = None,
 ) -> None:
     """Reject forged/implausible SOF dimensions before allocating.
 
     Two independent gates, mirroring the BMP forged-dimension guard
     (multimodal.decode_bmp): a hard pixel-count cap, and — for
     baseline only — an entropy-size plausibility floor: a sequential
-    scan decodes every 8x8 block with at least two Huffman symbols
-    (DC category + first AC symbol/EOB), i.e. >= 2 bits per block, so
-    declared blocks needing more bits than the WHOLE payload holds
-    cannot be real. (Progressive gets no block floor: one EOBRUN
-    symbol can cover thousands of blocks.)"""
+    interleaved scan decodes every MCU block with at least two Huffman
+    symbols (DC category + first AC symbol/EOB), i.e. >= 2 bits per
+    block, so declared blocks needing more bits than the WHOLE payload
+    holds cannot be real. The block count uses the ACTUAL per-component
+    sampling factors (a 4:2:0 frame has half the blocks of the
+    full-resolution count — overcounting would false-reject legal
+    minimal-Huffman streams). (Progressive gets no block floor: one
+    EOBRUN symbol can cover thousands of blocks.)"""
     if width <= 0 or height <= 0:
         raise ValueError(f"invalid JPEG dimensions {width}x{height}")
     if width * height > JPEG_MAX_PIXELS:
@@ -66,7 +74,13 @@ def _check_frame_dims(
             f"JPEG_MAX_PIXELS={JPEG_MAX_PIXELS}"
         )
     if baseline:
-        blocks = (-(-width // 8)) * (-(-height // 8)) * ncomp
+        if hv:
+            hmax = max(h for h, _ in hv)
+            vmax = max(v for _, v in hv)
+            mcus = (-(-width // (8 * hmax))) * (-(-height // (8 * vmax)))
+            blocks = mcus * sum(h * v for h, v in hv)
+        else:
+            blocks = (-(-width // 8)) * (-(-height // 8)) * ncomp
         if 2 * blocks > 8 * payload_len:
             raise ValueError(
                 f"declared block count {blocks} implausible for a "
@@ -503,7 +517,6 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
             precision, height, width, ncomp = struct.unpack_from(">BHHB", data, 0)
             if precision != 8 or ncomp not in (1, 3):
                 raise ValueError("only 8-bit 1- or 3-component baseline supported")
-            _check_frame_dims(width, height, ncomp, len(payload), baseline=True)
             # component specs follow: (id, H/V, Tq) triples from data[6]
             comp_ids = [data[6 + 3 * ci] for ci in range(ncomp)]
             samp = tuple(data[7 + 3 * ci] for ci in range(ncomp))
@@ -513,6 +526,13 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
                     f"unsupported sampling layout {samp} "
                     "(gray / 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 only)"
                 )
+            # guard AFTER the layout check: supported layouts guarantee
+            # h, v >= 1, so the MCU arithmetic can't divide by a forged
+            # zero sampling factor
+            _check_frame_dims(
+                width, height, ncomp, len(payload), baseline=True,
+                hv=[(b >> 4, b & 0x0F) for b in samp],
+            )
         elif marker == 0xC2:  # SOF2 — progressive DCT
             return _decode_progressive(payload)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):

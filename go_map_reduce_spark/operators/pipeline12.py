@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from go_map_reduce_spark.catalog import load_table
 from go_map_reduce_spark.functions.numeric import dsum, sql_dsum
-from go_map_reduce_spark.registry import ORACLES, QUERIES, query
+from go_map_reduce_spark.registry import ORACLES, query
 
 # --------------------------------------------------------------------------
 # Cross-source reconciliation (finance-close audit)
@@ -270,18 +270,19 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole two-pipeline comparison. Recall/precision ratios are left
     to the consumer (two bigints divide; emitting counts keeps the
     row integer-exact)."""
+    # direct imports, not QUERIES["..."] string dispatch: the gate's
+    # per-function staleness closure only sees structural import edges,
+    # so composing via the registry would hide the dedup.py dependency
+    # and leave this query's evidence valid across dedup edits
+    from go_map_reduce_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
     # persist both pair frames: three counts below would otherwise
     # re-execute the LSH candidate join / PPJoin verify tails twice each
-    mh = (
-        QUERIES["minhash_near_dup_pairs"](spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .persist()
-    )
-    ex = (
-        QUERIES["ngram_jaccard_pairs"](spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .persist()
-    )
+    mh = minhash_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
+    ex = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
     n_hit = mh.join(ex, ["doc_a", "doc_b"]).count()
     n_exact, n_minhash = ex.count(), mh.count()
     # counts are materialized — release the cached pair frames so they

@@ -40,6 +40,7 @@ from go_map_reduce_spark.catalog import load_table
 from go_map_reduce_spark.functions.numeric import dsum, sql_dsum
 from go_map_reduce_spark.functions.vector import cosine, norm_sq, sql_cosine
 from go_map_reduce_spark.operators import search as _search  # noqa: F401
+from go_map_reduce_spark.operators.textstats import BPE_RE
 from go_map_reduce_spark.registry import ORACLES, query
 
 # (the search import above runs before this module's decorators so the
@@ -667,9 +668,6 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Tokenizer fertility by language
 # --------------------------------------------------------------------------
 
-_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
-
-
 @query(
     "tokenizer_fertility_by_lang",
     oracle=rf"""
@@ -677,7 +675,7 @@ _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
       SELECT lang,
              CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
                                   x -> x <> '')) AS BIGINT) AS ws_tokens,
-             CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
+             CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT)
                AS bpe_tokens,
              n_chars
       FROM documents
@@ -707,7 +705,7 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     is computed once from exact integer sums (no per-row floats)."""
     docs = load_table(spark, sf_dir, "documents")
     ws = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
-    bpe = F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)"))
+    bpe = F.size(F.expr(f"regexp_extract_all(text, '{BPE_RE}', 0)"))
     per = docs.select(
         "lang",
         ws.cast("long").alias("ws_tokens"),

@@ -25,6 +25,7 @@ from go_map_reduce_spark.catalog import load_table
 from go_map_reduce_spark.functions.numeric import dsum, sql_dsum
 from go_map_reduce_spark.operators.dedup import (
     N_HASHES,
+    _SQL_SHINGLES,
     _SQL_SIGS,
     _doc_shingle_sets,
     _spark_signatures,
@@ -43,19 +44,7 @@ _SIG_COLS = [f"mh{j}" for j in range(N_HASHES)]
     "minhash_jaccard_estimate_error",
     oracle=f"""
     WITH pairs AS ({ORACLES["minhash_near_dup_pairs"]}),
-    sh AS (
-      SELECT doc_id,
-             unnest(list_distinct(
-               CASE WHEN len(toks) < 3
-                    THEN [array_to_string(toks, ' ')]
-                    ELSE list_transform(range(1, len(toks) - 1),
-                                        i -> array_to_string(toks[i:i+2], ' '))
-               END)) AS shingle
-      FROM (SELECT doc_id,
-                   list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
-                               x -> x <> '') AS toks
-            FROM documents)
-    ),
+    sh AS ({_SQL_SHINGLES}),
     sigs AS ({_SQL_SIGS})
     SELECT p.doc_a, p.doc_b, p.jaccard,
            round(({" + ".join(f"CAST(a.mh{j} = b.mh{j} AS INT)" for j in range(N_HASHES))})

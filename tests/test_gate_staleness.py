@@ -470,3 +470,33 @@ def test_package_bans_alias_style_package_imports():
                         if a.name.split(".")[0] == "go_map_reduce_spark":
                             offenders.append(f"{path}:{node.lineno}")
     assert not offenders, offenders
+
+
+def test_package_bans_registry_string_key_dispatch():
+    """Composing one query from another via QUERIES["name"] creates a
+    dependency the unit tracker cannot see (a string subscript is not
+    an import edge), so a behavior change in the composed tier would
+    leave the composing query's evidence falsely valid — the r06
+    review found exactly this in minhash_recall_eval. Queries must
+    compose by importing the tier function directly; pin that nothing
+    outside registry.py subscripts QUERIES."""
+    import ast as ast_mod
+
+    pkg_root = os.path.join(os.path.dirname(gate.__file__),
+                            "go_map_reduce_spark")
+    offenders = []
+    for root, _dirs, files in os.walk(pkg_root):
+        for f in files:
+            if not f.endswith(".py") or f == "registry.py":
+                continue
+            path = os.path.join(root, f)
+            with open(path) as fh:
+                tree = ast_mod.parse(fh.read())
+            for node in ast_mod.walk(tree):
+                if (
+                    isinstance(node, ast_mod.Subscript)
+                    and isinstance(node.value, ast_mod.Name)
+                    and node.value.id == "QUERIES"
+                ):
+                    offenders.append(f"{path}:{node.lineno}")
+    assert not offenders, offenders

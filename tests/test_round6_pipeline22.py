@@ -109,11 +109,17 @@ def test_ahash_groups_despite_byte_distinct_payloads(spark, sf_dir):
     by_doc = {r["doc_id"]: r for r in rows}
     # aHash groups exist (some residue class has >1 doc at any SF>=2 docs)
     assert any(r["group_size"] > 1 for r in rows)
-    # same residue -> same hash (jitter invariance, via the REAL codec)
+    # same residue but DIFFERENT jitter -> same hash (the invariance
+    # the operator claims, exercised through the REAL codec): offset
+    # by AHASH_RESIDUES so doc_id % 16 is preserved while doc_id % 3
+    # shifts (16 % 3 == 1) — the mate's payload is byte-different
+    checked = 0
     for r in rows:
-        mate = by_doc.get(r["doc_id"] - AHASH_RESIDUES * 3)
-        if mate:
+        mate = by_doc.get(r["doc_id"] - AHASH_RESIDUES)
+        if mate and (r["doc_id"] % 3) != (mate["doc_id"] % 3):
             assert mate["ahash"] == r["ahash"]
+            checked += 1
+    assert checked > 0
     # byte-distinct: md5 of synthesized payloads for three docs of one
     # residue class are all different (exact dedup would keep all)
     pdf = pd.DataFrame({"doc_id": [1, 1 + AHASH_RESIDUES, 1 + 2 * AHASH_RESIDUES]})
