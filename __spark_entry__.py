@@ -136,6 +136,10 @@ _GATE_PRIORITY = [
     "doc_quality_composite_gate",
     "contrastive_negative_sampling",
     "conditional_entropy_lang_by_source",
+    # third r06 batch (family completion + audit reports)
+    "asof_join_forward",
+    "packing_efficiency_report",
+    "dedup_cluster_size_histogram",
 ]
 
 # Re-gate ordering for STALE-evidence rows (the r04 registry.py edit

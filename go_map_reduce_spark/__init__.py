@@ -63,6 +63,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline21,
     pipeline22,
     pipeline23,
+    pipeline24,
     sqlsurface,
     stats,
     quality_filters,
