@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from go_map_reduce_spark.catalog import load_table
-from go_map_reduce_spark.operators.advanced import dedup_clusters
+from go_map_reduce_spark.operators.advanced import dedup_clusters_largestar
 from go_map_reduce_spark.operators.textstats import (
     PACK_BUDGET,
     sequence_packing,
@@ -199,11 +199,13 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate — route those to lsh_template_clusters handling
     instead of pairwise verification)?
 
-    100 TB shape: composes the registered cluster operator (O(log n)
-    label propagation), then two tiny keyed aggregates over the
-    cluster assignment — the histogram is bounded by the number of
-    distinct cluster sizes, not the corpus."""
-    clusters = dedup_clusters(spark, sf_dir)
+    100 TB shape: composes the registered LARGESTAR cluster operator
+    (Kiveris et al. large-star/small-star, O(log n) rounds — the
+    scale path; the O(diameter) min-label variant produces identical
+    assignments), then two tiny keyed aggregates over the cluster
+    assignment — the histogram is bounded by the number of distinct
+    cluster sizes, not the corpus."""
+    clusters = dedup_clusters_largestar(spark, sf_dir)
     sized = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("size")
     )
