@@ -89,6 +89,12 @@ NOISY = {
     "near_dup_survivors",
     "semantic_dedup_survivors",
     "boilerplate_shingles",
+    # r06 composed pipelines: each re-runs the full minhash-pair or
+    # cluster tier it audits, so they inherit the same cold-JIT
+    # profile as the r04 set above.
+    "minhash_jaccard_estimate_error",
+    "cross_source_dup_matrix",
+    "dedup_cluster_size_histogram",
 }
 
 
