@@ -600,29 +600,30 @@ def _fine_fresh(name: str, relpath: str, commit: str) -> bool | None:
         return None
 
 
-@functools.lru_cache(maxsize=1)
-def _evidenced() -> tuple[frozenset, frozenset]:
-    """(valid, stale) split of names with prior-round CORRECTNESS
-    evidence.
+def _artifact_round(basename: str) -> int:
+    """Numeric round of a CORRECTNESS artifact. Sorting artifacts by
+    this (not lexicographically) keeps r10+ AFTER r2-r9, so the
+    latest-evidence winner per query stays correct past round 9."""
+    m = re.search(r"r(\d+)", basename)
+    return int(m.group(1)) if m else -1
 
-    A row counts as evidence if it is green (rows+schema+hash match) or is
-    the deliberate rows-only shape (err == 'no_oracle' AND spark_rows > 0 —
-    a rows-only query that produced nothing is a failure, not evidence).
-    Evidence goes STALE when any module the query depends on (its own,
-    or an intra-package module its source references) changed since the
-    round that produced it: each dependency's source at the artifact's
-    commit is compared (via git) against the current working tree; a
-    mismatch — including a module that didn't exist at that commit, i.e.
-    a rename — re-enters the query into the gate window. Cached per
-    process so queries() and oracle_sql() share one snapshot (the driver
-    calls both; a disk change between the calls must not diverge their
-    orders).
-    """
+
+@functools.lru_cache(maxsize=1)
+def _latest_evidence() -> dict:
+    """name → basename of the latest CORRECTNESS artifact holding that
+    query's evidence. A row counts as evidence if it is green
+    (rows+schema+hash match) or is the deliberate rows-only shape
+    (err == 'no_oracle' AND spark_rows > 0 — a rows-only query that
+    produced nothing is a failure, not evidence)."""
     import glob
     import json
 
     latest: dict = {}
-    for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+    paths = sorted(
+        glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")),
+        key=lambda p: _artifact_round(os.path.basename(p)),
+    )
+    for path in paths:
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -645,6 +646,25 @@ def _evidenced() -> tuple[frozenset, frozenset]:
             )
             if green or rows_only:
                 latest[name] = os.path.basename(path)
+    return latest
+
+
+@functools.lru_cache(maxsize=1)
+def _evidenced() -> tuple[frozenset, frozenset]:
+    """(valid, stale) split of names with prior-round CORRECTNESS
+    evidence.
+
+    Evidence goes STALE when any module the query depends on (its own,
+    or an intra-package module its source references) changed since the
+    round that produced it: each dependency's source at the artifact's
+    commit is compared (via git) against the current working tree; a
+    mismatch — including a module that didn't exist at that commit, i.e.
+    a rename — re-enters the query into the gate window. Cached per
+    process so queries() and oracle_sql() share one snapshot (the driver
+    calls both; a disk change between the calls must not diverge their
+    orders).
+    """
+    latest = _latest_evidence()
     seen: set = set()
     stale: set = set()
     for name, artifact in latest.items():
@@ -701,7 +721,17 @@ def _ordered(mapping: dict) -> dict:
         n: mapping[n] for n in mapping if n in stale and n not in regate_pri
     }
     regate = {**regate_pri, **regate}
-    rest = {n: mapping[n] for n in mapping if n in seen}
+    # Bonus tier (already-valid rows that fill whatever window space the
+    # never/stale tiers leave): oldest evidence first, so the spare slots
+    # re-verify the rows whose green run is furthest in the past —
+    # age-ordered drain instead of registration order. Ties (same round)
+    # keep registration order via the stable sort.
+    latest = _latest_evidence()
+    rest_names = sorted(
+        (n for n in mapping if n in seen),
+        key=lambda n: _artifact_round(latest.get(n, "")),
+    )
+    rest = {n: mapping[n] for n in rest_names}
     return {**pri, **fresh, **regate, **rest}
 
 

@@ -42,7 +42,16 @@ import struct
 # allocation (ValueError -> the caller's fallback gate engages).
 # 16.7M pixels (4096x4096) covers every legitimate use of this codec
 # by orders of magnitude; override via GMRS_JPEG_MAX_PIXELS.
-JPEG_MAX_PIXELS = int(os.environ.get("GMRS_JPEG_MAX_PIXELS", str(4096 * 4096)))
+def _max_pixels_from_env() -> int:
+    # A malformed override must degrade to the default, not break
+    # package import for every consumer (the parse runs at import time).
+    try:
+        return int(os.environ.get("GMRS_JPEG_MAX_PIXELS", ""))
+    except ValueError:
+        return 4096 * 4096
+
+
+JPEG_MAX_PIXELS = _max_pixels_from_env()
 
 
 def _check_frame_dims(

@@ -177,7 +177,7 @@ def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_cluster_size_histogram",
     oracle=f"""
-    WITH clusters AS ({ORACLES["dedup_clusters"]}),
+    WITH clusters AS ({ORACLES["dedup_clusters_largestar"]}),
     sized AS (
       SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size
       FROM clusters GROUP BY cluster_id

@@ -409,3 +409,22 @@ def test_legitimate_small_frames_pass_the_guard():
     for enc in (encode_jpeg_gray, encode_jpeg_progressive_gray):
         w, h, bpp, _px = decode_jpeg(enc(24, 16, pixels))
         assert (w, h, bpp) == (24, 16, 8)
+
+
+# ---------------------------------------------------------------------------
+# r07 ADVICE: a malformed GMRS_JPEG_MAX_PIXELS override must fall back
+# to the default, not raise at import time (the parse runs when the
+# package is first imported, so a bad env value would take down every
+# consumer, not just the override).
+# ---------------------------------------------------------------------------
+
+
+def test_max_pixels_env_parse_is_guarded(monkeypatch):
+    from go_map_reduce_spark.functions.jpegcodec import _max_pixels_from_env
+
+    monkeypatch.setenv("GMRS_JPEG_MAX_PIXELS", "not-a-number")
+    assert _max_pixels_from_env() == 4096 * 4096
+    monkeypatch.setenv("GMRS_JPEG_MAX_PIXELS", "1000000")
+    assert _max_pixels_from_env() == 1000000
+    monkeypatch.delenv("GMRS_JPEG_MAX_PIXELS")
+    assert _max_pixels_from_env() == 4096 * 4096

@@ -15,6 +15,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -24,9 +25,18 @@ import __spark_entry__ as gate  # noqa: E402
 from go_map_reduce_spark.registry import ORACLES, QUERIES  # noqa: E402
 
 
+def _round_of(path: str) -> int:
+    """Numeric round of a CORRECTNESS artifact (lexicographic sort would
+    put r10 before r2 from round 10 onward)."""
+    m = re.search(r"r(\d+)", os.path.basename(path))
+    return int(m.group(1)) if m else -1
+
+
 def _latest_artifact() -> dict:
     latest: dict = {}
-    for path in sorted(glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json"))):
+    for path in sorted(
+        glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json")), key=_round_of
+    ):
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -66,7 +76,7 @@ def main() -> None:
     n_stale = sum(1 for n in window if n in stale)
     print(
         f"window: {n_new} never-evidenced + {n_stale} stale + "
-        f"{50 - n_new - n_stale} bonus re-gates"
+        f"{len(window) - n_new - n_stale} bonus re-gates"
     )
 
     def _tag(name: str) -> str:
