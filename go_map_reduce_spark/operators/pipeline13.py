@@ -177,33 +177,39 @@ def keyword_in_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     '{KWIC_TERM}' with ±{KWIC_RADIUS} tokens of context — the
     corpus-inspection tool behind annotation sampling, sense
     disambiguation review, and leakage spot-checks (the page a search
-    hit shows AROUND the match). Positions are found with one
-    posexplode filtered to the term (the inverted-index probe shape),
-    and the context window is a per-row array slice of the SAME
-    token array — no second scan, no join back: token arrays travel
-    with their hits, which is the right trade until documents are
-    huge and a (doc, pos)→tokens re-join wins.
+    hit shows AROUND the match).
+
+    The match positions AND their context slices are both computed in
+    the array domain (higher-order transform/filter over the token
+    array, one row per document), so the generate emits only the hit
+    structs: the token array is never duplicated per hit row. The
+    previous shape carried `t` through a posexplode — O(len²) bytes
+    through the generate for a pathological document whose every token
+    matches; this one is O(len + hits·window), the at-scale winner the
+    r06 verdict asked for.
 
     Slice boundaries clamp at both ends (array ends, not errors);
-    1-based positions match between Spark element_at/posexplode(+1)
-    and DuckDB list indexing."""
+    1-based positions match between Spark's transform index (+1) and
+    DuckDB list indexing."""
     toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", toks.alias("t")
     )
-    hits = docs.select(
+    hits = F.expr(
+        f"""
+        transform(
+          filter(transform(t, (w, i) -> IF(w = '{KWIC_TERM}', i + 1, -1)),
+                 p -> p > 0),
+          p -> named_struct(
+            'pos', CAST(p AS INT),
+            'context', array_join(
+              slice(t, greatest(p - {KWIC_RADIUS}, 1),
+                    least(p + {KWIC_RADIUS}, size(t))
+                      - greatest(p - {KWIC_RADIUS}, 1) + 1), ' ')))
+        """
+    )
+    return docs.select("doc_id", F.explode(hits).alias("h")).select(
         "doc_id",
-        F.posexplode("t").alias("pos0", "w"),
-        "t",
-    ).where(F.col("w") == KWIC_TERM)
-    start = F.greatest(F.col("pos0") + 1 - KWIC_RADIUS, F.lit(1))
-    # slice length: window end (pos + radius, 1-based) minus start + 1,
-    # clamped by the array end via slice's own bounds handling
-    end = F.least(F.col("pos0") + 1 + KWIC_RADIUS, F.size("t"))
-    return hits.select(
-        "doc_id",
-        (F.col("pos0") + 1).cast("int").alias("pos"),
-        F.array_join(
-            F.slice(F.col("t"), start, end - start + 1), " "
-        ).alias("context"),
+        F.col("h.pos").alias("pos"),
+        F.col("h.context").alias("context"),
     )
