@@ -140,6 +140,10 @@ _GATE_PRIORITY = [
     "asof_join_forward",
     "packing_efficiency_report",
     "dedup_cluster_size_histogram",
+    # -- round-7 additions (the r06 verdict's "metric without its
+    # operator" closures; strict-green at sf0.01 before commit) -------
+    "substring_dup_cut",
+    "bpe_corpus_tokenize",
 ]
 
 # Re-gate ordering for STALE-evidence rows (the r04 registry.py edit

@@ -64,6 +64,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline22,
     pipeline23,
     pipeline24,
+    pipeline25,
     sqlsurface,
     stats,
     quality_filters,
