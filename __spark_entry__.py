@@ -144,6 +144,9 @@ _GATE_PRIORITY = [
     # operator" closures; strict-green at sf0.01 before commit) -------
     "substring_dup_cut",
     "bpe_corpus_tokenize",
+    # un-gated in r07 by vendoring a protobuf runtime (vendor/README.md):
+    # the Spark-4 typed-state streaming API, now driver-gateable
+    "events_transform_with_state",
 ]
 
 # Re-gate ordering for STALE-evidence rows (the r04 registry.py edit

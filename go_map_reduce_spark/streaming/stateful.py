@@ -22,6 +22,8 @@ Arrow-batched pandas pass per key group.
 
 from __future__ import annotations
 
+import os as _os
+
 from collections.abc import Iterator
 from typing import Any
 
@@ -151,18 +153,70 @@ class _TypeValueCounter:
         pass
 
 
+_VENDOR_DIR = _os.path.join(
+    _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    ),
+    "vendor",
+)
+
+
 def _protobuf_available() -> bool:
     """transformWithState's Python runner speaks protobuf to the JVM;
     without the google.protobuf package the streaming runner crashes at
-    init. Gate registration (the environment rule: gate missing deps
-    behind an import-try) — the operator code itself is complete and
-    runs wherever protobuf exists."""
+    init. A site-packages installation wins; when none exists, the
+    repo-vendored pure-Python runtime (vendor/README.md — protobuf
+    6.32.0 from the machine's own SDK bundle, PyPI being unreachable)
+    is APPENDED to sys.path and tried. Registration stays gated on the
+    import either way (the environment rule: gate missing deps behind
+    an import-try) — the operator code itself is complete and runs
+    wherever a protobuf runtime exists."""
+    import os
+    import sys
+
     try:
         from google.protobuf import descriptor  # noqa: F401
 
         return True
     except ImportError:
-        return False
+        pass
+    if os.path.isdir(os.path.join(_VENDOR_DIR, "google", "protobuf")):
+        if _VENDOR_DIR not in sys.path:
+            sys.path.append(_VENDOR_DIR)
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+    return False
+
+
+def _ensure_protobuf_visible_to_workers(spark: SparkSession) -> None:
+    """transformWithState runs python OUTSIDE this interpreter in two
+    places: the driver-side state-server/PreInit runner
+    (StreamingPythonRunner — spawned for state-schema validation and
+    NOT covered by the pyFiles task protocol) and the executor-side
+    task workers. Both are spawned by PythonWorkerFactory, which merges
+    the PythonFunction's envVars["PYTHONPATH"] — sourced from
+    ``sc.environment`` — into the child's environment. So when the
+    driver resolved protobuf from the vendored copy, putting vendor/
+    on ``sc.environment["PYTHONPATH"]`` (idempotent) is what makes
+    ``import google.protobuf`` work in every spawned runner; a real
+    site-packages installation needs nothing (workers share the
+    interpreter environment). Verified empirically: addPyFile alone
+    reaches task workers but NOT the PreInit runner, which then dies
+    with ImportError at state-schema validation."""
+    import google.protobuf as _pb
+
+    if not _os.path.abspath(_pb.__file__).startswith(
+        _os.path.abspath(_VENDOR_DIR)
+    ):
+        return
+    env = spark.sparkContext.environment
+    cur = env.get("PYTHONPATH", "")
+    if _VENDOR_DIR not in cur.split(":"):
+        env["PYTHONPATH"] = _VENDOR_DIR + ((":" + cur) if cur else "")
 
 
 _TWS_ORACLE = """
@@ -195,6 +249,7 @@ def events_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ensure_package_shipped(spark)
+    _ensure_protobuf_visible_to_workers(spark)
     events = read_events_stream(spark, sf_dir).select(
         "user_id", "event_type", "value"
     )
@@ -207,17 +262,35 @@ def events_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeMode="None",
     )
     name = f"tws_{uuid.uuid4().hex[:12]}"
-    with _stream_state_partitions(spark, 8):
-        q = (
-            out.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    # transformWithState stores each state variable in its own column
+    # family; the default HDFS-backed provider supports exactly one, so
+    # the API REQUIRES RocksDB (the provider production uses anyway —
+    # state not bounded by executor heap). Set it for this stream and
+    # restore the session's previous provider after.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocks)
+    try:
+        with _stream_state_partitions(spark, 8):
+            q = (
+                out.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
     sink = spark.table(name)
     return (
         sink.groupBy("user_id", "event_type")

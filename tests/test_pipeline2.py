@@ -60,19 +60,24 @@ def test_cogroup_profile_oracle(spark, sf_dir):
 
 
 def test_transform_with_state_gated():
-    """transformWithState registers only where protobuf exists; in this
-    container it must be absent (gated), not broken."""
+    """transformWithState registers exactly where a protobuf runtime
+    exists. Since r07 the repo vendors one (vendor/README.md — this
+    container has no site-packages protobuf and no PyPI route), so in
+    this environment the gate is expected True and the query
+    registered; on a machine with neither, it must be absent (gated),
+    not broken."""
     from go_map_reduce_spark.streaming.stateful import _protobuf_available
 
     assert ("events_transform_with_state" in QUERIES) == _protobuf_available()
 
 
 def test_transform_with_state_executes_where_protobuf_exists(spark, sf_dir):
-    """The moment the environment grows a protobuf package, the Spark-4
-    typed-state API gets an EXECUTED differential artifact (not just a
-    registration gate): run the streaming query to completion and
-    compare against its batch SQL oracle. Skips-with-reason where the
-    runner's wire dependency is absent (this container)."""
+    """The Spark-4 typed-state API's EXECUTED differential artifact
+    (not just a registration gate): run the streaming query to
+    completion and compare against its batch SQL oracle. Executes in
+    this container since r07 via the vendored protobuf runtime
+    (vendor/README.md); skips-with-reason only where no runtime can be
+    found at all."""
     from go_map_reduce_spark.streaming.stateful import (
         _TWS_ORACLE,
         _protobuf_available,
