@@ -95,6 +95,13 @@ NOISY = {
     "minhash_jaccard_estimate_error",
     "cross_source_dup_matrix",
     "dedup_cluster_size_histogram",
+    # r07 additions: substring_dup_cut is a window-keyed multi-join
+    # pipeline (the repeated_ngram_spans profile); bpe_corpus_tokenize
+    # composes the iterative trainer (driver round-trips per round);
+    # events_transform_with_state is a streaming micro-batch query.
+    "substring_dup_cut",
+    "bpe_corpus_tokenize",
+    "events_transform_with_state",
 }
 
 
