@@ -44,11 +44,15 @@ import struct
 # by orders of magnitude; override via GMRS_JPEG_MAX_PIXELS.
 def _max_pixels_from_env() -> int:
     # A malformed override must degrade to the default, not break
-    # package import for every consumer (the parse runs at import time).
+    # package import for every consumer (the parse runs at import
+    # time). Nonpositive values are malformed too: a cap of 0 would
+    # reject every legitimate frame, the exact failure mode this
+    # guard exists to prevent.
     try:
-        return int(os.environ.get("GMRS_JPEG_MAX_PIXELS", ""))
+        v = int(os.environ.get("GMRS_JPEG_MAX_PIXELS", ""))
     except ValueError:
         return 4096 * 4096
+    return v if v > 0 else 4096 * 4096
 
 
 JPEG_MAX_PIXELS = _max_pixels_from_env()

@@ -31,6 +31,7 @@ from go_map_reduce_spark.catalog import load_table
 from go_map_reduce_spark.operators.pipeline9 import (
     _SQL_TOKS,
     _sql_apply_merge,
+    BPE_ROUNDS,
     bpe_merge_training,
 )
 from go_map_reduce_spark.operators.pipeline22 import _DSIR_SQL_TOKS, SPAN_K
@@ -209,7 +210,12 @@ def substring_dup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_fertility_round(prev: str, it: int) -> str:
     """One unrolled apply round mirroring pipeline9._sql_round, but
     carrying (lang, n_words) through the re-tokenization so the final
-    corpus can be reported per language."""
+    corpus can be reported per language — and degrading like the Spark
+    side when a round finds no pairs: the trainer's CROSS JOIN shape
+    would EMPTY the corpus when win{it} is empty, whereas the Spark
+    loop just stops merging, so here the (at most 1-row) winner joins
+    with LEFT JOIN ON TRUE and an exhausted round passes tokens
+    through unchanged."""
     return f"""
     pairs{it} AS (
       SELECT t[p] AS a, t[p+1] AS b, COUNT(*) AS n
@@ -221,12 +227,11 @@ def _sql_fertility_round(prev: str, it: int) -> str:
     ),
     c{it} AS (
       SELECT lang, n_words,
-             regexp_split_to_array({_sql_apply_merge('t', f'win{it}')}, ' ') AS t
-      FROM {prev} CROSS JOIN win{it}
+             CASE WHEN w{it}.a IS NULL THEN t
+                  ELSE regexp_split_to_array({_sql_apply_merge('t', f'w{it}')}, ' ')
+             END AS t
+      FROM {prev} LEFT JOIN win{it} w{it} ON TRUE
     )"""
-
-
-_BPE_APPLY_ROUNDS = 3  # == pipeline9.BPE_ROUNDS; the oracle unrolls it
 
 
 @query(
@@ -236,14 +241,14 @@ _BPE_APPLY_ROUNDS = 3  # == pipeline9.BPE_ROUNDS; the oracle unrolls it
       SELECT lang, {_SQL_TOKS} AS t, len({_SQL_TOKS}) AS n_words
       FROM documents WHERE len({_SQL_TOKS}) >= 1
     ),
-    {','.join(_sql_fertility_round(f'c{i}', i + 1) for i in range(_BPE_APPLY_ROUNDS))}
+    {','.join(_sql_fertility_round(f'c{i}', i + 1) for i in range(BPE_ROUNDS))}
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_words) AS BIGINT) AS n_words,
            CAST(SUM(len(t)) AS BIGINT) AS n_tokens,
            round(CAST(SUM(len(t)) AS DOUBLE) / SUM(n_words), 6)
              AS tokens_per_word
-    FROM c{_BPE_APPLY_ROUNDS}
+    FROM c{BPE_ROUNDS}
     GROUP BY lang
     """,
 )
@@ -257,7 +262,7 @@ def bpe_corpus_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost per language on the full corpus".
 
     The trained artifact is consumed WITHOUT any driver-side pull: the
-    merge table (a {_BPE_APPLY_ROUNDS}-row frame) is folded into a
+    merge table (an at-most-{BPE_ROUNDS}-row frame) is folded into a
     single array column, broadcast onto the corpus, and applied with a
     NESTED fold — the outer `aggregate` walks the merge rules in
     training order, the inner `aggregate` is the greedy left-to-right

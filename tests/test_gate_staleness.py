@@ -132,10 +132,21 @@ def test_reverting_the_edit_restores_validity(fake_repo):
 def test_gate_priority_names_are_all_registered():
     """A typo'd name in _GATE_PRIORITY would silently forfeit a window
     row (the gate filters on membership); pin that every priority name
-    resolves to a registered query."""
+    resolves to a registered query. events_transform_with_state is the
+    one environment-gated registration (it needs a protobuf runtime —
+    vendored since r07, so present here, but legally absent on a
+    machine where neither site-packages nor vendor/ provides one); it
+    may be missing exactly when its gate says so."""
     from go_map_reduce_spark.registry import QUERIES
+    from go_map_reduce_spark.streaming.stateful import _protobuf_available
 
-    missing = [n for n in gate._GATE_PRIORITY if n not in QUERIES]
+    env_gated = set()
+    if not _protobuf_available():
+        env_gated.add("events_transform_with_state")
+    missing = [
+        n for n in gate._GATE_PRIORITY
+        if n not in QUERIES and n not in env_gated
+    ]
     assert not missing, missing
     # and the priority list has no duplicates (a dup would double-count
     # its window slot in planning)

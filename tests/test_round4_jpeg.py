@@ -426,5 +426,10 @@ def test_max_pixels_env_parse_is_guarded(monkeypatch):
     assert _max_pixels_from_env() == 4096 * 4096
     monkeypatch.setenv("GMRS_JPEG_MAX_PIXELS", "1000000")
     assert _max_pixels_from_env() == 1000000
+    # nonpositive is malformed too (a 0 cap would reject every frame)
+    monkeypatch.setenv("GMRS_JPEG_MAX_PIXELS", "0")
+    assert _max_pixels_from_env() == 4096 * 4096
+    monkeypatch.setenv("GMRS_JPEG_MAX_PIXELS", "-5")
+    assert _max_pixels_from_env() == 4096 * 4096
     monkeypatch.delenv("GMRS_JPEG_MAX_PIXELS")
     assert _max_pixels_from_env() == 4096 * 4096

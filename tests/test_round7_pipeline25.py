@@ -112,19 +112,40 @@ def test_cut_is_deterministic_across_runs(spark, sf_dir):
 
 def test_cut_plan_has_no_cartesian_and_no_token_array_shuffle(spark, sf_dir):
     """Scale guards: no cartesian product anywhere, and the document
-    token array must not travel through the window-key (win) shuffle —
-    the exchanges before the win aggregation carry only (doc_id, pos,
-    win, rk)."""
+    token array must not travel through ANY exchange — window
+    extraction emits (doc_id, pos, win, rk), aggregation states and
+    the cut-position frame are scalar/int-set columns, and reassembly
+    consumes the token array on the scan side of a broadcast join.
+    Asserted against the formatted plan's per-Exchange Input lists
+    (the same property the r06 verdict flagged keyword_in_context
+    for violating)."""
+    import contextlib
+    import io
+    import re
+
     from go_map_reduce_spark.operators.pipeline25 import substring_dup_cut
 
-    plan = (
-        substring_dup_cut(spark, sf_dir)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    df = substring_dup_cut(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    blocks = re.split(r"\n(?=\(\d+\) )", buf.getvalue())
+    exchanges = [
+        b for b in blocks
+        if re.match(r"\(\d+\) (Exchange|BroadcastExchange)\b", b)
+    ]
+    assert exchanges  # the plan shape changed if none parse
+    for b in exchanges:
+        inputs = "\n".join(
+            line for line in b.splitlines() if line.startswith("Input")
+        )
+        # the token array attribute is named t#N in this plan; no
+        # exchange may carry it
+        assert not re.search(r"\bt#\d+", inputs), b
 
 
 # ---------------------------------------------------------------------------
@@ -189,6 +210,39 @@ def test_bpe_tokenize_matches_sequential_reference(spark, tmp_path):
     assert row["t"] == exp_tokens
     assert row["w"] == exp_words
     assert row["d"] == len(corpus)
+
+
+def test_bpe_tokenize_engines_agree_when_merges_dry_up(spark, tmp_path):
+    """Degenerate corpus where training exhausts before BPE_ROUNDS:
+    after round 1 merges every 'a a' pair, no adjacent pairs remain.
+    The Spark loop breaks early and applies the 1-rule table; the
+    unrolled oracle's exhausted rounds must pass tokens through
+    (LEFT JOIN ON TRUE), not empty the corpus (the CROSS JOIN shape
+    would) — pinned here by running BOTH engines on the corpus."""
+    import duckdb
+
+    from go_map_reduce_spark.operators.pipeline25 import bpe_corpus_tokenize
+    from go_map_reduce_spark.registry import ORACLES
+
+    d = str(tmp_path / "dry")
+    _write_docs(spark, d, ["a a", "a a", "a a"])
+    rows = {
+        r["lang"]: r for r in bpe_corpus_tokenize(spark, d).collect()
+    }
+    assert rows["en"]["n_docs"] == 3
+    assert rows["en"]["n_words"] == 6
+    assert rows["en"]["n_tokens"] == 3  # each doc merged to one token
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(d, 'documents.parquet')}/*.parquet'"
+    )
+    o = con.sql(ORACLES["bpe_corpus_tokenize"]).df()
+    assert len(o) == 1
+    assert int(o.loc[0, "n_docs"]) == 3
+    assert int(o.loc[0, "n_tokens"]) == 3
+    assert float(o.loc[0, "tokens_per_word"]) == rows["en"]["tokens_per_word"]
 
 
 def test_bpe_tokenize_bounds(spark, sf_dir):

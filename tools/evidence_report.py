@@ -12,10 +12,7 @@ so the report can't drift from the scheduler."""
 
 from __future__ import annotations
 
-import glob
-import json
 import os
-import re
 import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -25,41 +22,13 @@ import __spark_entry__ as gate  # noqa: E402
 from go_map_reduce_spark.registry import ORACLES, QUERIES  # noqa: E402
 
 
-def _round_of(path: str) -> int:
-    """Numeric round of a CORRECTNESS artifact (lexicographic sort would
-    put r10 before r2 from round 10 onward)."""
-    m = re.search(r"r(\d+)", os.path.basename(path))
-    return int(m.group(1)) if m else -1
-
-
 def _latest_artifact() -> dict:
-    latest: dict = {}
-    for path in sorted(
-        glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json")), key=_round_of
-    ):
-        try:
-            with open(path) as f:
-                rows = json.load(f)
-        except (OSError, ValueError):
-            continue
-        if not isinstance(rows, dict):
-            continue
-        for name, row in rows.items():
-            if not isinstance(row, dict):
-                continue
-            green = (
-                row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match")
-            )
-            rows_only = (
-                row.get("err") == "no_oracle"
-                and isinstance(row.get("spark_rows"), int)
-                and row["spark_rows"] > 0
-            )
-            if green or rows_only:
-                latest[name] = os.path.basename(path)
-    return latest
+    """name → latest evidence artifact, straight from the gate's own
+    cached scan (__spark_entry__._latest_evidence) so the report's
+    evidence-selection rule cannot drift from the scheduler's — this
+    file once duplicated that logic and both copies had to be fixed
+    for the same r10-lexicographic-sort bug."""
+    return dict(gate._latest_evidence())
 
 
 def main() -> None:

@@ -73,13 +73,19 @@ def build_stress_dir(spark, mult: int, root: str) -> str:
     # boilerplate slice, by contrast, deliberately collides ACROSS
     # replicas (no rep token): that is the degenerate mass the caps
     # must absorb, and it grows quadratically in the uncapped column.
+    # Suffix words must be ALPHABETIC: the dedup shingle tokenizer
+    # splits on [^A-Za-z]+, so a digit-bearing suffix like 'filler7'
+    # would collapse to 'filler' for every doc, turning the boilerplate
+    # slice into exact duplicates instead of near-identical variants.
+    # chr(97+k) keeps each of the 23 variants a distinct token.
     suffix = F.concat(
         F.lit(" "),
         F.array_join(
             F.transform(
                 F.sequence(F.lit(0), (F.col("doc_id") % 5).cast("int")),
                 lambda i: F.concat(
-                    F.lit("filler"), (F.col("doc_id") % 23 + i).cast("string")
+                    F.lit("filler"),
+                    F.char((F.col("doc_id") % 23 + i) % 26 + 97),
                 ),
             ),
             " ",
