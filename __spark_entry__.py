@@ -147,6 +147,10 @@ _GATE_PRIORITY = [
     # un-gated in r07 by vendoring a protobuf runtime (vendor/README.md):
     # the Spark-4 typed-state streaming API, now driver-gateable
     "events_transform_with_state",
+    # second r07 batch (decision-closing compositions, pipeline26)
+    "sequence_packing_bestfit",
+    "dedup_keep_best_quality",
+    "lang_confusion_matrix",
 ]
 
 # Re-gate ordering for STALE-evidence rows (the r04 registry.py edit

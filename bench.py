@@ -102,6 +102,9 @@ NOISY = {
     "substring_dup_cut",
     "bpe_corpus_tokenize",
     "events_transform_with_state",
+    # composes the recursive large-star cluster pipeline it selects
+    # representatives from — same cold-JIT profile as the histogram
+    "dedup_keep_best_quality",
 }
 
 

@@ -65,6 +65,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline23,
     pipeline24,
     pipeline25,
+    pipeline26,
     sqlsurface,
     stats,
     quality_filters,

@@ -1,0 +1,245 @@
+"""Round-7 pipeline operators, second batch: decision-closing
+compositions.
+
+Each of these converts a registered REPORT into the operator that acts
+on its finding — the same metric→operator completion pattern as
+``substring_dup_cut``:
+
+- ``sequence_packing_bestfit``: `packing_efficiency_report` measures
+  how many documents the concat-and-chunk packer SPLITS across
+  sequence boundaries and names best-fit packing as the remedy; this
+  is that remedy — non-splitting next-fit-decreasing packing, shard-
+  local, with an exact recursive-CTE oracle.
+- ``dedup_keep_best_quality``: the dedup cluster tier keeps one doc
+  per near-dup cluster; production keeps the BEST copy, not the
+  smallest doc_id. Composes the large-star clusters with the quality
+  tier and picks each cluster's keeper by content mass.
+- ``lang_confusion_matrix``: `language_id` predicts per document; the
+  curator consumes the label-vs-prediction CONFUSION MATRIX (which
+  declared languages the n-gram model confuses, and how often) to
+  decide marker-set repairs before trusting lang-conditioned sampling.
+
+Composition queries import tier functions directly (package
+convention: the staleness closure must see the edges)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from go_map_reduce_spark.catalog import load_table
+from go_map_reduce_spark.operators.advanced import dedup_clusters_largestar
+from go_map_reduce_spark.operators.textstats import (
+    PACK_BUDGET,
+    PACK_SHARD,
+    language_id,
+    text_quality_scores,
+)
+from go_map_reduce_spark.registry import ORACLES, query
+
+# --------------------------------------------------------------------------
+# Best-fit (next-fit-decreasing) sequence packing — the non-splitting packer
+# --------------------------------------------------------------------------
+
+_NFD_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+
+
+@query(
+    "sequence_packing_bestfit",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, CAST(len({_NFD_TOKS}) AS BIGINT) AS n_tokens,
+             doc_id // {PACK_SHARD} AS shard
+      FROM documents
+    ),
+    ordered AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY shard ORDER BY n_tokens DESC, doc_id
+             ) AS rn
+      FROM toks
+    ),
+    packed AS (
+      SELECT shard, rn, doc_id, n_tokens,
+             n_tokens AS fill, CAST(0 AS BIGINT) AS bin
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN p.fill + o.n_tokens <= {PACK_BUDGET}
+                  THEN p.fill + o.n_tokens ELSE o.n_tokens END,
+             CASE WHEN p.fill + o.n_tokens <= {PACK_BUDGET}
+                  THEN p.bin ELSE p.bin + 1 END
+      FROM packed p JOIN ordered o
+        ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT doc_id, n_tokens, shard,
+           CAST(shard * 1000000 + bin AS BIGINT) AS seq_id,
+           CAST(fill - n_tokens AS BIGINT) AS off_in_seq
+    FROM packed
+    """,
+)
+def sequence_packing_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-splitting sequence packing (next-fit-decreasing): within
+    each {PACK_SHARD}-doc shard, documents sort by (n_tokens DESC,
+    doc_id) and fill {PACK_BUDGET}-token sequences greedily — a doc
+    that doesn't fit the open sequence CLOSES it and opens the next,
+    so no document ever straddles a training-sequence boundary
+    (split_frac == 0 by construction — the exact remedy
+    packing_efficiency_report exists to recommend; decreasing order is
+    what keeps the tail bins dense). A document longer than the budget
+    gets a sequence of its own (off_in_seq 0) and is the training
+    loader's truncation case, surfaced rather than hidden.
+
+    Engine shapes: packing is inherently sequential PER SHARD, so the
+    Spark side runs it as an Arrow-batched applyInPandas over shard
+    groups ({PACK_SHARD} rows each — thousands of independent groups
+    at 100 TB, exactly how a cluster packs shards in parallel), while
+    the DuckDB oracle replays the identical fold as a recursive CTE
+    stepping one rank per iteration (bounded by {PACK_SHARD}
+    iterations, all shards advancing in lockstep). Integer-only state,
+    deterministic order: bit-identical outputs.
+
+    100 TB: one shuffle on the shard key, bounded per-group state,
+    output ids namespaced shard*1e6+bin like the chunk packer — the
+    two packers are drop-in interchangeable downstream."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    sized = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.col("doc_id") / PACK_SHARD).cast("long").alias("shard"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        fill = PACK_BUDGET + 1  # forces the first doc to open bin 0
+        bin_no = -1
+        bins, offs = [], []
+        for n in pdf["n_tokens"]:
+            if fill + n <= PACK_BUDGET:
+                offs.append(fill)
+                fill += n
+            else:
+                bin_no += 1
+                offs.append(0)
+                fill = n
+            bins.append(bin_no)
+        out = pdf[["doc_id", "n_tokens", "shard"]].copy()
+        out["seq_id"] = out["shard"] * 1_000_000 + pd.Series(bins)
+        out["off_in_seq"] = pd.Series(offs)
+        return out
+
+    return sized.groupBy("shard").applyInPandas(
+        _pack,
+        schema=(
+            "doc_id long, n_tokens long, shard long, "
+            "seq_id long, off_in_seq long"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Keep-best-quality dedup survivors
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH clusters AS ({ORACLES["dedup_clusters_largestar"]}),
+    quality AS ({ORACLES["text_quality_scores"]}),
+    ranked AS (
+      SELECT c.doc_id, c.cluster_id, q.n_tokens,
+             row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY q.n_tokens DESC, c.doc_id
+             ) AS rk,
+             first_value(c.doc_id) OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY q.n_tokens DESC, c.doc_id
+             ) AS kept_doc_id
+      FROM clusters c JOIN quality q ON q.doc_id = c.doc_id
+    )
+    SELECT doc_id, cluster_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           (rk = 1) AS is_kept, kept_doc_id
+    FROM ranked
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection: for each near-dup cluster
+    (large-star connected components), keep the copy with the MOST
+    CONTENT (n_tokens from the quality tier, doc_id tiebreak) instead
+    of an arbitrary min-id — what a production dedup actually ships,
+    since near-dup copies differ by truncation/boilerplate and the
+    longest copy dominates the rest. One row per clustered doc with
+    its verdict and its cluster's keeper, so the downstream cut is a
+    semi-join on is_kept.
+
+    100 TB shape: composes the O(log n) cluster operator (its own
+    keyed shuffles) with the per-row quality scan, then ONE window
+    over cluster_id — clusters are near-dup groups, orders of
+    magnitude smaller than the corpus; the window partition is
+    bounded by the largest near-dup cluster (over-cap boilerplate
+    never reaches clustering — it routes to template handling
+    upstream)."""
+    clusters = dedup_clusters_largestar(spark, sf_dir)
+    quality = text_quality_scores(spark, sf_dir).select("doc_id", "n_tokens")
+    joined = clusters.join(quality, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(F.desc("n_tokens"), "doc_id")
+    return joined.select(
+        "doc_id",
+        "cluster_id",
+        "n_tokens",
+        (F.row_number().over(w) == 1).alias("is_kept"),
+        F.first("doc_id").over(w).alias("kept_doc_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion matrix
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lang_confusion_matrix",
+    oracle=f"""
+    WITH preds AS ({ORACLES["language_id"]}),
+    cells AS (
+      SELECT labeled_lang, predicted_lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM preds GROUP BY labeled_lang, predicted_lang
+    )
+    SELECT labeled_lang, predicted_lang, n_docs,
+           round(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (
+             PARTITION BY labeled_lang), 6) AS row_frac
+    FROM cells
+    """,
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-vs-prediction confusion matrix over the n-gram language
+    identifier: per (declared lang, predicted lang) cell, document
+    count and row-normalized fraction. The curator's acceptance test
+    for lang-conditioned operations (DSIR target slices, domain-mix
+    sampling, per-lang fertility): off-diagonal mass names exactly
+    which declared languages the marker model confuses — and the
+    corpus's non-marker languages (fr, zh) SHOULD show as spread rows,
+    which is the honest reading, not a defect.
+
+    100 TB shape: composes the per-row predictor, one cell-count
+    aggregation (map-side combinable, cells bounded by langs²), and a
+    window over the constant-size cell frame. Nothing data-sized
+    shuffles twice."""
+    preds = language_id(spark, sf_dir)
+    cells = preds.groupBy(
+        F.col("labeled_lang"), F.col("predicted_lang")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = W.partitionBy("labeled_lang")
+    return cells.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
+        ).alias("row_frac"),
+    )

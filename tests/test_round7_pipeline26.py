@@ -1,0 +1,164 @@
+"""Round-7 second batch (pipeline26): best-fit packing, keep-best
+dedup survivors, language confusion matrix — differential tests
+against the DuckDB oracles plus properties that would catch both
+engines agreeing on a wrong answer."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_map_reduce_spark.operators.textstats import PACK_BUDGET
+from go_map_reduce_spark.registry import ORACLES, QUERIES
+
+from tests.oracle_util import compare
+
+NAMES = [
+    "sequence_packing_bestfit",
+    "dedup_keep_best_quality",
+    "lang_confusion_matrix",
+]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_against_duckdb_oracle(name, spark, sf_dir):
+    compare(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# sequence_packing_bestfit
+# ---------------------------------------------------------------------------
+
+
+def test_bestfit_never_splits_and_respects_budget(spark, sf_dir):
+    """The operator's reason to exist: no document straddles a
+    sequence boundary (off + n <= budget, except a solo oversize doc
+    at offset 0), and each sequence's total stays within budget unless
+    it holds exactly one oversize document."""
+    df = QUERIES["sequence_packing_bestfit"](spark, sf_dir).toPandas()
+    ok = (df.off_in_seq + df.n_tokens <= PACK_BUDGET) | (
+        (df.off_in_seq == 0) & (df.n_tokens > PACK_BUDGET)
+    )
+    assert ok.all()
+    per_seq = df.groupby("seq_id").agg(
+        total=("n_tokens", "sum"), n=("doc_id", "size")
+    )
+    over = per_seq[per_seq.total > PACK_BUDGET]
+    assert (over.n == 1).all()  # only solo-oversize sequences exceed
+
+
+def test_bestfit_covers_same_corpus_as_chunk_packer(spark, sf_dir):
+    """Both packers are layouts of the SAME corpus: identical doc sets
+    and identical per-doc token counts (composition sanity — a drift
+    here means one packer tokenizes differently)."""
+    from go_map_reduce_spark.operators.pipeline26 import (
+        sequence_packing_bestfit,
+    )
+    from go_map_reduce_spark.operators.textstats import sequence_packing
+
+    a = sequence_packing_bestfit(spark, sf_dir).toPandas()
+    b = sequence_packing(spark, sf_dir).toPandas()
+    a = a.sort_values("doc_id", ignore_index=True)
+    b = b.sort_values("doc_id", ignore_index=True)
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    assert a.n_tokens.tolist() == b.n_tokens.tolist()
+
+
+def test_bestfit_split_frac_is_zero_where_chunk_packer_splits(spark, sf_dir):
+    """The decision loop closes: the chunk packer splits a nonzero
+    fraction of docs on this corpus (what packing_efficiency_report
+    flags); the best-fit layout splits none, at the price of bins that
+    the decreasing order keeps dense (>= the chunk packer's bin count,
+    bounded by 2x its sequences — NFD's worst case)."""
+    from go_map_reduce_spark.operators.pipeline26 import (
+        sequence_packing_bestfit,
+    )
+    from go_map_reduce_spark.operators.textstats import sequence_packing
+
+    chunk = sequence_packing(spark, sf_dir).toPandas()
+    chunk_split = (
+        (chunk.n_tokens > 0)
+        & (chunk.off_in_seq + chunk.n_tokens > PACK_BUDGET)
+    ).sum()
+    assert chunk_split > 0
+
+    best = sequence_packing_bestfit(spark, sf_dir).toPandas()
+    best_split = (
+        (best.off_in_seq + best.n_tokens > PACK_BUDGET)
+        & ~((best.off_in_seq == 0) & (best.n_tokens > PACK_BUDGET))
+    ).sum()
+    assert best_split == 0
+    n_chunk_seqs = chunk.seq_id.nunique()
+    n_best_seqs = best.seq_id.nunique()
+    assert n_chunk_seqs <= n_best_seqs <= 2 * n_chunk_seqs
+
+
+def test_bestfit_deterministic(spark, sf_dir):
+    a = sorted(
+        map(tuple, QUERIES["sequence_packing_bestfit"](spark, sf_dir).collect())
+    )
+    b = sorted(
+        map(tuple, QUERIES["sequence_packing_bestfit"](spark, sf_dir).collect())
+    )
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep_best_quality
+# ---------------------------------------------------------------------------
+
+
+def test_keep_best_one_keeper_per_cluster_and_it_is_longest(spark, sf_dir):
+    df = QUERIES["dedup_keep_best_quality"](spark, sf_dir).toPandas()
+    assert len(df) > 0
+    g = df.groupby("cluster_id")
+    assert (g.is_kept.sum() == 1).all()
+    # the keeper has the cluster's max token count
+    kept = df[df.is_kept].set_index("cluster_id").n_tokens
+    assert (g.n_tokens.max() == kept).all()
+    # every row points at its cluster's keeper
+    keeper_id = df[df.is_kept].set_index("cluster_id").doc_id
+    assert (
+        df.kept_doc_id.values
+        == keeper_id.loc[df.cluster_id].values
+    ).all()
+
+
+def test_keep_best_covers_exactly_the_clustered_docs(spark, sf_dir):
+    from go_map_reduce_spark.operators.advanced import dedup_clusters_largestar
+    from go_map_reduce_spark.operators.pipeline26 import dedup_keep_best_quality
+
+    clustered = {
+        r["doc_id"] for r in dedup_clusters_largestar(spark, sf_dir).collect()
+    }
+    scored = {
+        r["doc_id"] for r in dedup_keep_best_quality(spark, sf_dir).collect()
+    }
+    assert scored == clustered
+
+
+# ---------------------------------------------------------------------------
+# lang_confusion_matrix
+# ---------------------------------------------------------------------------
+
+
+def test_confusion_matrix_structure_and_composition(spark, sf_dir):
+    """Row fractions sum to ~1 per labeled lang; predictions only ever
+    come from the marker model's vocabulary (en/de/es); and the cell
+    counts total exactly the predictor's output — the matrix is a pure
+    reshaping of language_id, nothing dropped or double-counted.
+
+    Deliberately NOT asserted: diagonal dominance. On this synthetic
+    corpus the marker model is near-chance (at sf0.01 even the 'de'
+    row tops as 'en') — surfacing that is the matrix's JOB, the same
+    honesty discipline as the knn purity tier reporting near-chance
+    purity on noise embeddings. A test demanding a diagonal would pin
+    a flattering lie."""
+    from go_map_reduce_spark.operators.textstats import language_id
+
+    df = QUERIES["lang_confusion_matrix"](spark, sf_dir).toPandas()
+    sums = df.groupby("labeled_lang").row_frac.sum()
+    assert ((sums - 1.0).abs() < 1e-4).all()
+    assert set(df.predicted_lang) <= {"en", "de", "es"}
+    n_preds = language_id(spark, sf_dir).count()
+    assert int(df.n_docs.sum()) == n_preds
+    # cells are unique (one row per (labeled, predicted) pair)
+    assert not df.duplicated(["labeled_lang", "predicted_lang"]).any()
