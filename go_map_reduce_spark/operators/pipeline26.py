@@ -32,6 +32,8 @@ from go_map_reduce_spark.operators.advanced import dedup_clusters_largestar
 from go_map_reduce_spark.operators.textstats import (
     PACK_BUDGET,
     PACK_SHARD,
+    _sql_toks,
+    _toks,
     language_id,
     text_quality_scores,
 )
@@ -41,14 +43,11 @@ from go_map_reduce_spark.registry import ORACLES, query
 # Best-fit (next-fit-decreasing) sequence packing — the non-splitting packer
 # --------------------------------------------------------------------------
 
-_NFD_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
-
-
 @query(
     "sequence_packing_bestfit",
     oracle=f"""
     WITH RECURSIVE toks AS (
-      SELECT doc_id, CAST(len({_NFD_TOKS}) AS BIGINT) AS n_tokens,
+      SELECT doc_id, CAST(len({_sql_toks('text')}) AS BIGINT) AS n_tokens,
              doc_id // {PACK_SHARD} AS shard
       FROM documents
     ),
@@ -102,10 +101,9 @@ def sequence_packing_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     output ids namespaced shard*1e6+bin like the chunk packer — the
     two packers are drop-in interchangeable downstream."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     sized = docs.select(
         "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(_toks(F.col("text"))).cast("long").alias("n_tokens"),
         (F.col("doc_id") / PACK_SHARD).cast("long").alias("shard"),
     )
 
@@ -149,19 +147,28 @@ def sequence_packing_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH clusters AS ({ORACLES["dedup_clusters_largestar"]}),
     quality AS ({ORACLES["text_quality_scores"]}),
+    scored AS (
+      -- LEFT join + 0 default: the quality tier filters out zero-token
+      -- docs, but whitespace-only docs DO cluster (the shingle builder
+      -- maps them all to the "" shingle), and dropping them here would
+      -- silently keep every duplicate empty doc downstream
+      SELECT c.doc_id, c.cluster_id,
+             CAST(COALESCE(q.n_tokens, 0) AS BIGINT) AS n_tokens
+      FROM clusters c LEFT JOIN quality q ON q.doc_id = c.doc_id
+    ),
     ranked AS (
-      SELECT c.doc_id, c.cluster_id, q.n_tokens,
+      SELECT doc_id, cluster_id, n_tokens,
              row_number() OVER (
-               PARTITION BY c.cluster_id
-               ORDER BY q.n_tokens DESC, c.doc_id
+               PARTITION BY cluster_id
+               ORDER BY n_tokens DESC, doc_id
              ) AS rk,
-             first_value(c.doc_id) OVER (
-               PARTITION BY c.cluster_id
-               ORDER BY q.n_tokens DESC, c.doc_id
+             first_value(doc_id) OVER (
+               PARTITION BY cluster_id
+               ORDER BY n_tokens DESC, doc_id
              ) AS kept_doc_id
-      FROM clusters c JOIN quality q ON q.doc_id = c.doc_id
+      FROM scored
     )
-    SELECT doc_id, cluster_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+    SELECT doc_id, cluster_id, n_tokens,
            (rk = 1) AS is_kept, kept_doc_id
     FROM ranked
     """,
@@ -185,7 +192,13 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     upstream)."""
     clusters = dedup_clusters_largestar(spark, sf_dir)
     quality = text_quality_scores(spark, sf_dir).select("doc_id", "n_tokens")
-    joined = clusters.join(quality, "doc_id")
+    # LEFT join + 0 default: quality filters out zero-token docs, but
+    # whitespace-only docs DO cluster (they all share the "" shingle);
+    # an inner join would drop those clusters entirely and a downstream
+    # cut on is_kept would keep every duplicate empty doc
+    joined = clusters.join(quality, "doc_id", "left").withColumn(
+        "n_tokens", F.coalesce("n_tokens", F.lit(0)).cast("long")
+    )
     w = W.partitionBy("cluster_id").orderBy(F.desc("n_tokens"), "doc_id")
     return joined.select(
         "doc_id",

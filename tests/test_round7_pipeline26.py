@@ -135,6 +135,40 @@ def test_keep_best_covers_exactly_the_clustered_docs(spark, sf_dir):
     assert scored == clustered
 
 
+def test_keep_best_handles_zero_token_clusters(spark, tmp_path):
+    """Whitespace-only docs cluster (the shingle builder maps them all
+    to the \"\" shingle) but the quality tier filters them out; the
+    LEFT join + 0 default must keep such clusters in the verdict frame
+    with exactly one keeper — an inner join would silently drop them
+    and a downstream is_kept cut would keep every duplicate empty
+    doc."""
+    import os
+
+    from go_map_reduce_spark.operators.pipeline26 import (
+        dedup_keep_best_quality,
+    )
+
+    d = str(tmp_path / "zt")
+    rows = [
+        (1, "   ", "en"),
+        (2, " \t ", "en"),
+        (3, "the quick brown fox jumps over the lazy dog today", "en"),
+        (4, "the quick brown fox jumps over the lazy dog tonight", "en"),
+    ]
+    spark.createDataFrame(
+        [(i, t, lang, len(t)) for i, t, lang in rows],
+        "doc_id: long, text: string, lang: string, n_chars: long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    df = dedup_keep_best_quality(spark, d).toPandas()
+    # the two whitespace docs form a cluster and appear with 0 tokens
+    zt = df[df.doc_id.isin([1, 2])]
+    assert len(zt) == 2
+    assert (zt.n_tokens == 0).all()
+    assert zt.is_kept.sum() == 1
+    # per-cluster keeper invariant holds corpus-wide
+    assert (df.groupby("cluster_id").is_kept.sum() == 1).all()
+
+
 # ---------------------------------------------------------------------------
 # lang_confusion_matrix
 # ---------------------------------------------------------------------------
