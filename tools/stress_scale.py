@@ -184,7 +184,7 @@ def main() -> None:
     cols = (
         "mult n_docs n_buckets max_bucket n_overcap uncapped_pairs "
         "capped_cand verified_pairs t_minhash template_rows t_template "
-        "new_rows t_incr knn_rows t_knn"
+        "new_rows t_incr knn_rows t_knn cut_tokens_removed t_cut"
     ).split()
     print("| " + " | ".join(cols) + " |")
     print("|" + "|".join("---" for _ in cols) + "|")
@@ -204,11 +204,21 @@ def main() -> None:
         release_caches()
         knn, t_knn = timed_count(QUERIES["knn_label_purity_ann"](spark, d))
         release_caches()
+        # .count() alone would let Catalyst ELIMINATE the cut pipeline's
+        # final left join (unique right key, no columns needed) and time
+        # an empty plan; summing n_removed forces the full execution
+        t0 = time.perf_counter()
+        cut_df = QUERIES["substring_dup_cut"](spark, d)
+        cut = int(
+            cut_df.agg(F.sum("n_removed").alias("s")).first()["s"] or 0
+        )
+        t_cut = round(time.perf_counter() - t0, 2)
+        release_caches()
         row = [
             m, n_docs, prof["n_buckets"], prof["max_bucket"],
             prof["n_overcap"], prof["uncapped_pairs"],
             prof["capped_candidates_analytic"], pairs, t_pairs,
-            tmpl, t_tmpl, newb, t_newb, knn, t_knn,
+            tmpl, t_tmpl, newb, t_newb, knn, t_knn, cut, t_cut,
         ]
         print("| " + " | ".join(str(x) for x in row) + " |", flush=True)
     spark.stop()
