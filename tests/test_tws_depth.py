@@ -159,3 +159,127 @@ def test_list_and_value_state_match_batch_oracle(spark):
         ].astype("int64").tolist(), col
     # the two state primitives agree with each other too
     assert (last.n_value == last.n_list).all()
+
+
+class _TimerProbe:
+    """ValueState running count + an already-expired processing-time
+    timer registered per key: the availableNow run's timer sweep fires
+    handleExpiredTimer for every key, emitting the count its state
+    held — executed timer coverage for the typed-state API
+    (MapState/ListState/ValueState are covered above and by the
+    registered query).
+
+    Two hard-won environment facts this test encodes: (1) the worker
+    invokes handleExpiredTimer with KEYWORD arguments, so the
+    parameter must be spelled `expiredTimerInfo`; (2) with the default
+    trigger, timeMode="ProcessingTime" never quiesces for
+    processAllAvailable (the engine keeps scheduling timer-sweep
+    batches), so the query must run under trigger(availableNow=True)
+    and the test polls the sink instead of awaiting termination."""
+
+    def init(self, handle) -> None:
+        self._h = handle
+        self._cnt = handle.getValueState("cnt", "n bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        n = sum(len(pdf) for pdf in rows)
+        prev = self._cnt.get()[0] if self._cnt.exists() else 0
+        self._cnt.update((prev + n,))
+        self._h.registerTimer(
+            timerValues.getCurrentProcessingTimeInMs() - 1
+        )
+        yield pd.DataFrame(
+            [(key[0], "data", prev + n)], columns=["user_id", "kind", "n"]
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        n = self._cnt.get()[0] if self._cnt.exists() else 0
+        yield pd.DataFrame(
+            [(key[0], "timer", n)], columns=["user_id", "kind", "n"]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def test_processing_time_timers_fire(spark, tmp_path):
+    import os
+    import time
+
+    from go_map_reduce_spark.shipping import ensure_package_shipped
+    from go_map_reduce_spark.streaming.stateful import (
+        _ensure_protobuf_visible_to_workers,
+    )
+    from go_map_reduce_spark.streaming.windows import (
+        _stream_state_partitions,
+    )
+
+    ensure_package_shipped(spark)
+    _ensure_protobuf_visible_to_workers(spark)
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    env = spark.sparkContext.environment
+    cur = env.get("PYTHONPATH", "")
+    if tests_dir not in cur.split(":"):
+        env["PYTHONPATH"] = tests_dir + ((":" + cur) if cur else "")
+
+    src = tmp_path / "timer_src"
+    src.mkdir()
+    schema = "user_id bigint, v bigint"
+    spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20)], schema
+    ).coalesce(1).write.parquet(str(src / "a.parquet"))
+
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        _TimerProbe(),
+        outputStructType="user_id bigint, kind string, n bigint",
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
+    name = f"twst_{uuid.uuid4().hex[:12]}"
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocks)
+    try:
+        with _stream_state_partitions(spark, 2):
+            q = (
+                out.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                deadline = time.time() + 120
+                while time.time() < deadline:
+                    fired = (
+                        spark.table(name)
+                        .where("kind = 'timer'")
+                        .select("user_id")
+                        .distinct()
+                        .count()
+                    )
+                    if fired >= 2 or not q.isActive:
+                        break
+                    time.sleep(1)
+            finally:
+                q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+    rows = spark.table(name).toPandas()
+    fired = rows[rows.kind == "timer"]
+    by_user = {int(r.user_id): int(r.n) for r in fired.itertuples()}
+    # every key's (already expired) timer fired, carrying the running
+    # count its ValueState held at sweep time
+    assert set(by_user) == {1, 2}, by_user
+    assert by_user[1] == 2 and by_user[2] == 1
+    data = rows[rows.kind == "data"]
+    assert {int(r.user_id) for r in data.itertuples()} == {1, 2}
