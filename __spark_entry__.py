@@ -151,6 +151,7 @@ _GATE_PRIORITY = [
     "sequence_packing_bestfit",
     "dedup_keep_best_quality",
     "lang_confusion_matrix",
+    "leakage_safe_split",
 ]
 
 # Re-gate ordering for STALE-evidence rows (the r04 registry.py edit

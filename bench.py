@@ -105,6 +105,7 @@ NOISY = {
     # composes the recursive large-star cluster pipeline it selects
     # representatives from — same cold-JIT profile as the histogram
     "dedup_keep_best_quality",
+    "leakage_safe_split",
 }
 
 

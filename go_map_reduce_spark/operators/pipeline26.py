@@ -256,3 +256,70 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
         ).alias("row_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe train/validation split (split by near-dup cluster)
+# --------------------------------------------------------------------------
+
+VAL_PERMILLE = 100  # ~10% validation, decided on the group key
+
+
+@query(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH clusters AS ({ORACLES["dedup_clusters_largestar"]}),
+    grouped AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS group_id,
+             (c.cluster_id IS NOT NULL) AS in_dup_cluster
+      FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, group_id, in_dup_cluster,
+           CASE WHEN CAST(concat('0x',
+                  substr(md5(CAST(group_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                  % 1000 < {VAL_PERMILLE}
+                THEN 'val' ELSE 'train' END AS split
+    FROM grouped
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/validation split that cannot leak near-duplicates across
+    the boundary: the split unit is the near-dup CLUSTER (large-star
+    connected components; unclustered docs are their own unit), and
+    the train/val decision hashes the GROUP key, so two documents that
+    are verified near-dups always land on the same side. Splitting by
+    raw doc hash — what naive pipelines do — puts ~2·frac·(1-frac) of
+    every near-dup pair's mass astride the boundary, silently
+    inflating validation scores with memorized duplicates; this is the
+    split a leakage-audited pipeline actually ships. ~{VAL_PERMILLE}/1000
+    of GROUPS go to validation via the engine's md5-uniform convention
+    (bit-identical across engines and partitionings, same recipe as
+    deterministic_sample_orders).
+
+    100 TB shape: one left join of the corpus against the (much
+    smaller) cluster assignment, then a per-row hash — no new
+    data-sized shuffle beyond the cluster operator's own; the split
+    column is computable at scan time forever after, so downstream
+    readers filter train/val with a pushed-down predicate.
+
+    The property test joins the registered verified-pair frame back
+    against this split and pins straddling pairs = 0."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = dedup_clusters_largestar(spark, sf_dir)
+    grouped = docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("group_id"),
+        F.col("cluster_id").isNotNull().alias("in_dup_cluster"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("group_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 1000
+    )
+    return grouped.select(
+        "doc_id",
+        "group_id",
+        "in_dup_cluster",
+        F.when(u < VAL_PERMILLE, "val").otherwise("train").alias("split"),
+    )

@@ -196,3 +196,71 @@ def test_confusion_matrix_structure_and_composition(spark, sf_dir):
     assert int(df.n_docs.sum()) == n_preds
     # cells are unique (one row per (labeled, predicted) pair)
     assert not df.duplicated(["labeled_lang", "predicted_lang"]).any()
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_split_oracle(spark, sf_dir):
+    compare(
+        QUERIES["leakage_safe_split"](spark, sf_dir),
+        ORACLES["leakage_safe_split"],
+        sf_dir,
+    )
+
+
+def test_no_near_dup_pair_straddles_the_split(spark, sf_dir):
+    """The operator's reason to exist, pinned by composing the
+    registered verified-pair frame: every minhash near-dup pair's two
+    docs land on the same side of the split — zero straddling pairs —
+    while a doc-hash split (the naive baseline, computed here for
+    contrast) DOES straddle some pairs on this corpus."""
+    from pyspark.sql import functions as F
+
+    from go_map_reduce_spark.operators.dedup import minhash_near_dup_pairs
+    from go_map_reduce_spark.operators.pipeline26 import (
+        VAL_PERMILLE,
+        leakage_safe_split,
+    )
+
+    split = leakage_safe_split(spark, sf_dir).select("doc_id", "split")
+    pairs = minhash_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sa = split.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+        "split", "split_a"
+    )
+    sb = split.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+        "split", "split_b"
+    )
+    joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    n_pairs = joined.count()
+    assert n_pairs > 0  # the corpus has verified near-dups
+    straddling = joined.where(F.col("split_a") != F.col("split_b")).count()
+    assert straddling == 0
+
+    # naive doc-hash split straddles at least one pair (the contrast
+    # that shows the group key is doing the work)
+    naive = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_a").cast("string")), 1, 4), 16, 10
+        ).cast("long") % 1000 < VAL_PERMILLE
+    ) != (
+        F.conv(
+            F.substring(F.md5(F.col("doc_b").cast("string")), 1, 4), 16, 10
+        ).cast("long") % 1000 < VAL_PERMILLE
+    )
+    assert pairs.where(naive).count() > 0
+
+
+def test_leakage_split_covers_corpus_and_val_fraction_sane(spark, sf_dir):
+    import duckdb
+
+    df = QUERIES["leakage_safe_split"](spark, sf_dir).toPandas()
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert len(df) == n_docs
+    assert set(df.split) == {"train", "val"}
+    frac = (df.split == "val").mean()
+    assert 0.02 < frac < 0.25  # ~10% target, wide band for small SFs
