@@ -292,9 +292,11 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     every near-dup pair's mass astride the boundary, silently
     inflating validation scores with memorized duplicates; this is the
     split a leakage-audited pipeline actually ships. ~{VAL_PERMILLE}/1000
-    of GROUPS go to validation via the engine's md5-uniform convention
-    (bit-identical across engines and partitionings, same recipe as
-    deterministic_sample_orders).
+    of GROUPS go to validation via the engine's md5-prefix uniform
+    convention (bit-identical across engines and partitionings;
+    deterministic_sample_orders applies the same md5-prefix idea with a
+    raw 16-bit threshold where this operator takes the prefix mod 1000
+    — permille granularity reads directly as a fraction).
 
     100 TB shape: one left join of the corpus against the (much
     smaller) cluster assignment, then a per-row hash — no new

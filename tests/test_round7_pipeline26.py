@@ -240,17 +240,24 @@ def test_no_near_dup_pair_straddles_the_split(spark, sf_dir):
     assert straddling == 0
 
     # naive doc-hash split straddles at least one pair (the contrast
-    # that shows the group key is doing the work)
-    naive = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_a").cast("string")), 1, 4), 16, 10
-        ).cast("long") % 1000 < VAL_PERMILLE
-    ) != (
-        F.conv(
-            F.substring(F.md5(F.col("doc_b").cast("string")), 1, 4), 16, 10
-        ).cast("long") % 1000 < VAL_PERMILLE
-    )
-    assert pairs.where(naive).count() > 0
+    # that shows the group key is doing the work). Each pair straddles
+    # with p ~ 0.18, so only assert where the pair count makes zero
+    # straddles statistically implausible (0.82^20 < 2%) — an
+    # arbitrary SPARK_GRAFT_TEST_SF_DIR corpus with a handful of pairs
+    # could legitimately have none.
+    if n_pairs >= 20:
+        naive = (
+            F.conv(
+                F.substring(F.md5(F.col("doc_a").cast("string")), 1, 4),
+                16, 10,
+            ).cast("long") % 1000 < VAL_PERMILLE
+        ) != (
+            F.conv(
+                F.substring(F.md5(F.col("doc_b").cast("string")), 1, 4),
+                16, 10,
+            ).cast("long") % 1000 < VAL_PERMILLE
+        )
+        assert pairs.where(naive).count() > 0
 
 
 def test_leakage_split_covers_corpus_and_val_fraction_sane(spark, sf_dir):
