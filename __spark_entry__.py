@@ -152,6 +152,9 @@ _GATE_PRIORITY = [
     "dedup_keep_best_quality",
     "lang_confusion_matrix",
     "leakage_safe_split",
+    # round-8 capstone (the r07 verdict's task 1: the composed
+    # end-to-end curation funnel)
+    "curation_pipeline_e2e",
 ]
 
 # Re-gate ordering for STALE-evidence rows (the r04 registry.py edit

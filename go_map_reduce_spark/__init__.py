@@ -66,6 +66,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline24,
     pipeline25,
     pipeline26,
+    pipeline27,
     sqlsurface,
     stats,
     quality_filters,

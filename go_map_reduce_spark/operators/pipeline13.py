@@ -152,6 +152,14 @@ def price_trend_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 KWIC_TERM = "spark"
 KWIC_RADIUS = 3
 
+# KWIC_TERM is interpolated into BOTH generated expressions (the Spark
+# SQL expr and the DuckDB oracle f-string); constrain it to a
+# quote/backslash-free token class so a future constant change cannot
+# break or silently alter either generated expression.
+import re as _re  # noqa: E402
+
+assert _re.fullmatch(r"[A-Za-z0-9_\-]+", KWIC_TERM), KWIC_TERM
+
 
 @query(
     "keyword_in_context",

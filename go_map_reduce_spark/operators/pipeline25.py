@@ -47,7 +47,9 @@ _CUT_WINS_SQL = f"""
     ),
     wins AS (
       SELECT doc_id, CAST(i + 1 AS INT) AS pos,
-             array_to_string(t[i+1:i+{SPAN_K}], ' ') AS win
+             CAST(concat('0x', substr(
+               md5(array_to_string(t[i+1:i+{SPAN_K}], ' ')), 1, 15))
+               AS BIGINT) AS wkey
       FROM toks, unnest(range(len(t) - {SPAN_K - 1})) AS u(i)
       WHERE len(t) >= {SPAN_K}
     )
@@ -59,16 +61,16 @@ _CUT_WINS_SQL = f"""
     oracle=f"""
     WITH {_CUT_WINS_SQL},
     stats AS (
-      SELECT win, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY win
+      SELECT wkey, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY wkey
     ),
     ranked AS (
       SELECT w.doc_id, w.pos,
              row_number() OVER (
-               PARTITION BY w.win
+               PARTITION BY w.wkey
                ORDER BY md5(CAST(w.doc_id AS VARCHAR) || ':'
                             || CAST(w.pos AS VARCHAR)), w.doc_id, w.pos
              ) AS rk
-      FROM wins w JOIN stats s ON w.win = s.win
+      FROM wins w JOIN stats s ON w.wkey = s.wkey
       WHERE s.nd >= 2
     ),
     covered AS (
@@ -116,18 +118,23 @@ def substring_dup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     property test in tests/test_round7_pipeline25.py).
 
     100 TB shape, stage by stage: window extraction is a per-row
-    generate (emitting (doc_id, pos) pairs, not the token array); the
-    spread count AND the canonical winner come from ONE map-side-
-    combinable aggregation on the window text — min(struct(md5-rank,
-    doc_id, pos)) instead of a row_number sort, so a boilerplate span
-    occurring 10M times costs a combiner merge, not a 10M-row
-    partition sort; the cut set is an equality join of wins against
-    the (much smaller, nd >= 2 only) stats frame; reassembly collects
-    each doc's cut POSITIONS (bounded by doc length) and filters the
-    token array with higher-order functions — the document text never
-    shuffles at all after the scan. At scale the window key would be
-    xxhash64(win) instead of the text; same plan. No all-pairs
-    comparison anywhere."""
+    generate that immediately folds the window text into a FIXED-WIDTH
+    60-bit key (md5-prefix-as-int64, the engine's cross-engine hash
+    convention — dedup.py:90, pipeline2.py:189) so no exchange carries
+    variable-length window text at all — an 8-byte shuffle key where a
+    {SPAN_K}-token text would be ~100 bytes; the spread count AND the
+    canonical winner come from ONE map-side-combinable aggregation on
+    that key — min(struct(md5-rank, doc_id, pos)) instead of a
+    row_number sort, so a boilerplate span occurring 10M times costs a
+    combiner merge, not a 10M-row partition sort; the cut set is an
+    equality join of wins against the (much smaller, nd >= 2 only)
+    stats frame; reassembly collects each doc's cut POSITIONS (bounded
+    by doc length) and filters the token array with higher-order
+    functions — the document text never shuffles at all after the
+    scan. A 60-bit key collision merges two window groups and can only
+    ADD cut positions (over-removal — the safe direction); both
+    engines key identically, so the differential stays exact. No
+    all-pairs comparison anywhere."""
     toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", toks.alias("t")
@@ -146,21 +153,23 @@ def substring_dup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             (F.col("pos0") + 1).cast("int").alias("pos"),
-            "win",
+            F.conv(F.substring(F.md5("win"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("wkey"),
             F.md5(F.concat_ws(":", F.col("doc_id"), F.col("pos0") + 1)).alias(
                 "rk"
             ),
         )
     )
     # one aggregation yields both the doc-spread and the canonical
-    # occurrence per window text (partial-aggregatable, unlike a
+    # occurrence per window key (partial-aggregatable, unlike a
     # row_number over the window partition)
-    stats = wins.groupBy("win").agg(
+    stats = wins.groupBy("wkey").agg(
         F.count_distinct("doc_id").alias("nd"),
         F.min(F.struct("rk", "doc_id", "pos")).alias("c"),
     )
     cut = (
-        wins.join(stats.where(F.col("nd") >= 2), "win")
+        wins.join(stats.where(F.col("nd") >= 2), "wkey")
         .where(
             ~(
                 (F.col("doc_id") == F.col("c.doc_id"))

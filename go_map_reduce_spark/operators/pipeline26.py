@@ -43,6 +43,72 @@ from go_map_reduce_spark.registry import ORACLES, query
 # Best-fit (next-fit-decreasing) sequence packing — the non-splitting packer
 # --------------------------------------------------------------------------
 
+def _pack_oracle_from(src: str, keys: tuple[str, ...] = ("shard",)) -> str:
+    """Recursive-CTE next-fit-decreasing packing over any source
+    relation with (doc_id, n_tokens, *keys) — `ordered` + `packed`
+    CTE bodies, parameterized by the partition key list so the
+    registered packer (keys=shard) and the capstone's per-split pack
+    (keys=split, shard) replay the IDENTICAL fold. The recursion steps
+    one rank per iteration with every partition advancing in lockstep,
+    bounded by the largest partition's row count."""
+    k = ", ".join(keys)
+    ok = ", ".join(f"o.{x}" for x in keys)
+    cond = " AND ".join(f"o.{x} = p.{x}" for x in keys)
+    return f"""
+    ordered AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY {k} ORDER BY n_tokens DESC, doc_id
+             ) AS rn
+      FROM {src}
+    ),
+    packed AS (
+      SELECT {k}, rn, doc_id, n_tokens,
+             n_tokens AS fill, CAST(0 AS BIGINT) AS bin
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT {ok}, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN p.fill + o.n_tokens <= {PACK_BUDGET}
+                  THEN p.fill + o.n_tokens ELSE o.n_tokens END,
+             CASE WHEN p.fill + o.n_tokens <= {PACK_BUDGET}
+                  THEN p.bin ELSE p.bin + 1 END
+      FROM packed p JOIN ordered o
+        ON {cond} AND o.rn = p.rn + 1
+    )"""
+
+
+def _shard_col():
+    """Exact int64 shard key: Spark's ``DIV`` truncates toward zero in
+    integer arithmetic, precisely matching DuckDB's integer ``//``
+    (verified: -7//2 = -3 in both) for ANY doc_id — no double-precision
+    round-trip, so ids beyond 2^53 shard identically in both engines."""
+    return F.expr(f"doc_id DIV {PACK_SHARD}").alias("shard")
+
+
+def _nfd_pack(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sequential next-fit-decreasing fold over ONE shard group
+    (module-level so the capstone's per-split pack reuses the exact
+    fold the registered packer runs)."""
+    pdf = pdf.sort_values(
+        ["n_tokens", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    fill = PACK_BUDGET + 1  # forces the first doc to open bin 0
+    bin_no = -1
+    bins, offs = [], []
+    for n in pdf["n_tokens"]:
+        if fill + n <= PACK_BUDGET:
+            offs.append(fill)
+            fill += n
+        else:
+            bin_no += 1
+            offs.append(0)
+            fill = n
+        bins.append(bin_no)
+    out = pdf[["doc_id", "n_tokens", "shard"]].copy()
+    out["seq_id"] = out["shard"] * 1_000_000 + pd.Series(bins)
+    out["off_in_seq"] = pd.Series(offs)
+    return out
+
+
 @query(
     "sequence_packing_bestfit",
     oracle=f"""
@@ -51,25 +117,7 @@ from go_map_reduce_spark.registry import ORACLES, query
              doc_id // {PACK_SHARD} AS shard
       FROM documents
     ),
-    ordered AS (
-      SELECT *, row_number() OVER (
-               PARTITION BY shard ORDER BY n_tokens DESC, doc_id
-             ) AS rn
-      FROM toks
-    ),
-    packed AS (
-      SELECT shard, rn, doc_id, n_tokens,
-             n_tokens AS fill, CAST(0 AS BIGINT) AS bin
-      FROM ordered WHERE rn = 1
-      UNION ALL
-      SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
-             CASE WHEN p.fill + o.n_tokens <= {PACK_BUDGET}
-                  THEN p.fill + o.n_tokens ELSE o.n_tokens END,
-             CASE WHEN p.fill + o.n_tokens <= {PACK_BUDGET}
-                  THEN p.bin ELSE p.bin + 1 END
-      FROM packed p JOIN ordered o
-        ON o.shard = p.shard AND o.rn = p.rn + 1
-    )
+    {_pack_oracle_from('toks')}
     SELECT doc_id, n_tokens, shard,
            CAST(shard * 1000000 + bin AS BIGINT) AS seq_id,
            CAST(fill - n_tokens AS BIGINT) AS off_in_seq
@@ -104,32 +152,10 @@ def sequence_packing_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = docs.select(
         "doc_id",
         F.size(_toks(F.col("text"))).cast("long").alias("n_tokens"),
-        (F.col("doc_id") / PACK_SHARD).cast("long").alias("shard"),
+        _shard_col(),
     )
-
-    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(
-            ["n_tokens", "doc_id"], ascending=[False, True]
-        ).reset_index(drop=True)
-        fill = PACK_BUDGET + 1  # forces the first doc to open bin 0
-        bin_no = -1
-        bins, offs = [], []
-        for n in pdf["n_tokens"]:
-            if fill + n <= PACK_BUDGET:
-                offs.append(fill)
-                fill += n
-            else:
-                bin_no += 1
-                offs.append(0)
-                fill = n
-            bins.append(bin_no)
-        out = pdf[["doc_id", "n_tokens", "shard"]].copy()
-        out["seq_id"] = out["shard"] * 1_000_000 + pd.Series(bins)
-        out["off_in_seq"] = pd.Series(offs)
-        return out
-
     return sized.groupBy("shard").applyInPandas(
-        _pack,
+        _nfd_pack,
         schema=(
             "doc_id long, n_tokens long, shard long, "
             "seq_id long, off_in_seq long"

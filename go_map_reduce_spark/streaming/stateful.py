@@ -162,17 +162,19 @@ _VENDOR_DIR = _os.path.join(
 
 
 def _protobuf_available() -> bool:
-    """transformWithState's Python runner speaks protobuf to the JVM;
-    without the google.protobuf package the streaming runner crashes at
-    init. A site-packages installation wins; when none exists, the
-    repo-vendored pure-Python runtime (vendor/README.md — protobuf
-    6.32.0 from the machine's own SDK bundle, PyPI being unreachable)
-    is APPENDED to sys.path and tried. Registration stays gated on the
-    import either way (the environment rule: gate missing deps behind
-    an import-try) — the operator code itself is complete and runs
-    wherever a protobuf runtime exists."""
+    """Side-effect-free gate: transformWithState's Python runner speaks
+    protobuf to the JVM; without the google.protobuf package the
+    streaming runner crashes at init. True when a runtime is either
+    already importable (site-packages) or present as the repo-vendored
+    pure-Python copy (vendor/README.md — protobuf 6.32.0 from the
+    machine's own SDK bundle, PyPI being unreachable). Deciding
+    registration needs only this existence check; the sys.path
+    mutation that makes the vendored copy importable is deferred to
+    ``_ensure_vendored_protobuf`` at OPERATOR CALL time, so importing
+    the package never alters the interpreter's path for consumers that
+    don't touch streaming (the environment rule: gate missing deps
+    behind an import-try)."""
     import os
-    import sys
 
     try:
         from google.protobuf import descriptor  # noqa: F401
@@ -180,16 +182,25 @@ def _protobuf_available() -> bool:
         return True
     except ImportError:
         pass
-    if os.path.isdir(os.path.join(_VENDOR_DIR, "google", "protobuf")):
-        if _VENDOR_DIR not in sys.path:
-            sys.path.append(_VENDOR_DIR)
-        try:
-            from google.protobuf import descriptor  # noqa: F401
+    return os.path.isdir(_os.path.join(_VENDOR_DIR, "google", "protobuf"))
 
-            return True
-        except ImportError:
-            return False
-    return False
+
+def _ensure_vendored_protobuf() -> None:
+    """The ONLY place that mutates sys.path for the vendored runtime:
+    APPEND vendor/ (a real site-packages installation wins the import)
+    and fail loudly if no runtime imports even then — a clearer error
+    at operator start than the streaming runner's init crash."""
+    import sys
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    if _VENDOR_DIR not in sys.path:
+        sys.path.append(_VENDOR_DIR)
+    from google.protobuf import descriptor  # noqa: F401
 
 
 def _ensure_protobuf_visible_to_workers(spark: SparkSession) -> None:
@@ -206,7 +217,13 @@ def _ensure_protobuf_visible_to_workers(spark: SparkSession) -> None:
     site-packages installation needs nothing (workers share the
     interpreter environment). Verified empirically: addPyFile alone
     reaches task workers but NOT the PreInit runner, which then dies
-    with ImportError at state-schema validation."""
+    with ImportError at state-schema validation. vendor/ is APPENDED
+    to any pre-existing PYTHONPATH — same precedence policy as the
+    driver side (existing entries win within PYTHONPATH); PYTHONPATH
+    as a whole still shadows a spawned worker's site-packages, an
+    asymmetry the local[*] target never hits since workers share this
+    interpreter's environment (and this branch only runs when the
+    driver itself resolved protobuf from vendor/)."""
     import google.protobuf as _pb
 
     if not _os.path.abspath(_pb.__file__).startswith(
@@ -216,7 +233,7 @@ def _ensure_protobuf_visible_to_workers(spark: SparkSession) -> None:
     env = spark.sparkContext.environment
     cur = env.get("PYTHONPATH", "")
     if _VENDOR_DIR not in cur.split(":"):
-        env["PYTHONPATH"] = _VENDOR_DIR + ((":" + cur) if cur else "")
+        env["PYTHONPATH"] = (cur + ":" if cur else "") + _VENDOR_DIR
 
 
 _TWS_ORACLE = """
@@ -249,6 +266,7 @@ def events_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ensure_package_shipped(spark)
+    _ensure_vendored_protobuf()
     _ensure_protobuf_visible_to_workers(spark)
     events = read_events_stream(spark, sf_dir).select(
         "user_id", "event_type", "value"

@@ -111,14 +111,16 @@ def test_cut_is_deterministic_across_runs(spark, sf_dir):
 
 
 def test_cut_plan_has_no_cartesian_and_no_token_array_shuffle(spark, sf_dir):
-    """Scale guards: no cartesian product anywhere, and the document
-    token array must not travel through ANY exchange — window
-    extraction emits (doc_id, pos, win, rk), aggregation states and
-    the cut-position frame are scalar/int-set columns, and reassembly
-    consumes the token array on the scan side of a broadcast join.
-    Asserted against the formatted plan's per-Exchange Input lists
-    (the same property the r06 verdict flagged keyword_in_context
-    for violating)."""
+    """Scale guards: no cartesian product anywhere, and neither the
+    document token array NOR the variable-length window text may
+    travel through ANY exchange — window extraction folds the text
+    into the fixed-width 60-bit wkey before the first shuffle, so
+    every exchange carries only fixed-width keys (doc_id, pos, wkey,
+    the 32-char rk hash) and int-set columns, and reassembly consumes
+    the token array on the scan side of a broadcast join. Asserted
+    against the formatted plan's per-Exchange Input lists (the same
+    property the r06 verdict flagged keyword_in_context for
+    violating)."""
     import contextlib
     import io
     import re
@@ -143,9 +145,10 @@ def test_cut_plan_has_no_cartesian_and_no_token_array_shuffle(spark, sf_dir):
         inputs = "\n".join(
             line for line in b.splitlines() if line.startswith("Input")
         )
-        # the token array attribute is named t#N in this plan; no
-        # exchange may carry it
+        # the token array is t#N and the window text win#N in this
+        # plan; no exchange may carry either
         assert not re.search(r"\bt#\d+", inputs), b
+        assert not re.search(r"\bwin#\d+", inputs), b
 
 
 # ---------------------------------------------------------------------------

@@ -68,6 +68,7 @@ def test_list_and_value_state_match_batch_oracle(spark):
     from go_map_reduce_spark.shipping import ensure_package_shipped
     from go_map_reduce_spark.streaming.stateful import (
         _ensure_protobuf_visible_to_workers,
+        _ensure_vendored_protobuf,
     )
     from go_map_reduce_spark.streaming.windows import (
         _stream_state_partitions,
@@ -75,6 +76,7 @@ def test_list_and_value_state_match_batch_oracle(spark):
     )
 
     ensure_package_shipped(spark)
+    _ensure_vendored_protobuf()
     _ensure_protobuf_visible_to_workers(spark)
     # the processor class lives in THIS test module; the streaming
     # runner unpickles it by reference, so the tests dir must be on the
@@ -202,6 +204,193 @@ class _TimerProbe:
         pass
 
 
+class _EventTimeTimerProbe:
+    """ValueState running count + an event-time timer registered at
+    (batch max event-time + 1s): the timer expires only once the
+    WATERMARK passes it — the late-data mechanism a production
+    pipeline runs — and the expiry emit carries both the count the
+    state held and the expiry timestamp, so the test can pin that
+    expiry was watermark-driven (fires in a LATER batch, at exactly
+    the registered ms). Timers are per-key singletons: re-arming
+    deletes the previous registration first (listTimers yields bare
+    expiry-ms ints; a key that appears in TWO batches — user 2 below —
+    runs this loop over a non-empty iterator, so ListTimers/DeleteTimer
+    get real executed coverage, pinned by user 2 firing exactly once at
+    the RE-ARMED timestamp)."""
+
+    def init(self, handle) -> None:
+        self._h = handle
+        self._cnt = handle.getValueState("cnt", "n bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        mx = 0
+        n = 0
+        for pdf in rows:
+            n += len(pdf)
+            mx = max(mx, int(pdf["ts"].astype("int64").max() // 1_000_000))
+        prev = self._cnt.get()[0] if self._cnt.exists() else 0
+        self._cnt.update((prev + n,))
+        for t in self._h.listTimers():
+            self._h.deleteTimer(t)
+        self._h.registerTimer(mx + 1000)
+        yield pd.DataFrame(
+            [(key[0], "data", prev + n, mx + 1000)],
+            columns=["user_id", "kind", "n", "expiry_ms"],
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        import pandas as pd
+
+        n = self._cnt.get()[0] if self._cnt.exists() else 0
+        yield pd.DataFrame(
+            [(key[0], "timer", n, expiredTimerInfo.getExpiryTimeInMs())],
+            columns=["user_id", "kind", "n", "expiry_ms"],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def test_event_time_timers_fire_on_watermark(spark, tmp_path):
+    """timeMode="EventTime": four files fed one-per-batch with
+    strictly increasing event times. User 1 appears only in file a, so
+    its timer (T0+1s) becomes expirable exactly when a later file
+    advances the watermark past T0+1s. User 2 appears in files a AND b:
+    batch b finds its live T0+1s timer via listTimers (non-empty — the
+    executed ListTimers/DeleteTimer coverage), deletes it, and re-arms
+    at T0+1h+1s; it must fire exactly ONCE, at the re-armed ms (a
+    leaked undeleted timer would produce a second fire at T0+1s).
+    Differential: each timer emit carries the batch-oracle total count
+    for its user and the exact registered expiry ms — watermark-driven
+    expiry, not wall-clock."""
+    import datetime
+    import os
+    import time
+
+    from go_map_reduce_spark.shipping import ensure_package_shipped
+    from go_map_reduce_spark.streaming.stateful import (
+        _ensure_protobuf_visible_to_workers,
+        _ensure_vendored_protobuf,
+    )
+    from go_map_reduce_spark.streaming.windows import (
+        _stream_state_partitions,
+    )
+
+    ensure_package_shipped(spark)
+    _ensure_vendored_protobuf()
+    _ensure_protobuf_visible_to_workers(spark)
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    env = spark.sparkContext.environment
+    cur = env.get("PYTHONPATH", "")
+    if tests_dir not in cur.split(":"):
+        env["PYTHONPATH"] = tests_dir + ((":" + cur) if cur else "")
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    t0_ms = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    src = tmp_path / "et_src"
+    src.mkdir()
+    schema = "user_id bigint, ts timestamp"
+    batches = [
+        ("a", [(1, t0), (1, t0), (2, t0)]),
+        ("b", [(2, t0 + datetime.timedelta(hours=1)),
+               (10, t0 + datetime.timedelta(hours=1))]),
+        ("c", [(11, t0 + datetime.timedelta(hours=2))]),
+        ("d", [(12, t0 + datetime.timedelta(hours=3))]),
+    ]
+    for i, (fname, rows) in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / fname)
+        )
+        # file-source ordering is by modification time; make it strict
+        for root, _dirs, files in os.walk(src / fname):
+            for f in files:
+                os.utime(os.path.join(root, f), (1000 + i, 1000 + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+        .withWatermark("ts", "0 seconds")
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        _EventTimeTimerProbe(),
+        outputStructType=(
+            "user_id bigint, kind string, n bigint, expiry_ms bigint"
+        ),
+        outputMode="Update",
+        timeMode="EventTime",
+    )
+    name = f"twse_{uuid.uuid4().hex[:12]}"
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocks)
+    try:
+        with _stream_state_partitions(spark, 2):
+            q = (
+                out.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                deadline = time.time() + 120
+                while time.time() < deadline:
+                    fired = (
+                        spark.table(name)
+                        .where("kind = 'timer' AND user_id IN (1, 2)")
+                        .select("user_id")
+                        .distinct()
+                        .count()
+                    )
+                    if fired >= 2 or not q.isActive:
+                        break
+                    time.sleep(1)
+            finally:
+                q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+    rows = spark.table(name).toPandas()
+    fired = rows[(rows.kind == "timer") & rows.user_id.isin([1, 2])]
+    # exactly one fire per user: user 2's original T0+1s timer was
+    # deleted before re-arming, so no duplicate expiry exists
+    assert len(fired) == 2, fired
+    by_user = {
+        int(r.user_id): (int(r.n), int(r.expiry_ms))
+        for r in fired.itertuples()
+    }
+    # batch differential: the expired-timer emits carry each user's
+    # exact total row count (all of a user's rows were processed
+    # before its timer fired, so state-at-expiry = corpus count)…
+    oracle = duckdb.sql(
+        f"SELECT user_id, COUNT(*) AS n FROM '{src}/*/*.parquet' "
+        "WHERE user_id IN (1, 2) GROUP BY user_id"
+    ).df()
+    expect = {int(r.user_id): int(r.n) for r in oracle.itertuples()}
+    assert set(by_user) == set(expect) == {1, 2}, by_user
+    assert {u: v[0] for u, v in by_user.items()} == expect
+    # …and expired at exactly the registered event-time ms — the
+    # watermark crossing fired them, not processing time: user 1 at
+    # its one registration (T0+1s), user 2 at the RE-ARMED T0+1h+1s
+    # (delete + re-register executed in batch b)
+    assert by_user[1][1] == t0_ms + 1000, by_user
+    assert by_user[2][1] == t0_ms + 3_601_000, by_user
+    # every user produced data rows
+    assert {int(u) for u in rows[rows.kind == "data"].user_id} == {
+        1, 2, 10, 11, 12,
+    }
+
+
 def test_processing_time_timers_fire(spark, tmp_path):
     import os
     import time
@@ -209,12 +398,14 @@ def test_processing_time_timers_fire(spark, tmp_path):
     from go_map_reduce_spark.shipping import ensure_package_shipped
     from go_map_reduce_spark.streaming.stateful import (
         _ensure_protobuf_visible_to_workers,
+        _ensure_vendored_protobuf,
     )
     from go_map_reduce_spark.streaming.windows import (
         _stream_state_partitions,
     )
 
     ensure_package_shipped(spark)
+    _ensure_vendored_protobuf()
     _ensure_protobuf_visible_to_workers(spark)
     tests_dir = os.path.dirname(os.path.abspath(__file__))
     env = spark.sparkContext.environment

@@ -109,7 +109,13 @@ def build_stress_dir(spark, mult: int, root: str) -> str:
                 .otherwise(var_text)
                 .alias("text"),
                 "lang",
-            )
+                # the capstone funnel runs the FULL registered pipeline,
+                # whose gate/split stages read source and n_chars —
+                # carry source through and recompute n_chars on the
+                # REWRITTEN text (the base value would lie for the
+                # boilerplate/rep-token variants)
+                "source",
+            ).withColumn("n_chars", F.length("text").cast("long"))
         )
     stress_docs = frames[0]
     for f_ in frames[1:]:
@@ -166,6 +172,55 @@ def timed_count(df) -> tuple[int, float]:
     return n, round(time.perf_counter() - t0, 2)
 
 
+def capstone_funnel(spark, sf_dir: str) -> tuple[list[list], float, int]:
+    """Run the registered end-to-end curation capstone on a stress
+    corpus and return (per-split funnel rows, wall seconds, straddling
+    verified pairs). The funnel shows whether the cut stage absorbs
+    the injected cross-replica boilerplate (tokens_cut tracking the
+    boilerplate mass) and the dedup stage the replicated near-dup
+    structure; the straddle count re-proves the leakage guarantee —
+    no VERIFIED near-dup pair may cross the train/val boundary — on
+    corpora whose clusters are orders of magnitude more degenerate
+    than the test tables'."""
+    from go_map_reduce_spark.operators.dedup import minhash_near_dup_pairs
+    from go_map_reduce_spark.operators.pipeline26 import leakage_safe_split
+    from go_map_reduce_spark.registry import QUERIES
+
+    t0 = time.perf_counter()
+    funnel = sorted(
+        QUERIES["curation_pipeline_e2e"](spark, sf_dir).collect(),
+        key=lambda r: r["split"],
+    )
+    wall = round(time.perf_counter() - t0, 2)
+    split = leakage_safe_split(spark, sf_dir).select("doc_id", "split")
+    pairs = minhash_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    straddle = (
+        pairs.join(
+            split.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            split.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+            ),
+            "doc_b",
+        )
+        .where(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    rows = [
+        [
+            r["split"], r["docs_in"], r["gate_dropped"], r["dedup_dropped"],
+            r["docs_kept"], r["docs_cut"], r["tokens_cut"], r["tokens_kept"],
+            r["n_sequences"],
+        ]
+        for r in funnel
+    ]
+    return rows, wall, straddle
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,2,4,8")
@@ -188,6 +243,7 @@ def main() -> None:
     ).split()
     print("| " + " | ".join(cols) + " |")
     print("|" + "|".join("---" for _ in cols) + "|")
+    cap_rows: list[list] = []
     for m in mults:
         d = build_stress_dir(spark, m, root)
         n_docs = spark.read.parquet(
@@ -221,6 +277,19 @@ def main() -> None:
             tmpl, t_tmpl, newb, t_newb, knn, t_knn, cut, t_cut,
         ]
         print("| " + " | ".join(str(x) for x in row) + " |", flush=True)
+        frows, t_e2e, straddle = capstone_funnel(spark, d)
+        release_caches()
+        for fr in frows:
+            cap_rows.append([m] + fr + [straddle, t_e2e])
+    print()
+    cap_cols = (
+        "mult split docs_in gate_dropped dedup_dropped docs_kept "
+        "docs_cut tokens_cut tokens_kept n_sequences straddle_pairs t_e2e"
+    ).split()
+    print("| " + " | ".join(cap_cols) + " |")
+    print("|" + "|".join("---" for _ in cap_cols) + "|")
+    for r in cap_rows:
+        print("| " + " | ".join(str(x) for x in r) + " |", flush=True)
     spark.stop()
 
 
