@@ -155,6 +155,10 @@ _GATE_PRIORITY = [
     # round-8 capstone (the r07 verdict's task 1: the composed
     # end-to-end curation funnel)
     "curation_pipeline_e2e",
+    # round-8 second batch: the queryable leakage audit and the
+    # deterministic span-corruption objective prep
+    "leakage_audit",
+    "span_corruption_masks",
 ]
 
 # Re-gate ordering for STALE-evidence rows (the r04 registry.py edit

@@ -67,6 +67,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline25,
     pipeline26,
     pipeline27,
+    pipeline28,
     sqlsurface,
     stats,
     quality_filters,
