@@ -25,7 +25,13 @@ convention: the staleness closure must see the edges)."""
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import (
+    Column,
+    DataFrame,
+    SparkSession,
+    Window as W,
+    functions as F,
+)
 
 from go_map_reduce_spark.catalog import load_table
 from go_map_reduce_spark.operators.advanced import dedup_clusters_largestar
@@ -291,6 +297,30 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 VAL_PERMILLE = 100  # ~10% validation, decided on the group key
 
 
+def permille_draw_col(col: Column) -> Column:
+    """The engine's cross-engine uniform draw as a Spark Column: the
+    16-bit md5 prefix of ``col``'s string form, mod 1000 — a value in
+    [0, 1000) that is bit-identical to ``permille_draw_case`` on the
+    DuckDB side. Every permille-threshold decision (this split, the
+    leakage audit's naive contrast, span-corruption starts) MUST go
+    through this pair so the convention has exactly one definition."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast(
+            "long"
+        )
+        % 1000
+    )
+
+
+def permille_draw_case(expr: str) -> str:
+    """DuckDB SQL text of the same draw over ``expr`` (any type —
+    cast to VARCHAR to match Spark's string form)."""
+    return (
+        f"CAST(concat('0x', substr(md5(CAST({expr} AS VARCHAR)), 1, 4))"
+        " AS BIGINT) % 1000"
+    )
+
+
 @query(
     "leakage_safe_split",
     oracle=f"""
@@ -301,9 +331,7 @@ VAL_PERMILLE = 100  # ~10% validation, decided on the group key
       FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
     )
     SELECT doc_id, group_id, in_dup_cluster,
-           CASE WHEN CAST(concat('0x',
-                  substr(md5(CAST(group_id AS VARCHAR)), 1, 4)) AS BIGINT)
-                  % 1000 < {VAL_PERMILLE}
+           CASE WHEN {permille_draw_case('group_id')} < {VAL_PERMILLE}
                 THEN 'val' ELSE 'train' END AS split
     FROM grouped
     """,
@@ -339,12 +367,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("cluster_id", "doc_id").alias("group_id"),
         F.col("cluster_id").isNotNull().alias("in_dup_cluster"),
     )
-    u = (
-        F.conv(
-            F.substring(F.md5(F.col("group_id").cast("string")), 1, 4), 16, 10
-        ).cast("long")
-        % 1000
-    )
+    u = permille_draw_col(F.col("group_id"))
     return grouped.select(
         "doc_id",
         "group_id",

@@ -30,9 +30,11 @@ from go_map_reduce_spark.operators.dedup import minhash_near_dup_pairs
 from go_map_reduce_spark.operators.pipeline26 import (
     VAL_PERMILLE,
     leakage_safe_split,
+    permille_draw_case,
+    permille_draw_col,
 )
 from go_map_reduce_spark.operators.textstats import _sql_toks, _toks
-from go_map_reduce_spark.registry import ORACLES, query
+from go_map_reduce_spark.registry import ORACLES, query, track_cache
 
 # --------------------------------------------------------------------------
 # Cross-split leakage audit (the shipped counterpart of the r07 property
@@ -45,23 +47,17 @@ _CELLS = (("train", "train"), ("train", "val"), ("val", "val"))
 
 def _naive_split_case(col: str) -> str:
     """DuckDB CASE text for the naive doc-hash split of ``col`` — the
-    same md5-prefix permille draw leakage_safe_split applies to the
-    GROUP key, here applied (wrongly, which is the point) to the raw
-    doc id."""
+    same permille draw leakage_safe_split applies to the GROUP key
+    (the shared pipeline26 convention pair, one definition), here
+    applied (wrongly, which is the point) to the raw doc id."""
     return (
-        f"CASE WHEN CAST(concat('0x', substr(md5(CAST({col} AS VARCHAR)),"
-        f" 1, 4)) AS BIGINT) % 1000 < {VAL_PERMILLE}"
+        f"CASE WHEN {permille_draw_case(col)} < {VAL_PERMILLE}"
         " THEN 'val' ELSE 'train' END"
     )
 
 
 def _naive_split_col(col: str) -> Column:
-    u = (
-        F.conv(
-            F.substring(F.md5(F.col(col).cast("string")), 1, 4), 16, 10
-        ).cast("long")
-        % 1000
-    )
+    u = permille_draw_col(F.col(col))
     return F.when(u < VAL_PERMILLE, "val").otherwise("train")
 
 
@@ -119,7 +115,16 @@ def leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     join at all, and the cell universe is a 6-row literal broadcast.
     Nothing here adds a corpus-sized shuffle beyond what the composed
     operators already pinned."""
-    pairs = minhash_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # both policy branches consume the pair frame and Spark shares no
+    # common subplans across a union — persist the (small, verified-
+    # pair-sized) frame so the LSH verify stage runs once (the
+    # pipeline12.py:284 precedent; caller-owned release)
+    pairs = (
+        minhash_near_dup_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .persist()
+        .transform(track_cache)
+    )
     split = leakage_safe_split(spark, sf_dir).select("doc_id", "split")
     labeled_cluster = (
         pairs.join(
@@ -184,9 +189,9 @@ SPAN_LEN = 3  # T5's mean noise span length, here a fixed span
     ),
     st AS (
       SELECT doc_id, i,
-             (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':'
-                || CAST(i AS VARCHAR)), 1, 4)) AS BIGINT) % 1000
-                < {SPAN_START_PERMILLE}) AS s
+             ({permille_draw_case(
+                 "CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)"
+             )} < {SPAN_START_PERMILLE}) AS s
       FROM pos
     ),
     mk AS (
@@ -250,14 +255,9 @@ def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens") > 0,
         F.transform(
             F.sequence(F.lit(1), F.col("n_tokens").cast("int")),
-            lambda i: F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.col("doc_id"), i)), 1, 4
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 1000
+            lambda i: permille_draw_col(
+                F.concat_ws(":", F.col("doc_id"), i)
+            )
             < SPAN_START_PERMILLE,
         ),
     ).otherwise(F.array().cast("array<boolean>"))

@@ -5,7 +5,6 @@ guarantee, and the no-shuffle plan pin for the mask projection."""
 
 import hashlib
 
-import duckdb
 import pytest
 from pyspark.sql import functions as F
 
