@@ -159,6 +159,9 @@ _GATE_PRIORITY = [
     # deterministic span-corruption objective prep
     "leakage_audit",
     "span_corruption_masks",
+    # round-8 third batch: train-side decontamination + datasheet
+    "decontamination_cut",
+    "curation_dataset_card",
 ]
 
 # Re-gate ordering for STALE-evidence rows (the r04 registry.py edit

@@ -68,6 +68,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline26,
     pipeline27,
     pipeline28,
+    pipeline29,
     sqlsurface,
     stats,
     quality_filters,

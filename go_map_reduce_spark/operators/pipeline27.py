@@ -56,10 +56,10 @@ def _pack_with_split(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-@query(
-    "curation_pipeline_e2e",
-    oracle=f"""
-    WITH staged AS (
+# The staged CTE body shared between the capstone oracle and the
+# dataset-card oracle (pipeline29) — one definition of the per-doc
+# decision frame, exactly like the Spark side's staged_decisions().
+STAGED_ORACLE = f"""
       WITH gate AS ({ORACLES["doc_quality_composite_gate"]}),
       cutq AS ({ORACLES["substring_dup_cut"]}),
       keepq AS ({ORACLES["dedup_keep_best_quality"]}),
@@ -72,7 +72,42 @@ def _pack_with_split(pdf: pd.DataFrame) -> pd.DataFrame:
       JOIN gate g ON g.doc_id = s.doc_id
       JOIN cutq c ON c.doc_id = s.doc_id
       LEFT JOIN keepq k ON k.doc_id = s.doc_id
-    ),
+"""
+
+
+def staged_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone's per-doc decision frame — every registered stage
+    operator run verbatim and joined on doc_id: (doc_id, split,
+    gate_ok, dedup_ok, n_tokens, n_removed). Shared by the funnel and
+    the dataset card so 'what the pipeline decided' has exactly one
+    definition."""
+    gate = doc_quality_composite_gate(spark, sf_dir).select(
+        "doc_id", "verdict"
+    )
+    cut = substring_dup_cut(spark, sf_dir).select(
+        "doc_id", "n_tokens", "n_removed"
+    )
+    keep = dedup_keep_best_quality(spark, sf_dir).select("doc_id", "is_kept")
+    split = leakage_safe_split(spark, sf_dir).select("doc_id", "split")
+    return (
+        split.join(gate, "doc_id")
+        .join(cut, "doc_id")
+        .join(keep, "doc_id", "left")
+        .select(
+            "doc_id",
+            "split",
+            (F.col("verdict") == "keep").alias("gate_ok"),
+            F.coalesce("is_kept", F.lit(True)).alias("dedup_ok"),
+            "n_tokens",
+            "n_removed",
+        )
+    )
+
+
+@query(
+    "curation_pipeline_e2e",
+    oracle=f"""
+    WITH staged AS ({STAGED_ORACLE}),
     packed_all AS (
       WITH RECURSIVE final_sized AS (
         SELECT doc_id, n_tokens - n_removed AS n_tokens,
@@ -131,27 +166,7 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     the kept set, and constant-size aggregates. Every stage decision
     is also independently driver-gated, so a funnel regression
     bisects to its stage in one artifact read."""
-    gate = doc_quality_composite_gate(spark, sf_dir).select(
-        "doc_id", "verdict"
-    )
-    cut = substring_dup_cut(spark, sf_dir).select(
-        "doc_id", "n_tokens", "n_removed"
-    )
-    keep = dedup_keep_best_quality(spark, sf_dir).select("doc_id", "is_kept")
-    split = leakage_safe_split(spark, sf_dir).select("doc_id", "split")
-    staged = (
-        split.join(gate, "doc_id")
-        .join(cut, "doc_id")
-        .join(keep, "doc_id", "left")
-        .select(
-            "doc_id",
-            "split",
-            (F.col("verdict") == "keep").alias("gate_ok"),
-            F.coalesce("is_kept", F.lit(True)).alias("dedup_ok"),
-            "n_tokens",
-            "n_removed",
-        )
-    )
+    staged = staged_decisions(spark, sf_dir)
     kept_ok = F.col("gate_ok") & F.col("dedup_ok")
     sized = staged.where(kept_ok).select(
         "doc_id",

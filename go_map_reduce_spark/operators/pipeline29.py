@@ -1,0 +1,195 @@
+"""Round-8 third batch: train-side decontamination + the dataset card.
+
+``decontamination_cut`` is the decision-closing counterpart of
+``contamination_check`` (dedup.py:708) with the sides swapped: that
+query measures how contaminated each HELD-OUT doc is by the training
+split; this one decides which TRAINING docs to DROP because they
+contain benchmark n-grams — the eval-hygiene cut a pipeline applies
+before training (the GPT-3 appendix-C / PaLM decontamination shape,
+at n-gram-overlap granularity).
+
+``curation_dataset_card`` is the datasheet a curation run publishes
+next to its output: per (split, source) document and token counts of
+the FINAL kept set — the capstone's per-doc decisions, regrouped by
+provenance — with each cell's token share of its split. Composes the
+same ``staged_decisions`` frame as the funnel (one definition of
+"what the pipeline decided", pipeline27).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from go_map_reduce_spark.catalog import load_table
+from go_map_reduce_spark.operators.dedup import (
+    _SQL_SHINGLES,
+    _spark_shingles,
+)
+from go_map_reduce_spark.operators.pipeline27 import (
+    STAGED_ORACLE,
+    staged_decisions,
+)
+from go_map_reduce_spark.registry import query, track_cache
+
+# --------------------------------------------------------------------------
+# Train-side decontamination cut
+# --------------------------------------------------------------------------
+
+DECON_BENCH_MOD = 10  # benchmark split: doc_id % 10 == 0 (same family
+#                       as contamination_check's held-out definition)
+DECON_DROP_RATE = 0.2  # drop a train doc when >= 20% of its distinct
+#                        shingles appear in the benchmark
+
+
+@query(
+    "decontamination_cut",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECON_BENCH_MOD} = 0
+    ),
+    tr AS (
+      SELECT s.doc_id, s.shingle, b.shingle IS NOT NULL AS hit
+      FROM sh s LEFT JOIN bench b ON b.shingle = s.shingle
+      WHERE s.doc_id % {DECON_BENCH_MOD} <> 0
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+             CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_benchmark_hits
+      FROM tr GROUP BY doc_id
+    )
+    SELECT doc_id, n_ngrams, n_benchmark_hits,
+           CAST(n_benchmark_hits AS DOUBLE) / n_ngrams AS overlap_rate,
+           CASE WHEN CAST(n_benchmark_hits AS DOUBLE) / n_ngrams
+                     >= {DECON_DROP_RATE}
+                THEN 'drop' ELSE 'keep' END AS verdict
+    FROM agg
+    """,
+)
+def decontamination_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every TRAINING document (doc_id % {DECON_BENCH_MOD} != 0):
+    the fraction of its distinct {{SHINGLE_K}}-gram shingles that
+    appear anywhere in the benchmark split (doc_id %
+    {DECON_BENCH_MOD} == 0), and the drop/keep verdict at the
+    {DECON_DROP_RATE} overlap threshold — the training-side
+    decontamination pass that protects EVAL integrity (the reverse
+    direction of ``contamination_check``, which scores the held-out
+    side; both directions are how a real pipeline audits leakage).
+
+    100 TB shape: identical join skeleton to contamination_check —
+    ONE equality join on the shingle key, hash-shuffle sized by the
+    vocabulary, never all-pairs. The decisive asymmetry at scale: the
+    benchmark side is real-world TINY (benchmarks are megabytes
+    against a 100 TB corpus), so its distinct-shingle index
+    BROADCASTS and the train side never shuffles at all; the
+    registered ``bloom_contamination_prefilter`` is the pre-pass that
+    keeps even the probe cheap. The verdict column makes the
+    downstream read a pushed-down filter (verdict = 'keep'), same as
+    the split column's design. The shingle frame feeds both sides, so
+    it persists once (the multi-consumer barrier rule, measured on
+    contamination_check: 16 s -> ~1 s at sf0.1). Rate and threshold
+    compare in double from two exact integers — bit-stable across
+    engines."""
+    sh = _spark_shingles(spark, sf_dir).persist().transform(track_cache)
+    bench = (
+        sh.where(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    rate = F.col("n_benchmark_hits").cast("double") / F.col("n_ngrams")
+    return (
+        sh.where(F.col("doc_id") % DECON_BENCH_MOD != 0)
+        .join(bench, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("hit").alias("n_benchmark_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_benchmark_hits",
+            rate.alias("overlap_rate"),
+            F.when(rate >= DECON_DROP_RATE, "drop")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# The curation dataset card
+# --------------------------------------------------------------------------
+
+
+@query(
+    "curation_dataset_card",
+    oracle=f"""
+    WITH staged AS ({STAGED_ORACLE}),
+    kept AS (
+      SELECT st.doc_id, st.split, d.source,
+             st.n_tokens - st.n_removed AS tok
+      FROM staged st JOIN documents d ON d.doc_id = st.doc_id
+      WHERE st.gate_ok AND st.dedup_ok
+    ),
+    agg AS (
+      SELECT split, source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(tok) AS BIGINT) AS tokens_kept
+      FROM kept GROUP BY split, source
+    )
+    SELECT split, source, n_docs, tokens_kept,
+           CAST(ROUND(CAST(tokens_kept AS DOUBLE)
+                / SUM(tokens_kept) OVER (PARTITION BY split), 6)
+                AS DOUBLE) AS token_share
+    FROM agg
+    """,
+)
+def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The datasheet of the curated corpus: per (split, source) — the
+    provenance axis a consumer audits — the kept-document count, the
+    post-cut token count, and the cell's token share within its
+    split. Rows exist only for (split, source) cells with at least
+    one kept doc; shares sum to 1 per split and the per-split token
+    totals reconcile exactly with the capstone funnel's tokens_kept
+    (pinned by the cross-operator test).
+
+    100 TB shape: reuses the capstone's ``staged_decisions`` frame
+    verbatim (narrow per-doc decision columns — and the expensive
+    cluster stage inside it reads the shared_frame blocks), joins
+    provenance on doc_id from a column-pruned scan (doc_id, source
+    only — plan-visible ReadSchema), and aggregates to a
+    cardinality-|splits|x|sources| frame; the share window runs over
+    that tiny aggregate, not the corpus."""
+    staged = staged_decisions(spark, sf_dir)
+    kept = staged.where(F.col("gate_ok") & F.col("dedup_ok")).select(
+        "doc_id",
+        "split",
+        (F.col("n_tokens") - F.col("n_removed")).alias("tok"),
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    agg = (
+        kept.join(src, "doc_id")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("tokens_kept"),
+        )
+    )
+    w = W.partitionBy("split")
+    return agg.select(
+        "split",
+        "source",
+        "n_docs",
+        F.col("tokens_kept").cast("long").alias("tokens_kept"),
+        F.round(
+            F.col("tokens_kept").cast("double")
+            / F.sum("tokens_kept").over(w),
+            6,
+        )
+        .cast("double")
+        .alias("token_share"),
+    )
