@@ -691,12 +691,47 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The held-out boundary shared by BOTH eval-hygiene directions
+# (contamination_check scores the held-out side, pipeline29's
+# decontamination_cut scores the training side): doc_id % HELDOUT_MOD
+# == 0 is held out. One constant, one join skeleton — the two
+# queries must audit the SAME split or the both-directions story is
+# silently false.
+HELDOUT_MOD = 10
+
+
+def _overlap_profile(sh: DataFrame, score_heldout: bool) -> DataFrame:
+    """(doc_id, n_ngrams, n_overlap) for every doc on ONE side of the
+    held-out boundary, scored against the OTHER side's distinct
+    shingle vocabulary — the shared skeleton of both eval-hygiene
+    directions: one equality join on the shingle key (hash shuffle
+    sized by the vocabulary, never all-pairs)."""
+    heldout = F.col("doc_id") % HELDOUT_MOD == 0
+    vocab = (
+        sh.where(heldout if not score_heldout else ~heldout)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        sh.where(heldout if score_heldout else ~heldout)
+        .join(vocab, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("hit").alias("n_overlap"),
+        )
+    )
+
+
 @query(
     "contamination_check",
     oracle=f"""
     WITH sh AS ({_SQL_SHINGLES}),
-    test AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 = 0),
-    train AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 <> 0)
+    test AS (SELECT doc_id, shingle FROM sh
+             WHERE doc_id % {HELDOUT_MOD} = 0),
+    train AS (SELECT DISTINCT shingle FROM sh
+              WHERE doc_id % {HELDOUT_MOD} <> 0)
     SELECT t.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_ngrams,
            CAST(COUNT(tr.shingle) AS BIGINT) AS n_overlap,
@@ -724,26 +759,11 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     inlined into the test explode AND the train distinct — measured
     16 s → ~1 s at sf0.1."""
     sh = _spark_shingles(spark, sf_dir).persist().transform(track_cache)
-    test = sh.where(F.col("doc_id") % 10 == 0)
-    train = (
-        sh.where(F.col("doc_id") % 10 != 0)
-        .select("shingle")
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    return (
-        test.join(train, "shingle", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_ngrams"),
-            F.count("hit").alias("n_overlap"),
-        )
-        .select(
-            "doc_id",
-            "n_ngrams",
-            "n_overlap",
-            (F.col("n_overlap").cast("double") / F.col("n_ngrams")).alias(
-                "contamination_rate"
-            ),
-        )
+    return _overlap_profile(sh, score_heldout=True).select(
+        "doc_id",
+        "n_ngrams",
+        "n_overlap",
+        (F.col("n_overlap").cast("double") / F.col("n_ngrams")).alias(
+            "contamination_rate"
+        ),
     )

@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from go_map_reduce_spark.catalog import load_table
 from go_map_reduce_spark.operators.dedup import (
     _SQL_SHINGLES,
+    HELDOUT_MOD,
+    _overlap_profile,
     _spark_shingles,
 )
 from go_map_reduce_spark.operators.pipeline27 import (
@@ -35,10 +37,12 @@ from go_map_reduce_spark.registry import query, track_cache
 # Train-side decontamination cut
 # --------------------------------------------------------------------------
 
-DECON_BENCH_MOD = 10  # benchmark split: doc_id % 10 == 0 (same family
-#                       as contamination_check's held-out definition)
 DECON_DROP_RATE = 0.2  # drop a train doc when >= 20% of its distinct
-#                        shingles appear in the benchmark
+#                        shingles appear in the benchmark; the
+#                        benchmark boundary itself is dedup.HELDOUT_MOD
+#                        — the SAME constant contamination_check uses,
+#                        so both directions audit one split by
+#                        construction
 
 
 @query(
@@ -46,12 +50,12 @@ DECON_DROP_RATE = 0.2  # drop a train doc when >= 20% of its distinct
     oracle=f"""
     WITH sh AS ({_SQL_SHINGLES}),
     bench AS (
-      SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECON_BENCH_MOD} = 0
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % {HELDOUT_MOD} = 0
     ),
     tr AS (
       SELECT s.doc_id, s.shingle, b.shingle IS NOT NULL AS hit
       FROM sh s LEFT JOIN bench b ON b.shingle = s.shingle
-      WHERE s.doc_id % {DECON_BENCH_MOD} <> 0
+      WHERE s.doc_id % {HELDOUT_MOD} <> 0
     ),
     agg AS (
       SELECT doc_id,
@@ -69,14 +73,15 @@ DECON_DROP_RATE = 0.2  # drop a train doc when >= 20% of its distinct
     """,
 )
 def decontamination_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """For every TRAINING document (doc_id % {DECON_BENCH_MOD} != 0):
-    the fraction of its distinct {{SHINGLE_K}}-gram shingles that
-    appear anywhere in the benchmark split (doc_id %
-    {DECON_BENCH_MOD} == 0), and the drop/keep verdict at the
-    {DECON_DROP_RATE} overlap threshold — the training-side
-    decontamination pass that protects EVAL integrity (the reverse
-    direction of ``contamination_check``, which scores the held-out
-    side; both directions are how a real pipeline audits leakage).
+    """For every TRAINING document (doc_id % HELDOUT_MOD != 0): the
+    fraction of its distinct {SHINGLE_K}-gram shingles that appear
+    anywhere in the benchmark split (doc_id % HELDOUT_MOD == 0), and
+    the drop/keep verdict at the {DECON_DROP_RATE} overlap threshold
+    — the training-side decontamination pass that protects EVAL
+    integrity (the reverse direction of ``contamination_check``,
+    which scores the held-out side; both directions run the SHARED
+    ``_overlap_profile`` skeleton over the SHARED boundary constant,
+    so they audit one split by construction).
 
     100 TB shape: identical join skeleton to contamination_check —
     ONE equality join on the shingle key, hash-shuffle sized by the
@@ -93,21 +98,10 @@ def decontamination_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare in double from two exact integers — bit-stable across
     engines."""
     sh = _spark_shingles(spark, sf_dir).persist().transform(track_cache)
-    bench = (
-        sh.where(F.col("doc_id") % DECON_BENCH_MOD == 0)
-        .select("shingle")
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
     rate = F.col("n_benchmark_hits").cast("double") / F.col("n_ngrams")
     return (
-        sh.where(F.col("doc_id") % DECON_BENCH_MOD != 0)
-        .join(bench, "shingle", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_ngrams"),
-            F.count("hit").alias("n_benchmark_hits"),
-        )
+        _overlap_profile(sh, score_heldout=False)
+        .withColumnRenamed("n_overlap", "n_benchmark_hits")
         .select(
             "doc_id",
             "n_ngrams",

@@ -25,15 +25,13 @@ def test_decontamination_verdicts_follow_the_threshold(spark, sf_dir):
     """Every verdict is exactly the threshold comparison on the
     emitted rate, no benchmark doc appears in the output, and rates
     are well-formed fractions of the emitted counts."""
-    from go_map_reduce_spark.operators.pipeline29 import (
-        DECON_BENCH_MOD,
-        DECON_DROP_RATE,
-    )
+    from go_map_reduce_spark.operators.dedup import HELDOUT_MOD
+    from go_map_reduce_spark.operators.pipeline29 import DECON_DROP_RATE
 
     rows = QUERIES["decontamination_cut"](spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert r["doc_id"] % DECON_BENCH_MOD != 0
+        assert r["doc_id"] % HELDOUT_MOD != 0
         assert 0 <= r["n_benchmark_hits"] <= r["n_ngrams"]
         assert r["overlap_rate"] == r["n_benchmark_hits"] / r["n_ngrams"]
         assert r["verdict"] == (
@@ -41,24 +39,25 @@ def test_decontamination_verdicts_follow_the_threshold(spark, sf_dir):
         )
 
 
-def test_decontamination_agrees_with_contamination_check(spark, sf_dir):
-    """The two directions share one overlap definition: a train doc
-    has benchmark hits iff at least one of its shingles is shared
-    with SOME held-out doc — cross-checked by recomputing the shared
-    shingle vocabulary from contamination_check's own building block
-    (the registered shingle frame) and comparing the hit sets."""
-    from go_map_reduce_spark.operators.dedup import _spark_shingles
-    from go_map_reduce_spark.operators.pipeline29 import DECON_BENCH_MOD
+def test_decontamination_hits_match_independent_recompute(spark, sf_dir):
+    """A train doc has benchmark hits iff at least one of its
+    shingles is shared with SOME held-out doc — recomputed from the
+    shingle frame with a driver-side set, independent of the
+    operator's join/agg shape."""
+    from go_map_reduce_spark.operators.dedup import (
+        HELDOUT_MOD,
+        _spark_shingles,
+    )
 
     sh = _spark_shingles(spark, sf_dir)
     bench_sh = {
         r["shingle"]
-        for r in sh.where(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        for r in sh.where(F.col("doc_id") % HELDOUT_MOD == 0)
         .select("shingle").distinct().collect()
     }
     train_hits = {
         r["doc_id"]
-        for r in sh.where(F.col("doc_id") % DECON_BENCH_MOD != 0)
+        for r in sh.where(F.col("doc_id") % HELDOUT_MOD != 0)
         .where(F.col("shingle").isin(bench_sh) if bench_sh else F.lit(False))
         .select("doc_id").distinct().collect()
     }
@@ -67,6 +66,34 @@ def test_decontamination_agrees_with_contamination_check(spark, sf_dir):
         for r in QUERIES["decontamination_cut"](spark, sf_dir).collect()
     }
     assert {d for d, h in got.items() if h > 0} == train_hits
+
+
+def test_both_eval_hygiene_directions_audit_one_split(spark, sf_dir):
+    """REAL cross-operator coupling, from the two registered queries'
+    OUTPUTS (not a shared constant): contamination_check's scored
+    docs and decontamination_cut's scored docs partition the corpus
+    exactly (disjoint, union = all documents), and the two directions
+    agree on whether any vocabulary is shared across the boundary —
+    if either side sees an overlap, both must."""
+    from go_map_reduce_spark.catalog import load_table
+
+    test_side = {
+        r["doc_id"]: r["n_overlap"]
+        for r in QUERIES["contamination_check"](spark, sf_dir).collect()
+    }
+    train_side = {
+        r["doc_id"]: r["n_benchmark_hits"]
+        for r in QUERIES["decontamination_cut"](spark, sf_dir).collect()
+    }
+    all_docs = {
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id").collect()
+    }
+    assert set(test_side).isdisjoint(train_side)
+    assert set(test_side) | set(train_side) == all_docs
+    assert (any(v > 0 for v in test_side.values())
+            == any(v > 0 for v in train_side.values()))
 
 
 def test_dataset_card_reconciles_with_the_funnel(spark, sf_dir):
@@ -97,21 +124,26 @@ def test_dataset_card_reconciles_with_the_funnel(spark, sf_dir):
 
 
 def test_dataset_card_scan_is_column_pruned(spark, sf_dir):
-    """The provenance join must read only (doc_id, source) from its
-    documents scan — the card's own scan may not drag text along.
-    At least one scan with a pruned ReadSchema must exist and no scan
-    may read text WITHOUT the cut stage needing it (the staged frame
-    legitimately reads text once for tokenize/cut)."""
+    """The provenance join must read EXACTLY (doc_id, source) from
+    its documents scan — asserted as an exact field-set match on a
+    ReadSchema, so the test cannot pass vacuously off some other
+    stage's scan if the provenance scan ever regresses to dragging
+    text along."""
+    import re
+
     plan = (
         QUERIES["curation_dataset_card"](spark, sf_dir)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "doc_id" in plan
-    # the pruned provenance scan: a ReadSchema containing source but
-    # not text
-    import re
-
-    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-    assert any("source" in s and "text" not in s for s in schemas), schemas
+    schemas = [
+        {f.split(":")[0] for f in s.split(",") if f}
+        for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    ]
+    assert {"doc_id", "source"} in schemas, schemas
+    # and no scan reads source together with text (the only source
+    # consumer is the pruned provenance scan)
+    assert not any(
+        "source" in s and "text" in s for s in schemas
+    ), schemas
