@@ -474,3 +474,147 @@ def test_processing_time_timers_fire(spark, tmp_path):
     assert by_user[1] == 2 and by_user[2] == 1
     data = rows[rows.kind == "data"]
     assert {int(r.user_id) for r in data.itertuples()} == {1, 2}
+
+
+TTL_MS = 2000
+
+
+class _TtlContrastProbe:
+    """Two ValueStates updated identically — one with a {TTL_MS} ms
+    TTL, one without — so a checkpoint-restart after sleeping past the
+    TTL discriminates exactly the TTL mechanism: the expiring state
+    must read as absent while its twin still carries the old total."""
+
+    def init(self, handle) -> None:
+        self._ttl = handle.getValueState("with_ttl", "n bigint", TTL_MS)
+        self._keep = handle.getValueState("no_ttl", "n bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        n = sum(len(pdf) for pdf in rows)
+        ttl_exists = self._ttl.exists()
+        keep_exists = self._keep.exists()
+        ttl_prev = self._ttl.get()[0] if ttl_exists else 0
+        keep_prev = self._keep.get()[0] if keep_exists else 0
+        self._ttl.update((ttl_prev + n,))
+        self._keep.update((keep_prev + n,))
+        yield pd.DataFrame(
+            [
+                (
+                    key[0],
+                    bool(ttl_exists),
+                    bool(keep_exists),
+                    ttl_prev + n,
+                    keep_prev + n,
+                )
+            ],
+            columns=[
+                "user_id", "ttl_existed", "keep_existed",
+                "ttl_total", "keep_total",
+            ],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def test_value_state_ttl_expires_across_restart(spark, tmp_path):
+    """State TTL, the last cell of the typed-state matrix: two
+    availableNow runs share one checkpoint; the second starts after
+    sleeping past TTL_MS. The TTL'd ValueState must read as ABSENT in
+    run 2 (total restarts at the new batch's count) while the
+    untouched no-TTL twin state still carries run 1's total — the
+    mechanism a production pipeline uses to bound state size on
+    unbounded key spaces."""
+    import os
+    import time
+
+    from go_map_reduce_spark.shipping import ensure_package_shipped
+    from go_map_reduce_spark.streaming.stateful import (
+        _ensure_protobuf_visible_to_workers,
+        _ensure_vendored_protobuf,
+    )
+    from go_map_reduce_spark.streaming.windows import (
+        _stream_state_partitions,
+    )
+
+    ensure_package_shipped(spark)
+    _ensure_vendored_protobuf()
+    _ensure_protobuf_visible_to_workers(spark)
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    env = spark.sparkContext.environment
+    cur = env.get("PYTHONPATH", "")
+    if tests_dir not in cur.split(":"):
+        env["PYTHONPATH"] = tests_dir + ((":" + cur) if cur else "")
+
+    src = tmp_path / "ttl_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ttl_ckpt")
+    schema = "user_id bigint, v bigint"
+
+    # the memory sink cannot recover from a checkpoint; foreachBatch
+    # CAN, and supports update mode — collect each run's emitted rows
+    # into a driver-side bucket (local mode: the closure shares this
+    # interpreter)
+    emitted: dict[str, list] = {}
+
+    def run_once(label: str) -> None:
+        bucket = emitted.setdefault(label, [])
+
+        def sink(df, _batch_id) -> None:
+            bucket.extend(df.collect())
+
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            _TtlContrastProbe(),
+            outputStructType=(
+                "user_id bigint, ttl_existed boolean, keep_existed boolean,"
+                " ttl_total bigint, keep_total bigint"
+            ),
+            outputMode="Update",
+            timeMode="ProcessingTime",
+        )
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocks)
+    try:
+        with _stream_state_partitions(spark, 2):
+            spark.createDataFrame(
+                [(1, 10), (1, 11)], schema
+            ).coalesce(1).write.parquet(str(src / "a.parquet"))
+            run_once("run1")
+            time.sleep(TTL_MS / 1000 + 1.5)  # sleep past the TTL
+            spark.createDataFrame(
+                [(1, 12), (1, 13), (1, 14)], schema
+            ).coalesce(1).write.parquet(str(src / "b.parquet"))
+            run_once("run2")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+    (r1,) = emitted["run1"]
+    assert not r1.ttl_existed and not r1.keep_existed, r1
+    assert r1.ttl_total == 2 and r1.keep_total == 2, r1
+    assert len(emitted["run2"]) == 1, emitted["run2"]
+    (r2,) = emitted["run2"]
+    # the TTL'd state expired during the sleep; its twin did not
+    assert not r2.ttl_existed, r2
+    assert r2.keep_existed, r2
+    assert r2.ttl_total == 3, r2  # restarted at the new batch
+    assert r2.keep_total == 5, r2  # carried run 1's total
