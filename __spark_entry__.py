@@ -162,6 +162,7 @@ _GATE_PRIORITY = [
     # round-8 third batch: train-side decontamination + datasheet
     "decontamination_cut",
     "curation_dataset_card",
+    "ann_recall_eval",
 ]
 
 # Re-gate ordering for STALE-evidence rows (the r04 registry.py edit

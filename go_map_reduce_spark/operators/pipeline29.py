@@ -187,3 +187,147 @@ def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("token_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# ANN recall evaluation (approximate tiers vs the brute-force truth)
+# --------------------------------------------------------------------------
+
+
+def _recall_row(
+    method: str, approx: DataFrame, brute: DataFrame, k: int, n_queries: int
+) -> DataFrame:
+    """One (method, k, n_truth, n_hits, recall) row: the approximate
+    tier's top-k against the brute-force top-k over the method's own
+    query set — all counts computed as aggregates, nothing collected."""
+    t = brute.where(
+        (F.col("rk") <= k) & (F.col("query_id") < n_queries)
+    ).select("query_id", "neighbor_id")
+    e = approx.where(
+        (F.col("rk") <= k) & (F.col("query_id") < n_queries)
+    ).select("query_id", "neighbor_id")
+    hits = e.join(t, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    truth = t.agg(F.count(F.lit(1)).alias("n_truth"))
+    return truth.crossJoin(hits).select(
+        F.lit(method).alias("method"),
+        F.lit(k).cast("long").alias("k"),
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        (F.col("n_hits").cast("double") / F.col("n_truth")).alias("recall"),
+    )
+
+
+def _ann_recall_oracle() -> str:
+    from go_map_reduce_spark.operators.kmeans import (
+        IVF_TOP_K,
+        N_IVF_QUERIES,
+    )
+    from go_map_reduce_spark.operators.similarity import (
+        BUCKET_TOP_K,
+        N_QUERY_VECS,
+        PQ_N_QUERY,
+        TOP_K,
+    )
+    from go_map_reduce_spark.registry import ORACLES
+
+    methods = [
+        ("lsh_bucket", "lshq", BUCKET_TOP_K, N_QUERY_VECS),
+        ("ivf_probe", "ivfq", IVF_TOP_K, N_IVF_QUERIES),
+        ("pq_adc", "pqq", min(TOP_K, 10), PQ_N_QUERY),
+    ]
+    rows = []
+    for name, cte, k, nq in methods:
+        rows.append(f"""
+      SELECT '{name}' AS method, CAST({k} AS BIGINT) AS k,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM brute b
+              WHERE b.rk <= {k} AND b.query_id < {nq}) AS n_truth,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM {cte} a
+              JOIN brute b ON b.query_id = a.query_id
+                          AND b.neighbor_id = a.neighbor_id
+                          AND b.rk <= {k}
+              WHERE a.rk <= {k} AND a.query_id < {nq}) AS n_hits""")
+    body = "\n      UNION ALL\n".join(rows)
+    return f"""
+    WITH brute AS ({ORACLES['ann_bruteforce_topk']}),
+    lshq AS ({ORACLES['ann_lsh_topk']}),
+    ivfq AS ({ORACLES['ivf_probe_topk']}),
+    pqq AS ({ORACLES['pq_ann_topk']}),
+    per_method AS ({body}
+    )
+    SELECT method, k, n_truth, n_hits,
+           CAST(n_hits AS DOUBLE) / n_truth AS recall
+    FROM per_method
+    """
+
+
+@query("ann_recall_eval", oracle=_ann_recall_oracle())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN calibration run — `minhash_recall_eval`'s counterpart
+    for the similarity tier: recall@k of each approximate method
+    (sign-bit LSH buckets, IVF cell probe, PQ asymmetric-distance)
+    against the brute-force cosine truth, per method over its own
+    registered query set and k. Recall is a DATA measurement, not an
+    axiom: an LSH bucket that doesn't contain a true neighbor, an IVF
+    cell boundary that splits a neighborhood, or PQ quantization
+    error each cost real recall, and the number is what an index
+    owner tunes against (nprobe, bucket bits, PQ_M) before trusting
+    the index at corpus scale.
+
+    100 TB shape: pure composition — each tier's registered plan runs
+    unchanged (brute: broadcast query side over one corpus scan; LSH/
+    IVF: equality joins on bucket/cell keys; PQ: broadcast code
+    table); the eval adds only top-k-sized equality joins and
+    constant-size aggregates, with the (≤ n_queries·k row) brute
+    frame persisted across the three comparisons. No collect — all
+    five columns are computed as aggregates."""
+    from go_map_reduce_spark.operators.kmeans import (
+        IVF_TOP_K,
+        N_IVF_QUERIES,
+        ivf_probe_topk,
+    )
+    from go_map_reduce_spark.operators.similarity import (
+        BUCKET_TOP_K,
+        N_QUERY_VECS,
+        PQ_N_QUERY,
+        TOP_K,
+        ann_bruteforce_topk,
+        ann_lsh_topk,
+        pq_ann_topk,
+    )
+    from go_map_reduce_spark.registry import track_cache
+
+    brute = (
+        ann_bruteforce_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id", "rk")
+        .persist()
+        .transform(track_cache)
+    )
+    rows = [
+        _recall_row(
+            "lsh_bucket",
+            ann_lsh_topk(spark, sf_dir),
+            brute,
+            BUCKET_TOP_K,
+            N_QUERY_VECS,
+        ),
+        _recall_row(
+            "ivf_probe",
+            ivf_probe_topk(spark, sf_dir),
+            brute,
+            IVF_TOP_K,
+            N_IVF_QUERIES,
+        ),
+        _recall_row(
+            "pq_adc",
+            pq_ann_topk(spark, sf_dir),
+            brute,
+            min(TOP_K, 10),
+            PQ_N_QUERY,
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

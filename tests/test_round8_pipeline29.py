@@ -147,3 +147,58 @@ def test_dataset_card_scan_is_column_pruned(spark, sf_dir):
     assert not any(
         "source" in s and "text" in s for s in schemas
     ), schemas
+
+
+def test_ann_recall_against_duckdb_oracle(spark, sf_dir):
+    compare(QUERIES["ann_recall_eval"](spark, sf_dir),
+            ORACLES["ann_recall_eval"], sf_dir)
+
+
+def test_ann_recall_matches_driver_side_recompute(spark, sf_dir):
+    """Independent recompute: build each method's top-k and the
+    brute-force truth as driver-side sets from the REGISTERED queries
+    and re-derive every (n_truth, n_hits, recall) cell."""
+    from go_map_reduce_spark.operators.kmeans import (
+        IVF_TOP_K,
+        N_IVF_QUERIES,
+        ivf_probe_topk,
+    )
+    from go_map_reduce_spark.operators.similarity import (
+        BUCKET_TOP_K,
+        N_QUERY_VECS,
+        PQ_N_QUERY,
+        TOP_K,
+        ann_bruteforce_topk,
+        ann_lsh_topk,
+        pq_ann_topk,
+    )
+
+    def pairs(df, k, nq):
+        return {
+            (r["query_id"], r["neighbor_id"])
+            for r in df.collect()
+            if r["rk"] <= k and r["query_id"] < nq
+        }
+
+    brute = ann_bruteforce_topk(spark, sf_dir)
+    spec = {
+        "lsh_bucket": (ann_lsh_topk(spark, sf_dir), BUCKET_TOP_K,
+                       N_QUERY_VECS),
+        "ivf_probe": (ivf_probe_topk(spark, sf_dir), IVF_TOP_K,
+                      N_IVF_QUERIES),
+        "pq_adc": (pq_ann_topk(spark, sf_dir), min(TOP_K, 10), PQ_N_QUERY),
+    }
+    got = {
+        r["method"]: r
+        for r in QUERIES["ann_recall_eval"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(spec)
+    for method, (df, k, nq) in spec.items():
+        truth = pairs(brute, k, nq)
+        approx = pairs(df, k, nq)
+        r = got[method]
+        assert r["k"] == k
+        assert r["n_truth"] == len(truth), (method, r)
+        assert r["n_hits"] == len(approx & truth), (method, r)
+        assert 0 <= r["n_hits"] <= r["n_truth"]
+        assert r["recall"] == r["n_hits"] / r["n_truth"], r
