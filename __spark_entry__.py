@@ -162,6 +162,7 @@ _GATE_PRIORITY = [
     # round-8 third batch: train-side decontamination + datasheet
     "decontamination_cut",
     "curation_dataset_card",
+    # round-8 fourth addition: the ANN-tier calibration eval
     "ann_recall_eval",
 ]
 

@@ -195,14 +195,26 @@ def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recall_row(
-    method: str, approx: DataFrame, brute: DataFrame, k: int, n_queries: int
+    method: str,
+    approx: DataFrame,
+    brute: DataFrame,
+    k: int,
+    n_queries: int,
+    pool_min_neighbor: int | None = None,
 ) -> DataFrame:
     """One (method, k, n_truth, n_hits, recall) row: the approximate
     tier's top-k against the brute-force top-k over the method's own
-    query set — all counts computed as aggregates, nothing collected."""
+    query set — all counts computed as aggregates, nothing collected.
+    ``pool_min_neighbor`` restricts the TRUTH side to the method's
+    reachable candidate pool (PQ's corpus excludes the query
+    vectors): an unreachable true neighbor must not be charged
+    against the method's recall."""
     t = brute.where(
         (F.col("rk") <= k) & (F.col("query_id") < n_queries)
-    ).select("query_id", "neighbor_id")
+    )
+    if pool_min_neighbor is not None:
+        t = t.where(F.col("neighbor_id") >= pool_min_neighbor)
+    t = t.select("query_id", "neighbor_id")
     e = approx.where(
         (F.col("rk") <= k) & (F.col("query_id") < n_queries)
     ).select("query_id", "neighbor_id")
@@ -219,7 +231,14 @@ def _recall_row(
     )
 
 
-def _ann_recall_oracle() -> str:
+def _ann_methods() -> list:
+    """(name, oracle_cte, k, n_queries, truth_pool_sql, truth_pool_col)
+    per approximate method — k and n_queries MUST fit inside the
+    brute-force frame's (TOP_K, N_QUERY_VECS) or the truth side would
+    silently truncate (asserted loud here, import-time). PQ's truth is
+    restricted to its reachable pool (its corpus excludes the query
+    vectors), so its recall measures quantization error, not pool
+    exclusion."""
     from go_map_reduce_spark.operators.kmeans import (
         IVF_TOP_K,
         N_IVF_QUERIES,
@@ -228,21 +247,38 @@ def _ann_recall_oracle() -> str:
         BUCKET_TOP_K,
         N_QUERY_VECS,
         PQ_N_QUERY,
+        PQ_TOP_K,
         TOP_K,
     )
-    from go_map_reduce_spark.registry import ORACLES
 
     methods = [
-        ("lsh_bucket", "lshq", BUCKET_TOP_K, N_QUERY_VECS),
-        ("ivf_probe", "ivfq", IVF_TOP_K, N_IVF_QUERIES),
-        ("pq_adc", "pqq", min(TOP_K, 10), PQ_N_QUERY),
+        ("lsh_bucket", "lshq", BUCKET_TOP_K, N_QUERY_VECS, "TRUE", None),
+        ("ivf_probe", "ivfq", IVF_TOP_K, N_IVF_QUERIES, "TRUE", None),
+        (
+            "pq_adc",
+            "pqq",
+            min(TOP_K, PQ_TOP_K),
+            PQ_N_QUERY,
+            f"b.neighbor_id >= {PQ_N_QUERY}",
+            PQ_N_QUERY,
+        ),
     ]
+    for name, _, k, nq, _, _ in methods:
+        assert k <= TOP_K, (name, k, TOP_K)
+        assert nq <= N_QUERY_VECS, (name, nq, N_QUERY_VECS)
+    return methods
+
+
+def _ann_recall_oracle() -> str:
+    from go_map_reduce_spark.registry import ORACLES
+
     rows = []
-    for name, cte, k, nq in methods:
+    for name, cte, k, nq, pool_sql, _ in _ann_methods():
         rows.append(f"""
       SELECT '{name}' AS method, CAST({k} AS BIGINT) AS k,
              (SELECT CAST(COUNT(*) AS BIGINT) FROM brute b
-              WHERE b.rk <= {k} AND b.query_id < {nq}) AS n_truth,
+              WHERE b.rk <= {k} AND b.query_id < {nq}
+                AND {pool_sql}) AS n_truth,
              (SELECT CAST(COUNT(*) AS BIGINT) FROM {cte} a
               JOIN brute b ON b.query_id = a.query_id
                           AND b.neighbor_id = a.neighbor_id
@@ -282,16 +318,8 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-size aggregates, with the (≤ n_queries·k row) brute
     frame persisted across the three comparisons. No collect — all
     five columns are computed as aggregates."""
-    from go_map_reduce_spark.operators.kmeans import (
-        IVF_TOP_K,
-        N_IVF_QUERIES,
-        ivf_probe_topk,
-    )
+    from go_map_reduce_spark.operators.kmeans import ivf_probe_topk
     from go_map_reduce_spark.operators.similarity import (
-        BUCKET_TOP_K,
-        N_QUERY_VECS,
-        PQ_N_QUERY,
-        TOP_K,
         ann_bruteforce_topk,
         ann_lsh_topk,
         pq_ann_topk,
@@ -304,28 +332,14 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
         .transform(track_cache)
     )
+    approx_frames = {
+        "lsh_bucket": ann_lsh_topk(spark, sf_dir),
+        "ivf_probe": ivf_probe_topk(spark, sf_dir),
+        "pq_adc": pq_ann_topk(spark, sf_dir),
+    }
     rows = [
-        _recall_row(
-            "lsh_bucket",
-            ann_lsh_topk(spark, sf_dir),
-            brute,
-            BUCKET_TOP_K,
-            N_QUERY_VECS,
-        ),
-        _recall_row(
-            "ivf_probe",
-            ivf_probe_topk(spark, sf_dir),
-            brute,
-            IVF_TOP_K,
-            N_IVF_QUERIES,
-        ),
-        _recall_row(
-            "pq_adc",
-            pq_ann_topk(spark, sf_dir),
-            brute,
-            min(TOP_K, 10),
-            PQ_N_QUERY,
-        ),
+        _recall_row(name, approx_frames[name], brute, k, nq, pool_col)
+        for name, _, k, nq, _, pool_col in _ann_methods()
     ]
     out = rows[0]
     for r in rows[1:]:

@@ -173,28 +173,34 @@ def test_ann_recall_matches_driver_side_recompute(spark, sf_dir):
         pq_ann_topk,
     )
 
-    def pairs(df, k, nq):
+    from go_map_reduce_spark.operators.similarity import PQ_TOP_K
+
+    def pairs(df, k, nq, pool_min=None):
         return {
             (r["query_id"], r["neighbor_id"])
             for r in df.collect()
             if r["rk"] <= k and r["query_id"] < nq
+            and (pool_min is None or r["neighbor_id"] >= pool_min)
         }
 
     brute = ann_bruteforce_topk(spark, sf_dir)
+    # (frame, k, n_queries, truth pool floor) — pq's truth restricts
+    # to its reachable pool, mirroring _ann_methods
     spec = {
         "lsh_bucket": (ann_lsh_topk(spark, sf_dir), BUCKET_TOP_K,
-                       N_QUERY_VECS),
+                       N_QUERY_VECS, None),
         "ivf_probe": (ivf_probe_topk(spark, sf_dir), IVF_TOP_K,
-                      N_IVF_QUERIES),
-        "pq_adc": (pq_ann_topk(spark, sf_dir), min(TOP_K, 10), PQ_N_QUERY),
+                      N_IVF_QUERIES, None),
+        "pq_adc": (pq_ann_topk(spark, sf_dir), min(TOP_K, PQ_TOP_K),
+                   PQ_N_QUERY, PQ_N_QUERY),
     }
     got = {
         r["method"]: r
         for r in QUERIES["ann_recall_eval"](spark, sf_dir).collect()
     }
     assert set(got) == set(spec)
-    for method, (df, k, nq) in spec.items():
-        truth = pairs(brute, k, nq)
+    for method, (df, k, nq, pool_min) in spec.items():
+        truth = pairs(brute, k, nq, pool_min)
         approx = pairs(df, k, nq)
         r = got[method]
         assert r["k"] == k
