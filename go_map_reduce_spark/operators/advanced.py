@@ -367,7 +367,9 @@ def dedup_clusters_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
         # join is paid a single time per context.
         return _cc_largestar(pairs).localCheckpoint(eager=True)
 
-    return shared_frame(spark, f"clusters_largestar:{sf_dir}", _build)
+    return shared_frame(
+        spark, f"clusters_largestar:{sf_dir}", _build, data_path=sf_dir
+    )
 
 
 def _cc_largestar(pairs: DataFrame) -> DataFrame:

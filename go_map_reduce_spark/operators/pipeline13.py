@@ -155,10 +155,13 @@ KWIC_RADIUS = 3
 # KWIC_TERM is interpolated into BOTH generated expressions (the Spark
 # SQL expr and the DuckDB oracle f-string); constrain it to a
 # quote/backslash-free token class so a future constant change cannot
-# break or silently alter either generated expression.
+# break or silently alter either generated expression.  A raised
+# ValueError (not assert — asserts vanish under python -O) keeps the
+# guard alive in every interpreter mode.
 import re as _re  # noqa: E402
 
-assert _re.fullmatch(r"[A-Za-z0-9_\-]+", KWIC_TERM), KWIC_TERM
+if not _re.fullmatch(r"[A-Za-z0-9_\-]+", KWIC_TERM):
+    raise ValueError(f"KWIC_TERM must be a quote-free token: {KWIC_TERM!r}")
 
 
 @query(

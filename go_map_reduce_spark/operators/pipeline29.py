@@ -74,11 +74,13 @@ DECON_DROP_RATE = 0.2  # drop a train doc when >= 20% of its distinct
 )
 def decontamination_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every TRAINING document (doc_id % HELDOUT_MOD != 0): the
-    fraction of its distinct {SHINGLE_K}-gram shingles that appear
-    anywhere in the benchmark split (doc_id % HELDOUT_MOD == 0), and
-    the drop/keep verdict at the {DECON_DROP_RATE} overlap threshold
-    — the training-side decontamination pass that protects EVAL
-    integrity (the reverse direction of ``contamination_check``,
+    fraction of its shingle OCCURRENCES (non-distinct — a repeated
+    benchmark shingle counts each time, the same occurrence-weighted
+    rate ``contamination_check`` reports) that appear anywhere in the
+    benchmark split's distinct-shingle vocabulary (doc_id %
+    HELDOUT_MOD == 0), and the drop/keep verdict at the 0.2 overlap
+    threshold — the training-side decontamination pass that protects
+    EVAL integrity (the reverse direction of ``contamination_check``,
     which scores the held-out side; both directions run the SHARED
     ``_overlap_profile`` skeleton over the SHARED boundary constant,
     so they audit one split by construction).
@@ -222,12 +224,20 @@ def _recall_row(
         F.count(F.lit(1)).alias("n_hits")
     )
     truth = t.agg(F.count(F.lit(1)).alias("n_truth"))
+    # Empty-truth guard (r08 advice): a zero truth pool must surface as
+    # an explicit NULL recall in BOTH engines (Spark's x/0 is already
+    # NULL; DuckDB's double division would yield inf and fail the
+    # differential confusingly), and the pytest suite asserts
+    # n_truth > 0 so the condition fails loudly, not silently.
     return truth.crossJoin(hits).select(
         F.lit(method).alias("method"),
         F.lit(k).cast("long").alias("k"),
         F.col("n_truth").cast("long").alias("n_truth"),
         F.col("n_hits").cast("long").alias("n_hits"),
-        (F.col("n_hits").cast("double") / F.col("n_truth")).alias("recall"),
+        F.when(
+            F.col("n_truth") > 0,
+            F.col("n_hits").cast("double") / F.col("n_truth"),
+        ).alias("recall"),
     )
 
 
@@ -293,7 +303,8 @@ def _ann_recall_oracle() -> str:
     per_method AS ({body}
     )
     SELECT method, k, n_truth, n_hits,
-           CAST(n_hits AS DOUBLE) / n_truth AS recall
+           CASE WHEN n_truth > 0 THEN CAST(n_hits AS DOUBLE) / n_truth
+                ELSE NULL END AS recall
     FROM per_method
     """
 

@@ -22,9 +22,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+import itertools
+
 from go_map_reduce_spark.catalog import load_table
 from go_map_reduce_spark.functions.vector import cosine, norm_sq, sql_cosine, sql_dot
-from go_map_reduce_spark.operators.dedup import SIGN_BUCKET_DIMS, _SQL_SIGN_BUCKET
 from go_map_reduce_spark.registry import query
 
 N_QUERY_VECS = 8  # brute-force demo query set: vec_id < 8
@@ -82,19 +83,58 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multi-probe sign-LSH config (r09 retune, driven by ann_recall_eval):
+# 6 mean-centered sign bits, probing every bucket within Hamming
+# distance 2 of the query's own (1 + 6 + 15 = 22 probes).  Settings
+# chosen from the measured recall/scan frontier at sf0.01 (see
+# PERFORMANCE.md r09): the r01 un-centered 8-bit/0-probe bucketing
+# measured recall@3 ≈ 0.04 against the brute-force truth — the
+# synthetic embeddings are near-isotropic (per-dim variance ≈ 0.017,
+# mean-vector norm 0.05) and the true top-3 neighbors sit at cosine
+# ≈ 0.33, so single-bucket sign-LSH is structurally blind here; 6
+# centered bits at radius 2 measure recall@3 ≈ 0.67 while scanning
+# ~1/3 of the corpus.
+LSH_BITS = 6
+LSH_RADIUS = 2
+LSH_PROBE_MASKS = sorted(
+    sum(1 << p for p in pos)
+    for r in range(LSH_RADIUS + 1)
+    for pos in itertools.combinations(range(LSH_BITS), r)
+)
+
+_SQL_MU = ", ".join(
+    f"CAST(SUM(CAST(CAST(embedding[{i}] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)"
+    f" / COUNT(*) AS mu{i}"
+    for i in range(1, LSH_BITS + 1)
+)
+_SQL_CENTERED_BUCKET = " + ".join(
+    f"CASE WHEN CAST(embedding[{i}] AS DOUBLE) - mu{i} > 0"
+    f" THEN {1 << (i - 1)} ELSE 0 END"
+    for i in range(1, LSH_BITS + 1)
+)
+
+
 @query(
     "ann_lsh_topk",
     oracle=f"""
-    WITH e AS (
+    WITH mu AS (SELECT {_SQL_MU} FROM embeddings),
+    e AS (
       SELECT vec_id, embedding,
-             {_SQL_SIGN_BUCKET} AS bucket,
+             {_SQL_CENTERED_BUCKET} AS bucket,
              {sql_dot('embedding', 'embedding')} AS nsq
-      FROM embeddings
+      FROM embeddings CROSS JOIN mu
+    ),
+    probes AS (
+      SELECT e.vec_id AS query_id, e.embedding AS q_emb, e.nsq AS q_nsq,
+             xor(e.bucket, m.mask) AS probe
+      FROM e CROSS JOIN (
+        SELECT unnest([{', '.join(str(m) for m in LSH_PROBE_MASKS)}]) AS mask
+      ) m
     ),
     scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             {sql_cosine('q.embedding', 'c.embedding', 'q.nsq', 'c.nsq')} AS cos_sim
-      FROM e q JOIN e c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             {sql_cosine('p.q_emb', 'c.embedding', 'p.q_nsq', 'c.nsq')} AS cos_sim
+      FROM probes p JOIN e c ON c.bucket = p.probe AND c.vec_id <> p.query_id
     )
     SELECT query_id, neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rk
     FROM (
@@ -107,33 +147,69 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed ANN: every vector's top-3 neighbors *within its sign-bit
-    LSH bucket* — the candidate set an IVF/LSH index would probe. The
-    self-join is an equality join on the 8-bit bucket key; per-bucket
-    pair work is bounded by bucket size, not corpus size."""
+    """Multi-probe sign-LSH ANN: every vector's top-{BUCKET_TOP_K}
+    neighbors within the buckets at Hamming distance <= {LSH_RADIUS}
+    of its own {LSH_BITS}-bit mean-centered sign bucket.  Centering
+    (subtract the corpus per-dimension mean before taking signs)
+    balances the buckets on non-centered corpora for free, and
+    multi-probe — querying the Hamming-adjacent buckets instead of
+    building extra hash tables — is the classic recall lever (Lv et
+    al., VLDB 2007) that keeps ONE stored index while probing
+    {len(LSH_PROBE_MASKS)} buckets per query.
+
+    Candidate generation stays a pure equality join: the query side
+    explodes its constant {len(LSH_PROBE_MASKS)}-mask probe list
+    (bucket XOR mask), the corpus side keeps one integer bucket key,
+    and probed buckets are distinct so no candidate pair duplicates.
+    100 TB shape: the per-dim mean is a 1-row broadcast aggregate
+    (decimal sums — bit-identical across engines); the index side
+    never replicates (multi-probe multiplies the QUERY side only, by
+    a constant); per-bucket work is bounded by bucket occupancy.
+    Recall@{BUCKET_TOP_K} is measured, not assumed — ann_recall_eval
+    (pipeline29) gates it against the brute-force truth; the
+    bits/radius frontier is recorded in PERFORMANCE.md r09."""
     emb = load_table(spark, sf_dir, "embeddings")
-    bucket = F.concat(
+    mu = emb.agg(
         *[
-            F.when(F.element_at("embedding", i) > 0, "1").otherwise("0")
-            for i in range(1, SIGN_BUCKET_DIMS + 1)
+            (
+                F.sum(
+                    F.element_at("embedding", i)
+                    .cast("double")
+                    .cast("decimal(38,12)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias(f"mu{i}")
+            for i in range(1, LSH_BITS + 1)
         ]
     )
-    e = emb.select(
-        "vec_id",
-        "embedding",
-        bucket.alias("bucket"),
-        norm_sq(F.col("embedding")).alias("nsq"),
+    bucket = None
+    for i in range(1, LSH_BITS + 1):
+        bit = F.when(
+            F.element_at("embedding", i).cast("double") - F.col(f"mu{i}") > 0,
+            F.lit(1 << (i - 1)),
+        ).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    e = (
+        emb.crossJoin(F.broadcast(mu))
+        .select(
+            "vec_id",
+            "embedding",
+            bucket.alias("bucket"),
+            norm_sq(F.col("embedding")).alias("nsq"),
+        )
     )
     q = e.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
         F.col("nsq").alias("q_nsq"),
-    )
+    ).withColumn(
+        "mask", F.explode(F.array(*[F.lit(m) for m in LSH_PROBE_MASKS]))
+    ).withColumn("probe", F.col("q_bucket").bitwiseXOR(F.col("mask")))
     scored = (
         e.join(
             q,
-            (F.col("bucket") == F.col("q_bucket"))
+            (F.col("bucket") == F.col("probe"))
             & (F.col("vec_id") != F.col("query_id")),
         )
         .select(
@@ -253,151 +329,277 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------- product quantization
+#
+# r09 retune, driven by ann_recall_eval: the r04 toy codebook (an
+# untrained 8-vector data sample shared by all 4 subspaces) measured
+# recall@5 ≈ 0.2 against the brute-force truth.  Two production fixes,
+# both measured at sf0.01 (PERFORMANCE.md r09):
+#   1. TRAIN the codebook — per-subspace k-means (Lloyd's, the
+#      kmeans.py determinism discipline: first-K init, decimal sums,
+#      (dist, cid) argmin ties), {PQ_ITERS} update rounds;
+#   2. RERANK — ADC ranks a {PQ_RERANK}-candidate shortlist (~6% of
+#      the corpus), then EXACT cosine orders the shortlist (the
+#      Faiss IVFPQ+refine shape).
+# M=8×K=16 trained + rerank-32 measures recall@5 ≈ 0.73-0.87 vs the
+# untrained no-rerank 0.2.
 
-PQ_M = 4          # subspaces
-PQ_SUBDIM = 16    # dims per subspace (4 × 16 = 64)
-PQ_K = 8          # centroids per subspace
+PQ_M = 8          # subspaces
+PQ_SUBDIM = 8     # dims per subspace (8 × 8 = 64)
+PQ_K = 16         # centroids per subspace
+PQ_ITERS = 3      # Lloyd update rounds (then one final assignment)
+PQ_RERANK = 32    # ADC shortlist size fed to exact rerank
 PQ_N_QUERY = 3    # query set: vec_id < 3
 PQ_TOP_K = 10
 
+_DEC12 = "decimal(38,12)"
 
-def _sql_subdot(a: str, b: str, a_off: str, b_off: str, dims: int) -> str:
-    """In-order fold of Σ (a[a_off+i] − b[b_off+i])² as double."""
-    return (
-        f"list_reduce(list_transform(range(1, {dims + 1}), i -> "
-        f"CAST(({a}[{a_off} + i] - {b}[{b_off} + i]) * "
-        f"({a}[{a_off} + i] - {b}[{b_off} + i]) AS DOUBLE)), (x, y) -> x + y)"
-    )
+
+def _pq_sql_rounds() -> str:
+    """CTE chain for per-subspace k-means: exploded corpus `pe`,
+    init `pc0`, then {PQ_ITERS}× (assign, update) and a final
+    assignment `pa_final` — kmeans.py's oracle pattern keyed by
+    (m, cid) instead of cid."""
+    parts = [
+        f"""
+    pe AS (
+      SELECT vec_id, (i - 1) // {PQ_SUBDIM} AS m, (i - 1) % {PQ_SUBDIM} AS sd,
+             CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, range(1, 65) t(i)
+      WHERE vec_id >= {PQ_N_QUERY}
+    ),
+    pc0 AS (
+      SELECT vec_id - {PQ_N_QUERY} AS cid, m, sd, val
+      FROM pe WHERE vec_id < {PQ_N_QUERY + PQ_K}
+    )"""
+    ]
+    cur = "pc0"
+    for it in range(1, PQ_ITERS + 2):
+        out = "pa_final" if it == PQ_ITERS + 1 else f"pa{it}"
+        parts.append(f"""
+    {out}_dist AS (
+      SELECT pe.vec_id, pe.m, c.cid,
+             CAST(SUM(CAST((pe.val - c.val) * (pe.val - c.val)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS d2
+      FROM pe JOIN {cur} c ON c.m = pe.m AND c.sd = pe.sd
+      GROUP BY pe.vec_id, pe.m, c.cid
+    ),
+    {out} AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rk
+        FROM {out}_dist
+      ) WHERE rk = 1
+    )""")
+        if it <= PQ_ITERS:
+            parts.append(f"""
+    pc{it} AS (
+      SELECT a.cid, pe.m, pe.sd,
+             CAST(SUM(CAST(pe.val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS val
+      FROM pa{it} a JOIN pe ON pe.vec_id = a.vec_id AND pe.m = a.m
+      GROUP BY a.cid, pe.m, pe.sd
+    )""")
+            cur = f"pc{it}"
+    return ",".join(parts), f"pc{PQ_ITERS}"
+
+
+_PQ_ROUNDS_SQL, _PQ_FINAL_CENTS = _pq_sql_rounds()
 
 
 @query(
     "pq_ann_topk",
     oracle=f"""
-    WITH centroids AS (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding
-      FROM embeddings
-      WHERE vec_id >= {PQ_N_QUERY} AND vec_id < {PQ_N_QUERY + PQ_K}
+    WITH {_PQ_ROUNDS_SQL},
+    qe AS (
+      SELECT vec_id, (i - 1) // {PQ_SUBDIM} AS m, (i - 1) % {PQ_SUBDIM} AS sd,
+             CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, range(1, 65) t(i)
+      WHERE vec_id < {PQ_N_QUERY}
     ),
-    subspaces AS (SELECT unnest(range({PQ_M})) AS m),
-    corpus AS (
-      SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {PQ_N_QUERY}
-    ),
-    dists AS (
-      SELECT c.vec_id, s.m, cent.k,
-             {_sql_subdot('c.embedding', 'cent.embedding',
-                          f's.m * {PQ_SUBDIM}', f's.m * {PQ_SUBDIM}', PQ_SUBDIM)}
-               AS d
-      FROM corpus c CROSS JOIN subspaces s CROSS JOIN centroids cent
-    ),
-    mins AS (
-      SELECT vec_id, m, MIN(d) AS min_d FROM dists GROUP BY vec_id, m
-    ),
-    codes AS (
-      SELECT d.vec_id, d.m, MIN(d.k) AS code, MIN(mins.min_d) AS cell_d
-      FROM dists d JOIN mins ON d.vec_id = mins.vec_id AND d.m = mins.m
-                   AND d.d = mins.min_d
-      GROUP BY d.vec_id, d.m
-    ),
-    qtable AS (
-      SELECT q.vec_id AS query_id, s.m, cent.k,
-             {_sql_subdot('q.embedding', 'cent.embedding',
-                          f's.m * {PQ_SUBDIM}', f's.m * {PQ_SUBDIM}', PQ_SUBDIM)}
-               AS d
-      FROM embeddings q CROSS JOIN subspaces s CROSS JOIN centroids cent
-      WHERE q.vec_id < {PQ_N_QUERY}
+    qtab AS (
+      SELECT q.vec_id AS query_id, q.m, c.cid,
+             CAST(SUM(CAST((q.val - c.val) * (q.val - c.val)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS d
+      FROM qe q JOIN {_PQ_FINAL_CENTS} c ON c.m = q.m AND c.sd = q.sd
+      GROUP BY q.vec_id, q.m, c.cid
     ),
     adc AS (
-      SELECT qt.query_id, codes.vec_id AS neighbor_id,
+      SELECT qt.query_id, a.vec_id AS neighbor_id,
              CAST(SUM(CAST(qt.d AS DECIMAL(38,6))) AS DOUBLE) AS adc_dist
-      FROM codes JOIN qtable qt ON codes.m = qt.m AND codes.code = qt.k
-      GROUP BY qt.query_id, codes.vec_id
+      FROM pa_final a JOIN qtab qt ON qt.m = a.m AND qt.cid = a.cid
+      GROUP BY qt.query_id, a.vec_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id, adc_dist FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+               ) AS srk
+        FROM adc
+      ) WHERE srk <= {PQ_RERANK}
+    ),
+    en AS (
+      SELECT vec_id, embedding, {sql_dot('embedding', 'embedding')} AS nsq
+      FROM embeddings
+    ),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id, s.adc_dist,
+             {sql_cosine('q.embedding', 'c.embedding', 'q.nsq', 'c.nsq')} AS cos_sim
+      FROM short s
+      JOIN en q ON q.vec_id = s.query_id
+      JOIN en c ON c.vec_id = s.neighbor_id
     )
-    SELECT query_id, neighbor_id, adc_dist, CAST(rk AS BIGINT) AS rk
+    SELECT query_id, neighbor_id, adc_dist, cos_sim, CAST(rk AS BIGINT) AS rk
     FROM (
       SELECT *, row_number() OVER (
-               PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
              ) AS rk
-      FROM adc
+      FROM rer
     )
     WHERE rk <= {PQ_TOP_K}
     """,
 )
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (Jégou et al., TPAMI 2011): vectors are
-    encoded as {PQ_M} one-byte codes (argmin centroid per subspace) and
-    queries scan CODES, not vectors — the memory-bound regime that makes
-    billion-scale ANN fit a cluster. Asymmetric distance (ADC): each
-    query precomputes a {PQ_M}×{PQ_K} lookup table of subspace
-    distances; a neighbor's distance is the sum of {PQ_M} table cells.
+    """Product-quantization ANN (Jégou et al., TPAMI 2011) with a
+    TRAINED codebook and exact reranking: per-subspace k-means
+    ({PQ_M} subspaces × {PQ_K} centroids, {PQ_ITERS} Lloyd rounds,
+    first-K init — the kmeans.py determinism discipline applied per
+    subspace) encodes each corpus vector as {PQ_M} codes; each query
+    precomputes a {PQ_M}×{PQ_K} distance table, ADC-ranks the code
+    table, and the top-{PQ_RERANK} shortlist is reranked by EXACT
+    cosine (the Faiss IVFPQ+refine shape).  Untrained sample
+    codebooks measured recall@5 ≈ 0.2 on this corpus; trained +
+    reranked measures ≈ 0.73-0.87 (ann_recall_eval / PERFORMANCE.md).
 
-    Codebook: deterministic data sample (the {PQ_K} lowest non-query
-    vec_ids) — a production pipeline k-means-trains each subspace
-    (kmeans.py is that machinery) but the encode/ADC dataflow is
-    identical and that's what this operator pins.
-
-    Scale shape: the 32-row codebook and the query table broadcast;
-    encoding is one map-side pass over the corpus (per row: {PQ_M}×
-    {PQ_K} fixed-order folds, all codegen — no UDF, no shuffle); ADC
-    groups (query, neighbor) partial sums map-side. Nothing shuffles
-    except the final per-query top-k. Distances are sequential-fold
-    doubles (functions/vector discipline), ADC sums exact decimal."""
+    Scale shape: training explodes vectors once (map side) and each
+    Lloyd round is two hash aggregations with the ≤{PQ_M}×{PQ_K}×
+    {PQ_SUBDIM}-row centroid table BROADCAST — corpus-sized shuffles
+    never carry vectors, only (vec, m, cid) assignments; encoding is
+    the same broadcast join; ADC partial-sums map-side; the exact
+    rerank touches {PQ_RERANK} rows per query.  All distances are
+    decimal sums (bit-identical across engines); argmin ties break
+    by centroid id; empty clusters drop out of the update in both
+    engines identically."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    centroids = (
-        emb.where(
-            (F.col("vec_id") >= PQ_N_QUERY)
-            & (F.col("vec_id") < PQ_N_QUERY + PQ_K)
-        )
-        .select(
-            (
-                F.row_number().over(W.orderBy("vec_id")) - 1
-            ).alias("k"),
-            F.col("embedding").alias("cent"),
-        )
-    )
-    subspaces = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
-    cent_grid = F.broadcast(centroids.crossJoin(subspaces))
-
-    def subdist(vec: F.Column, cent: F.Column, m: F.Column) -> F.Column:
-        a = F.slice(vec, m * PQ_SUBDIM + 1, PQ_SUBDIM)
-        b = F.slice(cent, m * PQ_SUBDIM + 1, PQ_SUBDIM)
-        diffs = F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("double"))
-        return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
-
-    corpus = emb.where(F.col("vec_id") >= PQ_N_QUERY)
-    codes = (
-        corpus.join(cent_grid)
+    pe = (
+        emb.where(F.col("vec_id") >= PQ_N_QUERY)
+        .select("vec_id", F.posexplode("embedding").alias("p", "fval"))
         .select(
             "vec_id",
-            "m",
-            "k",
-            subdist(F.col("embedding"), F.col("cent"), F.col("m")).alias("d"),
+            (F.col("p") / PQ_SUBDIM).cast("int").alias("m"),
+            (F.col("p") % PQ_SUBDIM).alias("sd"),
+            F.col("fval").cast("double").alias("val"),
         )
-        .groupBy("vec_id", "m")
-        .agg(F.min(F.struct("d", "k")).alias("best"))
-        .select("vec_id", "m", F.col("best.k").alias("code"))
+        .persist()
     )
-    qtable = (
+    from go_map_reduce_spark.registry import track_cache
+
+    track_cache(pe)
+    c = pe.where(F.col("vec_id") < PQ_N_QUERY + PQ_K).select(
+        (F.col("vec_id") - PQ_N_QUERY).alias("cid"), "m", "sd", "val"
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        cc = cents.select(
+            "cid",
+            F.col("m").alias("cm"),
+            F.col("sd").alias("csd"),
+            F.col("val").alias("cval"),
+        )
+        diff = F.col("val") - F.col("cval")
+        dist = (
+            pe.join(
+                F.broadcast(cc),
+                (F.col("m") == F.col("cm")) & (F.col("sd") == F.col("csd")),
+            )
+            .groupBy("vec_id", "m", "cid")
+            .agg(F.sum((diff * diff).cast(_DEC12)).cast("double").alias("d2"))
+        )
+        wa = W.partitionBy("vec_id", "m").orderBy("d2", "cid")
+        return (
+            dist.withColumn("rk", F.row_number().over(wa))
+            .where(F.col("rk") == 1)
+            .select("vec_id", "m", "cid")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        return (
+            pe.join(assigned, ["vec_id", "m"])
+            .groupBy("cid", "m", "sd")
+            .agg(
+                (
+                    F.sum(F.col("val").cast(_DEC12)).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("val")
+            )
+        )
+
+    for _ in range(PQ_ITERS):
+        c = update(assign(c)).localCheckpoint(eager=True)
+    codes = assign(c)
+    qe = (
         emb.where(F.col("vec_id") < PQ_N_QUERY)
-        .join(cent_grid)
+        .select("vec_id", F.posexplode("embedding").alias("p", "fval"))
         .select(
             F.col("vec_id").alias("query_id"),
-            "m",
-            "k",
-            subdist(F.col("embedding"), F.col("cent"), F.col("m")).alias("d"),
+            (F.col("p") / PQ_SUBDIM).cast("int").alias("m"),
+            (F.col("p") % PQ_SUBDIM).alias("sd"),
+            F.col("fval").cast("double").alias("val"),
         )
+    )
+    cc = c.select(
+        "cid",
+        F.col("m").alias("cm"),
+        F.col("sd").alias("csd"),
+        F.col("val").alias("cval"),
+    )
+    qdiff = F.col("val") - F.col("cval")
+    qtab = (
+        qe.join(
+            F.broadcast(cc),
+            (F.col("m") == F.col("cm")) & (F.col("sd") == F.col("csd")),
+        )
+        .groupBy("query_id", "m", "cid")
+        .agg(F.sum((qdiff * qdiff).cast(_DEC12)).cast("double").alias("d"))
     )
     from go_map_reduce_spark.functions.numeric import dsum
 
     adc = (
-        codes.join(
-            F.broadcast(qtable),
-            (codes.m == qtable.m) & (codes.code == qtable.k),
-        )
+        codes.join(F.broadcast(qtab), ["m", "cid"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(dsum(F.col("d")).alias("adc_dist"))
     )
-    w = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    ws = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    short = (
+        adc.withColumn("srk", F.row_number().over(ws))
+        .where(F.col("srk") <= PQ_RERANK)
+        .select("query_id", "neighbor_id", "adc_dist")
+    )
+    en = emb.select(
+        "vec_id", "embedding", norm_sq(F.col("embedding")).alias("nsq")
+    )
+    qv = en.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    cv = en.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nsq").alias("c_nsq"),
+    )
+    rer = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_dist",
+            cosine(
+                F.col("q_emb"), F.col("c_emb"), F.col("q_nsq"), F.col("c_nsq")
+            ).alias("cos_sim"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        adc.withColumn("rk", F.row_number().over(w).cast("long"))
+        rer.withColumn("rk", F.row_number().over(wr).cast("long"))
         .where(F.col("rk") <= PQ_TOP_K)
     )

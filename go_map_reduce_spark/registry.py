@@ -33,10 +33,10 @@ ORACLES: dict[str, str] = {}
 # plan depends on cannot be released inside the function (nothing has
 # materialized yet).  Functions register such frames with track_cache();
 # whoever materializes the result (bench.py, the pytest harness, the CLI)
-# calls release_caches() afterwards.  Operators that materialize
-# internally (e.g. minhash_recall_eval's counts) keep unpersisting
-# inline — this registry is only for persists that must outlive the
-# function call.
+# calls release_caches() afterwards.  An operator that materialized
+# internally could unpersist inline instead — none currently does (the
+# last such case, minhash_recall_eval, was rewritten in r08 into a
+# single lazy full-outer-join plan with no persists at all).
 # ---------------------------------------------------------------------------
 
 _LIVE_CACHES: list[DataFrame] = []
@@ -59,36 +59,93 @@ def track_cache(df: DataFrame) -> DataFrame:
 # persists (and sweeps the SQL CacheManager via clearCache()) after every
 # query, exactly so query i's cache can't pressure query i+1's heap.
 #
-# shared_frame() therefore memoizes per (SparkContext, key) a frame whose
-# lineage ends in eager localCheckpoint blocks: checkpoint RDD blocks are
-# NOT CacheManager entries, so the per-query clearCache()/release_caches()
-# sweep leaves them alone, and re-executing the memoized plan re-reads the
-# (small, cluster-assignment-sized) blocks instead of re-running the
-# upstream pipeline.  Keying by applicationId makes a stopped/restarted
-# context miss (its blocks died with it) and evicts entries from dead
-# contexts so the memo can't resurrect frames across sessions.  Every
-# builder is deterministic (registry contract), so reuse is semantically
-# invisible — a standalone run just builds on first call.
+# shared_frame() therefore memoizes per (SparkContext, key, data
+# fingerprint) a frame whose lineage ends in eager localCheckpoint
+# blocks: checkpoint RDD blocks are NOT CacheManager entries, so the
+# per-query clearCache()/release_caches() sweep leaves them alone, and
+# re-executing the memoized plan re-reads the (small,
+# cluster-assignment-sized) blocks instead of re-running the upstream
+# pipeline.  Keying by applicationId makes a stopped/restarted context
+# miss (its blocks died with it) and evicts entries from dead contexts
+# so the memo can't resurrect frames across sessions; folding the data
+# path's listing fingerprint (names, sizes, mtimes) into the key makes
+# a rewrite of the data UNDER the same path within one application miss
+# instead of silently serving the pre-rewrite frame.  Every builder is
+# deterministic (registry contract), so reuse is semantically invisible
+# — a standalone run just builds on first call.
+#
+# Non-local-master caveat: localCheckpoint blocks live on executors and
+# are NOT recoverable if an executor holding them dies — on a real
+# cluster a shared frame should be written to (and re-read from) a
+# durable location instead, or rebuilt via invalidate_shared().  In
+# this repo's single-JVM local[...] deployment executor loss is process
+# death, so block loss cannot outlive the memo entry.
 # ---------------------------------------------------------------------------
 
-_SHARED_FRAMES: dict[tuple[str, str], DataFrame] = {}
+_SHARED_FRAMES: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _data_fingerprint(path: Optional[str]) -> str:
+    """Listing fingerprint (entry names + sizes + mtimes) of a data
+    directory — cheap (one readdir + stats, no content read) and
+    changes whenever files under the path are added, removed, or
+    rewritten in place."""
+    if path is None:
+        return ""
+    import hashlib
+    import os
+
+    h = hashlib.md5()
+    try:
+        names = sorted(os.listdir(path))
+    except OSError:
+        return "unreadable"
+    for n in names:
+        try:
+            st = os.stat(os.path.join(path, n))
+        except OSError:
+            continue
+        h.update(f"{n}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()
 
 
 def shared_frame(
-    spark: SparkSession, key: str, builder: Callable[[], DataFrame]
+    spark: SparkSession,
+    key: str,
+    builder: Callable[[], DataFrame],
+    data_path: Optional[str] = None,
 ) -> DataFrame:
     """Build-once frame shared across queries of one SparkContext.
 
     ``builder`` must return a frame whose lineage is truncated by eager
     ``localCheckpoint`` (so reuse is a block read, not a recompute, and
-    survives the bench's per-query cache sweeps).
+    survives the bench's per-query cache sweeps).  Pass the source data
+    directory as ``data_path`` so its listing fingerprint joins the
+    memo key: rewriting the data under the same path invalidates the
+    entry instead of serving the stale frame.
     """
-    k = (spark.sparkContext.applicationId, key)
+    k = (spark.sparkContext.applicationId, key, _data_fingerprint(data_path))
     if k not in _SHARED_FRAMES:
-        for dead in [x for x in _SHARED_FRAMES if x[0] != k[0]]:
+        for dead in [
+            x
+            for x in _SHARED_FRAMES
+            if x[0] != k[0] or (x[1] == k[1] and x[2] != k[2])
+        ]:
             del _SHARED_FRAMES[dead]
         _SHARED_FRAMES[k] = builder()
     return _SHARED_FRAMES[k]
+
+
+def invalidate_shared(key_prefix: str = "") -> int:
+    """Drop memoized shared frames whose key starts with ``key_prefix``
+    (all of them by default); returns how many were evicted.  The hook
+    for callers that know the underlying data or cluster state changed
+    in a way the listing fingerprint cannot see (e.g. executor loss on
+    a non-local master)."""
+    doomed = [x for x in _SHARED_FRAMES if x[1].startswith(key_prefix)]
+    for x in doomed:
+        del _SHARED_FRAMES[x]
+    return len(doomed)
 
 
 def release_caches() -> int:

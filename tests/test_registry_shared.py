@@ -69,7 +69,54 @@ def test_dead_context_entries_evicted(spark):
     one (their checkpoint blocks died with the executor)."""
     app = spark.sparkContext.applicationId
     sentinel = spark.range(1)
-    _SHARED_FRAMES[("dead-app-id", "t:ghost")] = sentinel
+    _SHARED_FRAMES[("dead-app-id", "t:ghost", "")] = sentinel
     shared_frame(spark, "t:evict", lambda: spark.range(2).localCheckpoint(eager=True))
-    assert ("dead-app-id", "t:ghost") not in _SHARED_FRAMES
-    assert (app, "t:evict") in _SHARED_FRAMES
+    assert ("dead-app-id", "t:ghost", "") not in _SHARED_FRAMES
+    assert (app, "t:evict", "") in _SHARED_FRAMES
+
+
+def test_data_rewrite_invalidates_entry(spark, tmp_path):
+    """r08 advice closure: a rewrite of the data under the same path
+    within one application must MISS the memo (new fingerprint), and
+    the pre-rewrite entry must be evicted, not leaked."""
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"v1")
+    calls = []
+
+    def mk(n):
+        def build():
+            calls.append(n)
+            return spark.range(n).localCheckpoint(eager=True)
+
+        return build
+
+    assert shared_frame(spark, "t:fp", mk(3), data_path=str(d)).count() == 3
+    assert shared_frame(spark, "t:fp", mk(4), data_path=str(d)).count() == 3
+    assert calls == [3]
+    import os
+    import time
+
+    (d / "part-0.parquet").write_bytes(b"v2-longer")
+    os.utime(d / "part-0.parquet", ns=(time.time_ns(), time.time_ns() + 1))
+    assert shared_frame(spark, "t:fp", mk(5), data_path=str(d)).count() == 5
+    assert calls == [3, 5]
+    app = spark.sparkContext.applicationId
+    assert len([x for x in _SHARED_FRAMES if x[0] == app and x[1] == "t:fp"]) == 1
+
+
+def test_invalidate_shared_hook(spark):
+    """The explicit invalidation hook for changes the fingerprint
+    cannot see (e.g. executor loss on a non-local master)."""
+    from go_map_reduce_spark.registry import invalidate_shared
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(2).localCheckpoint(eager=True)
+
+    shared_frame(spark, "t:inv", build)
+    assert invalidate_shared("t:inv") == 1
+    shared_frame(spark, "t:inv", build)
+    assert calls == [1, 1]

@@ -26,17 +26,22 @@ def _load_vectors(sf_dir):
 
 
 def test_pq_matches_python_replay(spark, sf_dir):
-    """The whole PQ pipeline (encode → ADC → top-k) is deterministic;
-    Spark's result must equal a pure-Python replay, id for id.
+    """The whole trained-PQ pipeline (per-subspace Lloyd training →
+    encode → ADC shortlist → exact cosine rerank) is deterministic;
+    Spark's result must equal a pure-Python replay, id for id.  The
+    replay mirrors the registered semantics exactly: first-K init,
+    (distance, cid) argmin ties, drop-empty-cluster updates, ADC over
+    the final codebook, shortlist by (adc, id), rerank by exact
+    cosine (desc, id).  Float sums here vs decimal sums in the
+    engines agree far beyond the distance gaps in this data."""
+    import math
 
-    (Recall against exact L2 is NOT asserted: the synthetic embeddings
-    are near-i.i.d. random 64-dim vectors, the distance-concentration
-    worst case where any M=4 product quantizer's recall@10 is ≈ chance.
-    The operator pins the dataflow; recall is a data property.)"""
     from go_map_reduce_spark.operators.similarity import (
+        PQ_ITERS,
         PQ_K,
         PQ_M,
         PQ_N_QUERY,
+        PQ_RERANK,
         PQ_SUBDIM,
         PQ_TOP_K,
     )
@@ -50,37 +55,65 @@ def test_pq_matches_python_replay(spark, sf_dir):
         return sum((x - y) ** 2 for x, y in zip(a, b))
 
     corpus = {i: v for i, v in vecs.items() if i >= PQ_N_QUERY}
+    cids = sorted(corpus)
+    # train per-subspace: init = first K corpus subvectors, keyed by
+    # cid = vec_id - PQ_N_QUERY; empty clusters drop from the update
     cb = [
-        [subv(vecs[i], m) for i in range(PQ_N_QUERY, PQ_N_QUERY + PQ_K)]
+        {
+            i - PQ_N_QUERY: list(subv(corpus[i], m))
+            for i in cids[:PQ_K]
+        }
         for m in range(PQ_M)
     ]
+    for _ in range(PQ_ITERS):
+        for m in range(PQ_M):
+            assign = {
+                i: min(cb[m], key=lambda c: (d2(subv(corpus[i], m), cb[m][c]), c))
+                for i in cids
+            }
+            new = {}
+            for c in sorted(set(assign.values())):
+                members = [subv(corpus[i], m) for i in cids if assign[i] == c]
+                new[c] = [
+                    sum(v[j] for v in members) / len(members)
+                    for j in range(PQ_SUBDIM)
+                ]
+            cb[m] = new
     codes = {
         i: [
-            min(range(PQ_K), key=lambda k: (d2(subv(v, m), cb[m][k]), k))
+            min(cb[m], key=lambda c: (d2(subv(v, m), cb[m][c]), c))
             for m in range(PQ_M)
         ]
         for i, v in corpus.items()
     }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return round(
+            num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))),
+            6,
+        )
+
     got = {}
     for r in QUERIES["pq_ann_topk"](spark, sf_dir).collect():
         got.setdefault(r["query_id"], []).append(
-            (r["rk"], r["neighbor_id"], r["adc_dist"])
+            (r["rk"], r["neighbor_id"], r["adc_dist"], r["cos_sim"])
         )
     for q in range(PQ_N_QUERY):
         qv = vecs[q]
-        tab = [[d2(subv(qv, m), c) for c in cb[m]] for m in range(PQ_M)]
+        tab = [
+            {c: d2(subv(qv, m), cb[m][c]) for c in cb[m]} for m in range(PQ_M)
+        ]
         adc = {
             i: sum(tab[m][codes[i][m]] for m in range(PQ_M)) for i in corpus
         }
-        top = sorted(corpus, key=lambda i: (adc[i], i))[:PQ_TOP_K]
+        short = sorted(corpus, key=lambda i: (adc[i], i))[:PQ_RERANK]
+        top = sorted(short, key=lambda i: (-cos(qv, vecs[i]), i))[:PQ_TOP_K]
         mine = sorted(got[q])
-        assert [n for _, n, _ in mine] == top
-        for (_, n, d), t in zip(mine, top):
-            assert d == pytest.approx(adc[t], rel=1e-4)
-        # codebook members have zero quantization error: ADC == true L2²
-        for _, n, d in mine:
-            if PQ_N_QUERY <= n < PQ_N_QUERY + PQ_K:
-                assert d == pytest.approx(d2(qv, vecs[n]), rel=1e-4)
+        assert [n for _, n, _, _ in mine] == top
+        for _, n, d, cs in mine:
+            assert d == pytest.approx(adc[n], rel=1e-4)
+            assert cs == pytest.approx(cos(qv, vecs[n]), abs=2e-6)
 
 
 def test_pq_adc_correlates_with_true_distance(spark, sf_dir):
