@@ -164,6 +164,11 @@ _GATE_PRIORITY = [
     "curation_dataset_card",
     # round-8 fourth addition: the ANN-tier calibration eval
     "ann_recall_eval",
+    # round-9 additions (the r08 verdict's tasks 2 and 5: the
+    # incremental daily-batch capstone and the run-over-run drift
+    # report; strict-green at sf0.01 before commit)
+    "curation_incremental_admit",
+    "curation_drift_report",
 ]
 
 # Re-gate ordering for STALE-evidence rows (the r04 registry.py edit

@@ -69,6 +69,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline27,
     pipeline28,
     pipeline29,
+    pipeline30,
     sqlsurface,
     stats,
     quality_filters,
