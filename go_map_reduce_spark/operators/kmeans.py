@@ -143,7 +143,22 @@ def _spark_update(e: DataFrame, assign: DataFrame) -> DataFrame:
 def kmeans_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means (K=8, 2 Lloyd rounds, first-K init) cluster assignments —
     the IVF index build. See module docstring for the determinism and
-    scale design; the oracle replays the identical rounds in SQL."""
+    scale design; the oracle replays the identical rounds in SQL.
+    The assignment frame is the stored IVF index every probe reads, so
+    it is built once per context via registry.shared_frame (the
+    cluster-frame convention): ivf_probe_topk and ann_recall_eval
+    read the same checkpointed rows instead of re-running Lloyd."""
+    from go_map_reduce_spark.registry import shared_frame
+
+    return shared_frame(
+        spark,
+        f"kmeans_ivf:{sf_dir}",
+        lambda: _kmeans_plan(spark, sf_dir).localCheckpoint(eager=True),
+        data_path=sf_dir,
+    )
+
+
+def _kmeans_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _spark_exploded(spark, sf_dir).persist().transform(track_cache)
     c = e.where(F.col("vec_id") < K).select(
         F.col("vec_id").alias("cid"), "d", "val"
@@ -198,7 +213,21 @@ def ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path where candidate count is corpus/K instead of corpus.
     (Multi-probe IVF adds the next-nearest cells; same plan, wider
     candidate join.) Builds on kmeans_ivf_assignments; cosine math is
-    the deterministic sequential fold of functions/vector.py."""
+    the deterministic sequential fold of functions/vector.py.  The
+    top-k result rows are shared via registry.shared_frame (the
+    similarity tiers' _shared_topk convention) so ann_recall_eval
+    scores the SAME rows instead of re-running the k-means build."""
+    from go_map_reduce_spark.registry import shared_frame
+
+    return shared_frame(
+        spark,
+        f"ann_ivf:{sf_dir}",
+        lambda: _ivf_probe_plan(spark, sf_dir).localCheckpoint(eager=True),
+        data_path=sf_dir,
+    )
+
+
+def _ivf_probe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_map_reduce_spark.functions.vector import cosine, norm_sq
 
     emb = load_table(spark, sf_dir, "embeddings")

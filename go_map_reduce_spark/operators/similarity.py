@@ -26,11 +26,30 @@ import itertools
 
 from go_map_reduce_spark.catalog import load_table
 from go_map_reduce_spark.functions.vector import cosine, norm_sq, sql_cosine, sql_dot
-from go_map_reduce_spark.registry import query
+from go_map_reduce_spark.registry import query, shared_frame
 
 N_QUERY_VECS = 8  # brute-force demo query set: vec_id < 8
 TOP_K = 5
 BUCKET_TOP_K = 3
+
+# Each ANN tier's top-k output is tiny (n_queries·k rows) but its plan
+# is a whole retrieval pipeline; ann_recall_eval composes ALL the
+# tiers against the brute truth, so without sharing, one suite run
+# pays every pipeline twice (standalone query + inside the eval).
+# The registry.shared_frame pattern (proven on the dedup cluster
+# frame: 3.5-3.8 s consumers -> 0.05-0.3 s) memoizes each tier's
+# RESULT rows behind an eager localCheckpoint keyed by (app, tier,
+# data fingerprint) — builders are deterministic, so reuse is
+# semantically invisible; standalone runs build on first call.
+
+
+def _shared_topk(spark, key: str, sf_dir: str, build) -> DataFrame:
+    return shared_frame(
+        spark,
+        f"{key}:{sf_dir}",
+        lambda: build().localCheckpoint(eager=True),
+        data_path=sf_dir,
+    )
 
 
 @query(
@@ -58,7 +77,14 @@ BUCKET_TOP_K = 3
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for a query set: broadcast the (tiny) query
     side, scan candidates once, window top-k per query. Deterministic
-    ranking: cosine desc, neighbor_id asc tiebreak."""
+    ranking: cosine desc, neighbor_id asc tiebreak. Result shared via
+    _shared_topk (the eval reuses it as its truth side)."""
+    return _shared_topk(
+        spark, "ann_brute", sf_dir, lambda: _ann_bruteforce_plan(spark, sf_dir)
+    )
+
+
+def _ann_bruteforce_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", "embedding", norm_sq(F.col("embedding")).alias("nsq"))
     q = e.where(F.col("vec_id") < N_QUERY_VECS).select(
@@ -130,6 +156,7 @@ _SQL_CENTERED_BUCKET = " + ".join(
       FROM e CROSS JOIN (
         SELECT unnest([{', '.join(str(m) for m in LSH_PROBE_MASKS)}]) AS mask
       ) m
+      WHERE e.vec_id < {N_QUERY_VECS}
     ),
     scored AS (
       SELECT p.query_id, c.vec_id AS neighbor_id,
@@ -147,9 +174,18 @@ _SQL_CENTERED_BUCKET = " + ".join(
     """,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe sign-LSH ANN: every vector's top-{BUCKET_TOP_K}
-    neighbors within the buckets at Hamming distance <= {LSH_RADIUS}
-    of its own {LSH_BITS}-bit mean-centered sign bucket.  Centering
+    """Multi-probe sign-LSH ANN retrieval: each query vector's
+    top-{BUCKET_TOP_K} neighbors within the buckets at Hamming
+    distance <= {LSH_RADIUS} of its own {LSH_BITS}-bit mean-centered
+    sign bucket, for the same {N_QUERY_VECS}-vector query set as the
+    sibling tiers (brute / IVF / PQ) — the retrieval shape, where the
+    index amortizes over a small query stream; the all-pairs
+    neighbor-GRAPH shape lives in embedding_near_dup_pairs /
+    semantic_dedup_survivors, whose banded keys bound pair work.
+    (The r09 retune briefly ran this all-pairs: N x corpus/3 cosine
+    work — 11.3 s at sf0.1 and quadratic at scale — for rows no
+    consumer read; ann_recall_eval scores only the query set.)
+    Centering
     (subtract the corpus per-dimension mean before taking signs)
     balances the buckets on non-centered corpora for free, and
     multi-probe — querying the Hamming-adjacent buckets instead of
@@ -167,7 +203,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a constant); per-bucket work is bounded by bucket occupancy.
     Recall@{BUCKET_TOP_K} is measured, not assumed — ann_recall_eval
     (pipeline29) gates it against the brute-force truth; the
-    bits/radius frontier is recorded in PERFORMANCE.md r09."""
+    bits/radius frontier is recorded in PERFORMANCE.md r09. Result
+    shared via _shared_topk (the eval scores these same rows)."""
+    return _shared_topk(
+        spark, "ann_lsh", sf_dir, lambda: _ann_lsh_plan(spark, sf_dir)
+    )
+
+
+def _ann_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     mu = emb.agg(
         *[
@@ -198,7 +241,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             norm_sq(F.col("embedding")).alias("nsq"),
         )
     )
-    q = e.select(
+    q = e.where(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
@@ -208,7 +251,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("probe", F.col("q_bucket").bitwiseXOR(F.col("mask")))
     scored = (
         e.join(
-            q,
+            F.broadcast(q),
             (F.col("bucket") == F.col("probe"))
             & (F.col("vec_id") != F.col("query_id")),
         )
@@ -477,7 +520,14 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank touches {PQ_RERANK} rows per query.  All distances are
     decimal sums (bit-identical across engines); argmin ties break
     by centroid id; empty clusters drop out of the update in both
-    engines identically."""
+    engines identically.  Result shared via _shared_topk (the eval
+    scores these same rows)."""
+    return _shared_topk(
+        spark, "ann_pq", sf_dir, lambda: _pq_ann_plan(spark, sf_dir)
+    )
+
+
+def _pq_ann_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     pe = (
         emb.where(F.col("vec_id") >= PQ_N_QUERY)

@@ -53,7 +53,16 @@ def test_wordcount_scan_prunes_columns(spark, sf_dir):
 
 
 def test_ann_bruteforce_broadcasts_queries(spark, sf_dir):
-    plan = _plan(spark, "ann_bruteforce_topk", sf_dir)
+    """Pin the BUILD plan (the registered query memoizes its result
+    rows behind a localCheckpoint, so its own plan is a block scan —
+    the join shape to pin lives in the underlying plan builder)."""
+    from go_map_reduce_spark.operators.similarity import _ann_bruteforce_plan
+
+    plan = _ann_bruteforce_plan(spark, sf_dir)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
