@@ -14,6 +14,17 @@ Env:
   BENCH_REPEAT        timed repetitions per query, best-of (default 1)
   BENCH_DETAIL_PATH   where to write the full timing map
                       (default: BENCH_DETAIL.json next to this file)
+  BENCH_ACTION        "count" (default) or "noop".  count() is the
+                      historical per-round metric, but Catalyst prunes
+                      final-projection columns a count doesn't need —
+                      for top-level aggregates the measure expressions
+                      themselves (e.g. a funnel's token sums) can be
+                      optimized out, so count-mode under-charges
+                      aggregate-final queries.  noop-mode writes to
+                      Spark's noop sink, forcing every output column
+                      to be computed (the honest full-computation
+                      number); see PERFORMANCE.md r09 for the measured
+                      gap between the two modes.
 """
 
 from __future__ import annotations
@@ -133,13 +144,20 @@ def main() -> None:
         # Each timing covers plan construction + optimization + execution
         # (with repeat>1, best-of drops first-run JIT/analysis noise).
         best = float("inf")
+        action = os.environ.get("BENCH_ACTION", "count")
         for _ in range(max(repeat, 2) if name in NOISY else repeat):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = df.count()  # full execution; rows land JVM-side only
+            if action == "noop":
+                # noop sink: full execution of EVERY output column
+                # (count-mode lets Catalyst prune unused final
+                # expressions), rows land JVM-side only
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                n = df.count()  # full execution; rows land JVM-side only
+                assert n >= 0
             dt = time.perf_counter() - t0
             best = min(best, dt)
-            assert n >= 0
         timings[name] = round(best, 4)
         total += best
         print(f"# {name}: {best:.3f}s", file=sys.stderr)

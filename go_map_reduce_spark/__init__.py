@@ -70,6 +70,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline28,
     pipeline29,
     pipeline30,
+    pipeline31,
     sqlsurface,
     stats,
     quality_filters,

@@ -41,15 +41,19 @@ _DEC = "decimal(38,12)"
 # ---------------------------------------------------------------------------
 # Oracle SQL generation (mirrors the Spark loop, one CTE pair per round)
 # ---------------------------------------------------------------------------
-def _sql_assign(centroid_cte: str, out: str) -> str:
-    """Assignment CTE: nearest centroid per vector by exact-decimal L2²."""
+def _sql_assign(centroid_cte: str, out: str, src: str = "e") -> str:
+    """Assignment CTE: nearest centroid per vector by exact-decimal L2².
+    ``src`` names the exploded (vec_id, d, val) relation — pipeline31's
+    IVF upsert assigns the BATCH explode against frozen centroids with
+    the identical CTE body."""
     return f"""
     {out}_dist AS (
-      SELECT e.vec_id, c.cid,
-             CAST(SUM(CAST((e.val - c.val) * (e.val - c.val) AS DECIMAL(38,12)))
+      SELECT {src}.vec_id, c.cid,
+             CAST(SUM(CAST(({src}.val - c.val) * ({src}.val - c.val)
+                           AS DECIMAL(38,12)))
                   AS DOUBLE) AS dist2
-      FROM e JOIN {centroid_cte} c ON e.d = c.d
-      GROUP BY e.vec_id, c.cid
+      FROM {src} JOIN {centroid_cte} c ON {src}.d = c.d
+      GROUP BY {src}.vec_id, c.cid
     ),
     {out} AS (
       SELECT vec_id, cid, dist2 FROM (
@@ -60,14 +64,15 @@ def _sql_assign(centroid_cte: str, out: str) -> str:
     )"""
 
 
-def _sql_update(assign_cte: str, out: str) -> str:
+def _sql_update(assign_cte: str, out: str, src: str = "e") -> str:
     """Centroid-update CTE: per-dimension decimal mean of assigned vecs."""
     return f"""
     {out} AS (
-      SELECT a.cid, e.d,
-             CAST(SUM(CAST(e.val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS val
-      FROM {assign_cte} a JOIN e ON e.vec_id = a.vec_id
-      GROUP BY a.cid, e.d
+      SELECT a.cid, {src}.d,
+             CAST(SUM(CAST({src}.val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+               AS val
+      FROM {assign_cte} a JOIN {src} ON {src}.vec_id = a.vec_id
+      GROUP BY a.cid, {src}.d
     )"""
 
 

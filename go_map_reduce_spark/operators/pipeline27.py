@@ -78,9 +78,27 @@ STAGED_ORACLE = f"""
 def staged_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capstone's per-doc decision frame — every registered stage
     operator run verbatim and joined on doc_id: (doc_id, split,
-    gate_ok, dedup_ok, n_tokens, n_removed). Shared by the funnel and
-    the dataset card so 'what the pipeline decided' has exactly one
-    definition."""
+    gate_ok, dedup_ok, n_tokens, n_removed). Shared by the funnel,
+    the dataset card, the drift report, and the incremental admit so
+    'what the pipeline decided' has exactly one definition — and
+    materialized ONCE per context via registry.shared_frame (the
+    cluster-frame convention): the frame is narrow per-doc verdicts,
+    but its lineage contains the substring cut's window machinery and
+    the gate's text scan, which every consumer would otherwise
+    re-run.  The disk analogue of this memo is write_staged_bucketed
+    (pipeline30), which additionally co-buckets the stage frames so
+    recomposition is exchange-free."""
+    from go_map_reduce_spark.registry import shared_frame
+
+    return shared_frame(
+        spark,
+        f"staged:{sf_dir}",
+        lambda: _staged_plan(spark, sf_dir).localCheckpoint(eager=True),
+        data_path=sf_dir,
+    )
+
+
+def _staged_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate = doc_quality_composite_gate(spark, sf_dir).select(
         "doc_id", "verdict"
     )

@@ -1,0 +1,366 @@
+"""Round-9 pipeline operators, second batch: the INDEX side of the
+daily batch.
+
+``curation_incremental_admit`` (pipeline30) answers "which of today's
+documents enter the corpus"; these two answer the sibling question a
+retrieval/embedding stack faces the same morning:
+
+- ``ivf_index_upsert``: fold the day's embedding vectors into
+  YESTERDAY'S IVF index by nearest-centroid assignment against the
+  frozen final centroids — retraining is a periodic compaction, not a
+  daily cost (how Faiss/Milvus-style IVF indexes actually absorb
+  inserts).  The emitted per-cell report (standing vs admitted
+  occupancy, mean quantization distortion of each population) is the
+  index-health artifact that decides WHEN to retrain: admitted
+  vectors landing measurably farther from their centroids than the
+  standing population is the drift alarm.
+- ``embedding_batch_drift``: the upstream monitor — per-dimension
+  distribution drift of the day's vectors against the standing
+  corpus (mean shift, variance shift, and an exact-arithmetic
+  histogram L1 distance).  A drifted embedding batch (model version
+  bump, corrupted featurizer) must be caught BEFORE it is folded into
+  the index or used for dedup.
+
+Both reuse the engine's standing conventions: the deterministic
+``NEW_BATCH_MOD``/``NEW_BATCH_REM`` "today's batch" carve-out
+(pipeline20), the kmeans module's move-for-move replayable Lloyd
+machinery (first-K init, decimal sums, (dist, cid) ties, drop-empty
+updates), and exact-integer/decimal arithmetic wherever a float sum
+order could diverge across engines.
+
+Reference anchor: the daily-rerun operating model is
+main/test-mr-many.sh:15-22 (repeated whole-pipeline trials against
+standing outputs); the drift report is main/test-mr.sh:90's two-run
+comparison promoted to a queryable artifact, applied to the vector
+tier.
+
+Composition queries import tier functions directly (package
+convention: the staleness closure must see the edges)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from go_map_reduce_spark.catalog import load_table
+from go_map_reduce_spark.operators.kmeans import (
+    _DEC,
+    DIMS,
+    ITERATIONS,
+    K,
+    _spark_assign,
+    _spark_exploded,
+    _spark_update,
+    _sql_assign,
+    _sql_update,
+)
+from go_map_reduce_spark.operators.pipeline20 import (
+    NEW_BATCH_MOD,
+    NEW_BATCH_REM,
+)
+from go_map_reduce_spark.registry import query, track_cache
+
+# --------------------------------------------------------------------------
+# IVF index upsert: assign the day's vectors to the frozen standing index
+# --------------------------------------------------------------------------
+
+_IS_NEW = f"vec_id % {NEW_BATCH_MOD} = {NEW_BATCH_REM}"
+_IS_STANDING = f"vec_id % {NEW_BATCH_MOD} <> {NEW_BATCH_REM}"
+
+
+def _upsert_oracle() -> str:
+    """Replay the standing-corpus Lloyd rounds, freeze the final
+    centroids, assign the batch against them, and aggregate the
+    per-cell report — every stage the same CTE bodies as the
+    registered kmeans oracle (src-parameterized)."""
+    parts = [
+        f"""
+    e AS (
+      SELECT vec_id, i AS d, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, range(1, {DIMS + 1}) t(i)
+      WHERE {_IS_STANDING}
+    ),
+    eb AS (
+      SELECT vec_id, i AS d, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, range(1, {DIMS + 1}) t(i)
+      WHERE {_IS_NEW}
+    ),
+    ids AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM (SELECT DISTINCT vec_id FROM e ORDER BY vec_id LIMIT {K})
+    ),
+    c0 AS (
+      SELECT i.cid, e.d, e.val FROM e JOIN ids i ON i.vec_id = e.vec_id
+    )"""
+    ]
+    cur = "c0"
+    for it in range(1, ITERATIONS + 1):
+        parts.append(_sql_assign(cur, f"a{it}"))
+        if it < ITERATIONS:
+            parts.append(_sql_update(f"a{it}", f"c{it}"))
+            cur = f"c{it}"
+    parts.append(_sql_update(f"a{ITERATIONS}", "cf"))
+    parts.append(_sql_assign("cf", "ab", src="eb"))
+    parts.append(f"""
+    std AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_standing,
+             round(CAST(SUM(CAST(dist2 AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*), 9) AS mean_dist2_standing
+      FROM a{ITERATIONS} GROUP BY cid
+    ),
+    nb AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_new,
+             round(CAST(SUM(CAST(dist2 AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*), 9) AS mean_dist2_new
+      FROM ab GROUP BY cid
+    )""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + """
+    SELECT CAST(s.cid AS BIGINT) AS cluster_id, s.n_standing,
+           CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+           s.mean_dist2_standing, n.mean_dist2_new,
+           CAST(COALESCE(n.n_new, 0) * 1000 // s.n_standing AS BIGINT)
+             AS growth_permille
+    FROM std s LEFT JOIN nb n ON n.cid = s.cid
+    """
+    )
+
+
+@query("ivf_index_upsert", oracle=_upsert_oracle())
+def ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF admit: train the standing index on yesterday's
+    corpus (vec_id % 10 != 7; K=8, 2 Lloyd rounds under the kmeans
+    determinism discipline, init = the K lowest standing ids),
+    FREEZE its final centroids, and assign today's batch by nearest
+    frozen centroid — no retraining.  Emits the per-cell index-health
+    report: cluster_id, n_standing, n_new, mean_dist2_standing,
+    mean_dist2_new (exact-decimal sums of the winning L2² distances),
+    and growth_permille (exact integer DIV — occupancy growth the
+    compaction scheduler thresholds on).  A cell whose admitted
+    population sits farther from the centroid than its standing one
+    (mean_dist2_new >> mean_dist2_standing) is quantizing new content
+    badly — the retrain alarm.
+
+    100 TB shape: the standing training cost is the registered kmeans
+    plan (explode once + broadcast centroids per round); the DAILY
+    cost is one batch-sized explode joined against a broadcast K x D
+    centroid table plus a K-row aggregate — work scales with the
+    batch, never the standing corpus.  Empty final cells drop out of
+    the frozen centroid table in both engines identically (the kmeans
+    drop-empty convention), so a batch vector can only land in a cell
+    the standing assignment actually populates."""
+    ex = _spark_exploded(spark, sf_dir).persist().transform(track_cache)
+    is_new = (F.col("vec_id") % NEW_BATCH_MOD) == NEW_BATCH_REM
+    e = ex.where(~is_new)
+    eb = ex.where(is_new)
+    ids = (
+        e.select("vec_id")
+        .distinct()
+        .orderBy("vec_id")
+        .limit(K)
+        .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+    )
+    c = e.join(ids, "vec_id").select("cid", "d", "val")
+    assign = None
+    for it in range(1, ITERATIONS + 1):
+        assign = _spark_assign(e, c)
+        if it < ITERATIONS:
+            c = _spark_update(e, assign).localCheckpoint(eager=True)
+    cf = _spark_update(e, assign).localCheckpoint(eager=True)
+    ab = _spark_assign(eb, cf)
+
+    def _cell_report(a: DataFrame, n_col: str, d_col: str) -> DataFrame:
+        return a.groupBy("cid").agg(
+            F.count(F.lit(1)).cast("long").alias(n_col),
+            F.round(
+                F.sum(F.col("dist2").cast(_DEC)).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias(d_col),
+        )
+
+    std = _cell_report(assign, "n_standing", "mean_dist2_standing")
+    nb = _cell_report(ab, "n_new", "mean_dist2_new")
+    return (
+        std.join(nb, "cid", "left")
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)).cast("long"))
+        .select(
+            F.col("cid").cast("long").alias("cluster_id"),
+            "n_standing",
+            "n_new",
+            "mean_dist2_standing",
+            "mean_dist2_new",
+            F.expr("CAST((n_new * 1000) DIV n_standing AS BIGINT)").alias(
+                "growth_permille"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-dimension embedding drift: the day's vectors vs the standing corpus
+# --------------------------------------------------------------------------
+
+DRIFT_HIST_BUCKETS = 8  # fixed [-0.5, 0.5) range, 8 equal bins
+
+
+@query(
+    "embedding_batch_drift",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, i AS d, CAST(embedding[i] AS DOUBLE) AS val,
+             ({_IS_NEW}) AS is_new
+      FROM embeddings, range(1, {DIMS + 1}) t(i)
+    ),
+    agg AS (
+      SELECT d, is_new, COUNT(*) AS n,
+             CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(val * val AS DECIMAL(38,12))) AS DOUBLE) AS sq
+      FROM ex GROUP BY d, is_new
+    ),
+    hist AS (
+      SELECT d, is_new,
+             LEAST(GREATEST(CAST(FLOOR((val + 0.5) * {DRIFT_HIST_BUCKETS})
+                                 AS BIGINT), 0),
+                   {DRIFT_HIST_BUCKETS - 1}) AS b,
+             COUNT(*) AS c
+      FROM ex GROUP BY d, is_new, b
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN {_IS_STANDING} THEN 1 ELSE 0 END) AS BIGINT)
+               AS ns,
+             CAST(SUM(CASE WHEN {_IS_NEW} THEN 1 ELSE 0 END) AS BIGINT) AS nn
+      FROM embeddings
+    ),
+    hs AS (SELECT d, b, c FROM hist WHERE NOT is_new),
+    hn AS (SELECT d, b, c FROM hist WHERE is_new),
+    l1 AS (
+      SELECT COALESCE(hs.d, hn.d) AS d,
+             CAST(SUM(ABS(COALESCE(hn.c, 0) * t.ns
+                          - COALESCE(hs.c, 0) * t.nn)) AS BIGINT) AS l1num
+      FROM hs FULL OUTER JOIN hn ON hn.d = hs.d AND hn.b = hs.b
+      CROSS JOIN tot t
+      GROUP BY COALESCE(hs.d, hn.d)
+    ),
+    a_std AS (SELECT d, n, s, sq FROM agg WHERE NOT is_new),
+    a_new AS (SELECT d, n, s, sq FROM agg WHERE is_new)
+    SELECT s.d,
+           round(s.s / s.n, 9) AS mu_standing,
+           round(n2.s / n2.n, 9) AS mu_new,
+           round(n2.s / n2.n - s.s / s.n, 9) AS delta_mu,
+           round(s.sq / s.n - (s.s / s.n) * (s.s / s.n), 9) AS var_standing,
+           round(n2.sq / n2.n - (n2.s / n2.n) * (n2.s / n2.n), 9) AS var_new,
+           round(CAST(l1.l1num AS DOUBLE) / (t.ns * t.nn), 9) AS hist_l1
+    FROM a_std s
+    JOIN a_new n2 ON n2.d = s.d
+    JOIN l1 ON l1.d = s.d
+    CROSS JOIN tot t
+    """,
+)
+def embedding_batch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution drift of today's embedding batch
+    (vec_id % 10 == 7) against the standing corpus: mean and
+    variance of each population plus the histogram L1 distance over
+    8 fixed [-0.5, 0.5) bins.  The report a vector pipeline checks
+    BEFORE folding the batch into its index or dedup state — an
+    embedding-model version bump or a corrupted featurizer shows up
+    as a mean/variance shift or a fat histogram distance days before
+    retrieval quality visibly degrades.
+
+    Cross-engine exactness: means and second moments come from
+    decimal sums (bit-identical); the histogram distance avoids
+    float accumulation entirely by summing the exact INTEGER
+    |c_new*N_std - c_std*N_new| per bin and dividing once at the end
+    — sum(|p_new - p_std|) with a single double division, so the
+    hash gate compares exact arithmetic, not float-sum luck.
+
+    100 TB shape: two single-pass explode aggregations (d-keyed and
+    (d, bin)-keyed — 64x8 cells regardless of corpus size) and
+    joins over the 64-row result; no data-sized shuffle beyond
+    the map-side-combined aggregations themselves."""
+    ex = _spark_exploded(spark, sf_dir).withColumn(
+        "is_new", (F.col("vec_id") % NEW_BATCH_MOD) == NEW_BATCH_REM
+    )
+    agg = ex.groupBy("d", "is_new").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").cast(_DEC)).cast("double").alias("s"),
+        F.sum((F.col("val") * F.col("val")).cast(_DEC))
+        .cast("double")
+        .alias("sq"),
+    )
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("val") + 0.5) * DRIFT_HIST_BUCKETS).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(DRIFT_HIST_BUCKETS - 1),
+    )
+    hist = ex.groupBy("d", "is_new", bucket.alias("b")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_new_vec = (F.col("vec_id") % NEW_BATCH_MOD) == NEW_BATCH_REM
+    tot = emb.agg(
+        F.sum((~is_new_vec).cast("long")).cast("long").alias("ns"),
+        F.sum(is_new_vec.cast("long")).cast("long").alias("nn"),
+    )
+    hs = hist.where(~F.col("is_new")).select(
+        "d", "b", F.col("c").alias("cs")
+    )
+    hn = hist.where(F.col("is_new")).select(
+        F.col("d").alias("dn"), F.col("b").alias("bn"), F.col("c").alias("cn")
+    )
+    l1 = (
+        hs.join(
+            hn,
+            (F.col("d") == F.col("dn")) & (F.col("b") == F.col("bn")),
+            "full",
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.coalesce("d", "dn").alias("d"))
+        .agg(
+            F.sum(
+                F.abs(
+                    F.coalesce("cn", F.lit(0)) * F.col("ns")
+                    - F.coalesce("cs", F.lit(0)) * F.col("nn")
+                )
+            )
+            .cast("long")
+            .alias("l1num")
+        )
+    )
+    a_std = agg.where(~F.col("is_new")).select("d", "n", "s", "sq")
+    a_new = agg.where(F.col("is_new")).select(
+        F.col("d").alias("d2"),
+        F.col("n").alias("n2"),
+        F.col("s").alias("s2"),
+        F.col("sq").alias("sq2"),
+    )
+    return (
+        a_std.join(a_new, F.col("d") == F.col("d2"))
+        .join(l1, "d")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            F.round(F.col("s") / F.col("n"), 9).alias("mu_standing"),
+            F.round(F.col("s2") / F.col("n2"), 9).alias("mu_new"),
+            F.round(
+                F.col("s2") / F.col("n2") - F.col("s") / F.col("n"), 9
+            ).alias("delta_mu"),
+            F.round(
+                F.col("sq") / F.col("n")
+                - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n")),
+                9,
+            ).alias("var_standing"),
+            F.round(
+                F.col("sq2") / F.col("n2")
+                - (F.col("s2") / F.col("n2")) * (F.col("s2") / F.col("n2")),
+                9,
+            ).alias("var_new"),
+            F.round(
+                F.col("l1num").cast("double") / (F.col("ns") * F.col("nn")),
+                9,
+            ).alias("hist_l1"),
+        )
+    )
