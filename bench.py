@@ -113,6 +113,9 @@ NOISY = {
     "substring_dup_cut",
     "bpe_corpus_tokenize",
     "events_transform_with_state",
+    # r09: streaming micro-batch admit loop (4 foreachBatch rounds of
+    # state-parquet IO) — the events_incremental_mv noise profile.
+    "streaming_curation_admit",
     # composes the recursive large-star cluster pipeline it selects
     # representatives from — same cold-JIT profile as the histogram
     "dedup_keep_best_quality",

@@ -1,0 +1,113 @@
+"""Streaming first-arrival-wins admit: state, order, and restart.
+
+The oracle differential (collapsed recurrence) is the main gate; the
+tests here pin what the collapse can't see — that the state machine
+really ran sequentially (epoch↔batch bijection in the decisions
+artifact), that the funnel telescopes, that a cluster admits in at
+most one batch, and that a clean stop + restart from the checkpoint
+reaches the same final state as the one-shot run."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_map_reduce_spark.registry import ORACLES, QUERIES
+from go_map_reduce_spark.streaming.admit import (
+    N_STREAM_BATCHES,
+    _admit_funnel,
+    _admit_side,
+    _run_admit_stream,
+    _write_batch_files,
+)
+
+from tests.oracle_util import compare
+
+
+def test_against_duckdb_oracle(spark, sf_dir):
+    compare(
+        QUERIES["streaming_curation_admit"](spark, sf_dir),
+        ORACLES["streaming_curation_admit"],
+        sf_dir,
+    )
+
+
+def _run_full(spark, sf_dir, tmp, batches):
+    _write_batch_files(
+        spark,
+        sf_dir,
+        os.path.join(tmp, "src"),
+        batches,
+        os.path.join(tmp, "stage"),
+    )
+    _run_admit_stream(spark, _admit_side(spark, sf_dir), tmp)
+
+
+def test_funnel_telescopes_and_single_admit_per_cluster(spark, sf_dir):
+    rows = QUERIES["streaming_curation_admit"](spark, sf_dir).collect()
+    assert len(rows) == N_STREAM_BATCHES
+    for r in rows:
+        assert (
+            r["docs_in"]
+            == r["gate_dropped"] + r["dedup_dropped"] + r["admitted"]
+        ), r
+        assert r["tokens_admitted"] >= r["admitted"] >= 0, r
+    # the whole corpus arrived exactly once
+    import pyspark.sql.functions as F  # noqa: F811
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["docs_in"] for r in rows) == n_docs
+
+
+def test_decisions_ran_sequentially_and_restart_resumes(spark, sf_dir):
+    """Drive the stream in two phases over one checkpoint: files for
+    batches 0-1, run; then files 2-3 appear, run again.  Pins (a) the
+    epoch↔batch bijection — each micro-batch processed exactly one
+    source file, oldest mtime first, (b) per-cluster single-admit
+    across ALL batches, (c) the two-phase final state equals the
+    one-shot run's (restart-resume correctness)."""
+    with tempfile.TemporaryDirectory(prefix="gmrs_admit_2p_") as tmp2:
+        _run_full(spark, sf_dir, tmp2, [0, 1])
+        _run_full(spark, sf_dir, tmp2, [2, 3])
+        dec = spark.read.parquet(os.path.join(tmp2, "decisions"))
+        # (a) each epoch saw exactly one batch_id, in batch order
+        pairs = sorted(
+            (r["epoch"], r["batch_id"])
+            for r in dec.select("epoch", "batch_id").distinct().collect()
+        )
+        assert pairs == [(i, i) for i in range(N_STREAM_BATCHES)], pairs
+        # (b) one admit per cluster, ever
+        multi = (
+            dec.where("admitted")
+            .groupBy("group_id")
+            .count()
+            .where("count > 1")
+            .count()
+        )
+        assert multi == 0
+        # an admitted cluster never re-admits after first_seen
+        first_seen = dec.groupBy("group_id").agg(
+            F.min("batch_id").alias("fb")
+        )
+        late_admit = (
+            dec.where("admitted")
+            .join(first_seen, "group_id")
+            .where(F.col("batch_id") != F.col("fb"))
+            .count()
+        )
+        assert late_admit == 0
+        two_phase = {
+            r["batch_id"]: r
+            for r in _admit_funnel(
+                spark, os.path.join(tmp2, "decisions")
+            ).collect()
+        }
+    # (c) equal to the one-shot registered run
+    one_shot = {
+        r["batch_id"]: r
+        for r in QUERIES["streaming_curation_admit"](spark, sf_dir).collect()
+    }
+    assert set(two_phase) == set(one_shot)
+    for b in one_shot:
+        assert two_phase[b].asDict() == one_shot[b].asDict(), b
