@@ -114,8 +114,11 @@ NOISY = {
     "bpe_corpus_tokenize",
     "events_transform_with_state",
     # r09: streaming micro-batch admit loop (4 foreachBatch rounds of
-    # state-parquet IO) — the events_incremental_mv noise profile.
+    # state-parquet IO) — the events_incremental_mv noise profile;
+    # ivf_index_upsert runs the iterative Lloyd pipeline (the
+    # kmeans_ivf_assignments profile).
     "streaming_curation_admit",
+    "ivf_index_upsert",
     # composes the recursive large-star cluster pipeline it selects
     # representatives from — same cold-JIT profile as the histogram
     "dedup_keep_best_quality",

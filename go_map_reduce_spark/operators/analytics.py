@@ -151,13 +151,32 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns for the accuracy tests). Sketches are THE 100 TB answer for
     distinct-heavy dashboards: mergeable fixed-size state instead of a
     distinct shuffle. No SQL oracle — HLL estimates are implementation-
-    defined; accuracy pinned to ≤2% vs exact in tests."""
+    defined; accuracy pinned to ≤2% vs exact in tests.
+
+    The sketch and exact sides are DELIBERATELY separate aggregations
+    joined on the group key: mixing approx_count_distinct with exact
+    count_distinct in one Aggregate makes Spark plan the multi-distinct
+    Expand strategy, whose partial groups are (key, distinct-value)
+    pairs — so every rsd=0.01 HLL buffer (2^14 registers) is allocated
+    per DISTINCT VALUE partial group, not per group: measured 89 s vs
+    5 s at sf0.1 for identical output (found the first time the bench
+    forced full column computation — count-mode had pruned the
+    measures for nine rounds; PERFORMANCE.md r09)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    hll = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        F.count_distinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
         F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+    return hll.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "approx_orders",
+        "exact_orders",
+        "approx_parts",
+        "exact_parts",
     )
 
 
