@@ -71,6 +71,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline29,
     pipeline30,
     pipeline31,
+    pipeline32,
     sqlsurface,
     stats,
     quality_filters,
