@@ -108,13 +108,20 @@ def _write_batch_files(
     src_dir: str,
     batches: list[int],
     stage_dir: str,
+    batch_col=None,
 ) -> None:
     """Write one single-file parquet per batch id into ``src_dir``,
     with strictly increasing mtimes so FileStreamSource's oldest-first
-    pickup at maxFilesPerTrigger=1 delivers them in batch order."""
+    pickup at maxFilesPerTrigger=1 delivers them in batch order.
+    ``batch_col`` overrides the registered ``doc_id % N`` slicing —
+    the first-arrival-wins collapse law holds for ANY deterministic
+    assignment of docs to batches, and the property test exercises it
+    with an md5-permille slicing to pin the LAW, not the instance."""
     os.makedirs(src_dir, exist_ok=True)
+    if batch_col is None:
+        batch_col = F.col("doc_id") % N_STREAM_BATCHES
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", (F.col("doc_id") % N_STREAM_BATCHES).alias("batch_id")
+        "doc_id", batch_col.cast("long").alias("batch_id")
     )
     base = 1_000_000_000  # fixed epoch base: mtimes deterministic too
     for b in batches:

@@ -111,3 +111,49 @@ def test_decisions_ran_sequentially_and_restart_resumes(spark, sf_dir):
     assert set(two_phase) == set(one_shot)
     for b in one_shot:
         assert two_phase[b].asDict() == one_shot[b].asDict(), b
+
+
+def test_collapse_law_holds_for_arbitrary_slicing(spark, sf_dir):
+    """First-arrival-wins must equal its closed form for ANY
+    deterministic batch assignment, not just the registered
+    doc_id % 4: slice into 3 batches by the engine's md5-permille
+    draw, run the real stream, and compare the per-doc admitted set
+    against the collapsed replay (min batch per cluster + keeper rank
+    among minimal-batch members + gate) computed directly in Spark."""
+    from pyspark.sql import Window as W
+
+    from go_map_reduce_spark.operators.pipeline26 import permille_draw_col
+
+    batch_col = permille_draw_col(F.col("doc_id")) % 3
+    with tempfile.TemporaryDirectory(prefix="gmrs_admit_law_") as tmp:
+        _write_batch_files(
+            spark,
+            sf_dir,
+            os.path.join(tmp, "src"),
+            [0, 1, 2],
+            os.path.join(tmp, "stage"),
+            batch_col=batch_col,
+        )
+        side = _admit_side(spark, sf_dir)
+        _run_admit_stream(spark, side, tmp)
+        got = {
+            r["doc_id"]
+            for r in spark.read.parquet(os.path.join(tmp, "decisions"))
+            .where("admitted")
+            .collect()
+        }
+    b = side.join(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", batch_col.cast("long").alias("batch_id")),
+        "doc_id",
+    )
+    fb = b.groupBy("group_id").agg(F.min("batch_id").alias("fb"))
+    first = b.join(fb, "group_id").where(F.col("batch_id") == F.col("fb"))
+    w = W.partitionBy("group_id").orderBy(F.desc("n_tokens"), "doc_id")
+    expected = {
+        r["doc_id"]
+        for r in first.withColumn("rk", F.row_number().over(w))
+        .where(F.col("gate_ok") & (F.col("rk") == 1))
+        .collect()
+    }
+    assert got == expected
