@@ -187,3 +187,39 @@ def listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM nation
         GROUP BY n_regionkey
     """)
+
+
+_SESSVAR_ORACLE = f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum('o_totalprice')} AS revenue
+FROM orders
+WHERE o_totalprice > 150000.0
+GROUP BY o_orderpriority
+"""
+
+
+@query("sql_session_variable_revenue", oracle=_SESSVAR_ORACLE)
+def sql_session_variable_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4, SPARK-42849: DECLARE VARIABLE /
+    SET VARIABLE) — the parameterized-job surface: the threshold lives
+    in a typed session variable the query references by name, the
+    modern analog of the reference's job parameters (nReduce and the
+    app name flow into main/mrmaster.go as arguments, not literals).
+    Catalyst folds the variable reference to a literal at plan time,
+    so the filter still pushes into the parquet scan — parameterizing
+    a query this way costs nothing at 100 TB; the oracle inlines the
+    same constant."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0"
+    )
+    spark.sql("SET VARIABLE price_floor = 150000.0")
+    return spark.sql(f"""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders
+        WHERE o_totalprice > price_floor
+        GROUP BY o_orderpriority
+    """)

@@ -12,7 +12,21 @@ NAMES = [
     "sql_udf_net_revenue",
     "listagg_nations",
     "dynamic_partition_pruning",
+    "sql_session_variable_revenue",
 ]
+
+
+def test_session_variable_folds_into_scan(spark, sf_dir):
+    """The variable reference must fold to a literal at plan time so
+    the threshold filter reaches the parquet scan as a pushed filter
+    (parameterization can't cost a full scan at 100 TB)."""
+    plan = (
+        QUERIES["sql_session_variable_revenue"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "GreaterThan(o_totalprice,150000" in plan, plan
 
 
 @pytest.mark.parametrize("name", NAMES)
