@@ -205,7 +205,7 @@ def sql_session_variable_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SET VARIABLE) — the parameterized-job surface: the threshold lives
     in a typed session variable the query references by name, the
     modern analog of the reference's job parameters (nReduce and the
-    app name flow into main/mrmaster.go as arguments, not literals).
+    app name flow into main/mrcoordinator.go as arguments, not literals).
     Catalyst folds the variable reference to a literal at plan time,
     so the filter still pushes into the parquet scan — parameterizing
     a query this way costs nothing at 100 TB; the oracle inlines the

@@ -87,9 +87,19 @@ _SHARED_FRAMES: dict[tuple[str, str, str], DataFrame] = {}
 
 def _data_fingerprint(path: Optional[str]) -> str:
     """Listing fingerprint (entry names + sizes + mtimes) of a data
-    directory — cheap (one readdir + stats, no content read) and
-    changes whenever files under the path are added, removed, or
-    rewritten in place."""
+    directory — cheap (one readdir + stats, no content read).
+
+    FLAT-LAYOUT ASSUMPTION: the scan is non-recursive (one readdir), so
+    it detects adds/removes/rewrites of the directory's TOP-LEVEL
+    entries only.  Rewriting a file nested inside a subdirectory (a
+    directory-style/partitioned parquet table) changes that file's
+    mtime but not the parent entry's stat, and would be missed.  Every
+    sf_dir this repo points shared_frame at is a flat directory of
+    single-file parquet tables (TESTDATA.md layout), and
+    tests/test_registry_shared.py::test_shared_frame_data_dirs_are_flat
+    pins that assumption against the real testdata.  If a future table
+    becomes directory-style, replace the readdir with an os.walk over
+    relative paths (stat-only, same cost class on flat layouts)."""
     if path is None:
         return ""
     import hashlib

@@ -120,3 +120,33 @@ def test_invalidate_shared_hook(spark):
     assert invalidate_shared("t:inv") == 1
     shared_frame(spark, "t:inv", build)
     assert calls == [1, 1]
+
+
+def test_shared_frame_data_dirs_are_flat():
+    """Guard for _data_fingerprint's documented FLAT-LAYOUT ASSUMPTION:
+    the fingerprint is one non-recursive readdir, so a rewrite nested
+    inside a subdirectory (a directory-style/partitioned table) would be
+    invisible to it.  Every path the package passes as data_path is an
+    sf_dir; pin that the real testdata layout stays flat (single-file
+    tables, no nested files).  If this ever fails, switch
+    _data_fingerprint to a stat-only os.walk as its docstring directs.
+    """
+    import os
+
+    checked = 0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        root = os.path.join("/root/testdata", sf)
+        if not os.path.isdir(root):
+            continue
+        checked += 1
+        nested = [
+            os.path.join(dirpath, f)
+            for dirpath, _, files in os.walk(root)
+            if os.path.abspath(dirpath) != os.path.abspath(root)
+            for f in files
+        ]
+        assert nested == [], (
+            f"{root} is no longer flat ({nested[:3]}...): "
+            "_data_fingerprint must become recursive (os.walk)"
+        )
+    assert checked > 0, "no testdata dirs found — guard vacuous"
