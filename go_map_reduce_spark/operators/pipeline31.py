@@ -68,10 +68,15 @@ _IS_STANDING = f"vec_id % {NEW_BATCH_MOD} <> {NEW_BATCH_REM}"
 
 
 def _upsert_oracle() -> str:
-    """Replay the standing-corpus Lloyd rounds, freeze the final
-    centroids, assign the batch against them, and aggregate the
-    per-cell report — every stage the same CTE bodies as the
-    registered kmeans oracle (src-parameterized)."""
+    """Replay the standing-corpus Lloyd rounds, freeze the centroids
+    the FINAL STANDING ASSIGNMENT was made against (c_{ITERATIONS-1} —
+    the same set kmeans_ivf_assignments stores), assign the batch
+    against those, and aggregate the per-cell report — every stage the
+    same CTE bodies as the registered kmeans oracle
+    (src-parameterized).  One centroid set measures BOTH populations,
+    so mean_dist2_new vs mean_dist2_standing is a like-for-like drift
+    signal (an extra update step for the batch side would bias the
+    batch distortion low and weaken the alarm)."""
     parts = [
         f"""
     e AS (
@@ -98,8 +103,7 @@ def _upsert_oracle() -> str:
         if it < ITERATIONS:
             parts.append(_sql_update(f"a{it}", f"c{it}"))
             cur = f"c{it}"
-    parts.append(_sql_update(f"a{ITERATIONS}", "cf"))
-    parts.append(_sql_assign("cf", "ab", src="eb"))
+    parts.append(_sql_assign(cur, "ab", src="eb"))
     parts.append(f"""
     std AS (
       SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_standing,
@@ -117,12 +121,14 @@ def _upsert_oracle() -> str:
         "WITH "
         + ",".join(parts)
         + """
-    SELECT CAST(s.cid AS BIGINT) AS cluster_id, s.n_standing,
+    SELECT CAST(COALESCE(s.cid, n.cid) AS BIGINT) AS cluster_id,
+           CAST(COALESCE(s.n_standing, 0) AS BIGINT) AS n_standing,
            CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
            s.mean_dist2_standing, n.mean_dist2_new,
-           CAST(COALESCE(n.n_new, 0) * 1000 // s.n_standing AS BIGINT)
-             AS growth_permille
-    FROM std s LEFT JOIN nb n ON n.cid = s.cid
+           CASE WHEN COALESCE(s.n_standing, 0) = 0 THEN NULL
+                ELSE CAST(COALESCE(n.n_new, 0) * 1000 // s.n_standing
+                          AS BIGINT) END AS growth_permille
+    FROM std s FULL OUTER JOIN nb n ON n.cid = s.cid
     """
     )
 
@@ -132,24 +138,33 @@ def ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF admit: train the standing index on yesterday's
     corpus (vec_id % 10 != 7; K=8, 2 Lloyd rounds under the kmeans
     determinism discipline, init = the K lowest standing ids),
-    FREEZE its final centroids, and assign today's batch by nearest
-    frozen centroid — no retraining.  Emits the per-cell index-health
-    report: cluster_id, n_standing, n_new, mean_dist2_standing,
-    mean_dist2_new (exact-decimal sums of the winning L2² distances),
-    and growth_permille (exact integer DIV — occupancy growth the
-    compaction scheduler thresholds on).  A cell whose admitted
+    FREEZE the centroids the final standing assignment was made
+    against (c_{ITERATIONS-1} — the same centroid set
+    kmeans_ivf_assignments stores as the index), and assign today's
+    batch by nearest frozen centroid — no retraining.  Emits the
+    per-cell index-health report: cluster_id, n_standing, n_new,
+    mean_dist2_standing, mean_dist2_new (exact-decimal sums of the
+    winning L2² distances), and growth_permille (exact integer DIV —
+    occupancy growth the compaction scheduler thresholds on; NULL for
+    a cell with no standing members).  A cell whose admitted
     population sits farther from the centroid than its standing one
     (mean_dist2_new >> mean_dist2_standing) is quantizing new content
-    badly — the retrain alarm.
+    badly — the retrain alarm.  Both distortions are measured against
+    the SAME centroid set: running one more update step before
+    assigning the batch (as this operator originally did) strictly
+    improves the batch's fit and biases mean_dist2_new low — muting
+    exactly the alarm the report exists to raise.
 
     100 TB shape: the standing training cost is the registered kmeans
     plan (explode once + broadcast centroids per round); the DAILY
     cost is one batch-sized explode joined against a broadcast K x D
     centroid table plus a K-row aggregate — work scales with the
-    batch, never the standing corpus.  Empty final cells drop out of
-    the frozen centroid table in both engines identically (the kmeans
-    drop-empty convention), so a batch vector can only land in a cell
-    the standing assignment actually populates."""
+    batch, never the standing corpus.  The report joins the two
+    per-cell aggregates FULL OUTER, so a batch vector landing in a
+    cell the final standing assignment left empty still shows up
+    (n_standing = 0) instead of silently dropping from the report;
+    sum(n_new) always equals the batch size (conservation, pinned in
+    tests/test_round9_pipeline31.py)."""
     ex = _spark_exploded(spark, sf_dir).persist().transform(track_cache)
     is_new = (F.col("vec_id") % NEW_BATCH_MOD) == NEW_BATCH_REM
     e = ex.where(~is_new)
@@ -167,8 +182,10 @@ def ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign = _spark_assign(e, c)
         if it < ITERATIONS:
             c = _spark_update(e, assign).localCheckpoint(eager=True)
-    cf = _spark_update(e, assign).localCheckpoint(eager=True)
-    ab = _spark_assign(eb, cf)
+    # c is now c_{ITERATIONS-1}: the frozen index centroids (the set the
+    # final standing assignment used). No further update — the batch is
+    # measured against the same centroids as the standing population.
+    ab = _spark_assign(eb, c)
 
     def _cell_report(a: DataFrame, n_col: str, d_col: str) -> DataFrame:
         return a.groupBy("cid").agg(
@@ -181,18 +198,23 @@ def ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     std = _cell_report(assign, "n_standing", "mean_dist2_standing")
-    nb = _cell_report(ab, "n_new", "mean_dist2_new")
+    nb = _cell_report(ab, "n_new", "mean_dist2_new").withColumnRenamed(
+        "cid", "cid_n"
+    )
     return (
-        std.join(nb, "cid", "left")
-        .withColumn("n_new", F.coalesce("n_new", F.lit(0)).cast("long"))
+        std.join(nb, F.col("cid") == F.col("cid_n"), "full")
         .select(
-            F.col("cid").cast("long").alias("cluster_id"),
-            "n_standing",
-            "n_new",
+            F.coalesce("cid", "cid_n").cast("long").alias("cluster_id"),
+            F.coalesce("n_standing", F.lit(0)).cast("long").alias("n_standing"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
             "mean_dist2_standing",
             "mean_dist2_new",
-            F.expr("CAST((n_new * 1000) DIV n_standing AS BIGINT)").alias(
-                "growth_permille"
+        )
+        .withColumn(
+            "growth_permille",
+            F.expr(
+                "CASE WHEN n_standing = 0 THEN NULL"
+                " ELSE CAST((n_new * 1000) DIV n_standing AS BIGINT) END"
             ),
         )
     )

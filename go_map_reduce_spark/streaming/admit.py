@@ -215,8 +215,21 @@ def _run_admit_stream(
 
 def _admit_funnel(spark: SparkSession, dec_dir: str) -> DataFrame:
     """Per-batch funnel over the decisions artifact (same stage order
-    as the capstone: gate first, then every dedup rejection)."""
-    dec = spark.read.parquet(dec_dir)
+    as the capstone: gate first, then every dedup rejection).
+
+    The read path dedups on (batch_id, doc_id) first: the writer is
+    at-least-once (a crash between a decisions append and the
+    checkpoint commit replays that batch's appends — module
+    docstring).  A replay from the common crash point (decisions
+    appended, seen-set version not yet advanced) re-derives
+    byte-identical rows, so the dedup makes the funnel exact there
+    instead of double-counting docs_in/admitted.  In the narrower
+    window where the seen-set DID advance before the crash, the
+    replayed rows can differ in is_seen/admitted and the dedup picks
+    one arbitrarily — bounding the damage to one batch's admit flags;
+    closing that window fully needs the transactional table format
+    the module docstring names as the production sink."""
+    dec = spark.read.parquet(dec_dir).dropDuplicates(["batch_id", "doc_id"])
     adm = F.col("admitted")
     return dec.groupBy("batch_id").agg(
         F.count(F.lit(1)).alias("docs_in"),

@@ -42,30 +42,96 @@ def test_upsert_populations_reconcile(spark, sf_dir):
     assert sum(r["n_standing"] for r in rows) == n_std
     assert sum(r["n_new"] for r in rows) == n_new
     for r in rows:
-        assert r["n_standing"] > 0, r  # drop-empty: no phantom cells
-        assert r["growth_permille"] == (r["n_new"] * 1000) // r["n_standing"]
-        assert r["mean_dist2_standing"] >= 0
+        if r["n_standing"] == 0:
+            # full-outer guarantee: a batch-only cell surfaces instead
+            # of silently dropping; growth is undefined there
+            assert r["n_new"] > 0 and r["growth_permille"] is None, r
+            assert r["mean_dist2_standing"] is None, r
+        else:
+            assert (
+                r["growth_permille"]
+                == (r["n_new"] * 1000) // r["n_standing"]
+            )
+            assert r["mean_dist2_standing"] >= 0
         if r["n_new"] == 0:
             assert r["mean_dist2_new"] is None, r
         else:
             assert r["mean_dist2_new"] >= 0, r
 
 
+def _numpy_lloyd_frozen(sf_dir):
+    """Independent replay of the upsert's training in numpy: first-K
+    (lowest standing vec_id) init, ITERATIONS Lloyd rounds with the
+    (dist2, cid) tie rule and drop-empty updates, returning the FROZEN
+    centroids c_{ITERATIONS-1} (the set the final standing assignment
+    uses — the same convention kmeans_ivf_assignments stores), their
+    cid labels, and the standing/batch vector arrays."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from go_map_reduce_spark.operators.kmeans import ITERATIONS
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    vid = t["vec_id"].to_numpy()
+    X = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    is_new = (vid % NEW_BATCH_MOD) == NEW_BATCH_REM
+    Xs, Xb = X[~is_new], X[is_new]
+    vs = vid[~is_new]
+    init_ids = np.sort(vs)[:K]
+    C = np.stack([Xs[vs == i][0] for i in init_ids])
+    cids = list(range(K))  # row i of C carries cid label cids[i]
+    for it in range(1, ITERATIONS + 1):
+        d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        # argmin takes the FIRST minimum; rows are in ascending-cid
+        # order, so this replays the (dist2, cid) tie rule
+        a = d2.argmin(axis=1)
+        if it < ITERATIONS:
+            keep = [i for i in range(C.shape[0]) if (a == i).any()]
+            C = np.stack([Xs[a == i].mean(axis=0) for i in keep])
+            cids = [cids[i] for i in keep]
+    return C, cids, Xs, Xb
+
+
 def test_upsert_batch_lands_in_nearest_frozen_cell(spark, sf_dir):
-    """Independent replay for a sample of batch vectors: brute-force
-    the nearest FINAL standing centroid in numpy and pin the cell
-    populations' consistency — the assignment must be against frozen
-    centroids, not a retrained index.  (Exact per-vector assignment
-    is already pinned bit-for-bit by the DuckDB differential; this
-    guards the SEMANTICS against a refactor that quietly retrains.)"""
+    """Independent numpy replay of the admit semantics: recompute the
+    frozen centroids (full Lloyd replay, NOT reading anything back
+    from the operator), brute-force every batch vector's nearest
+    frozen centroid, and pin that the report's per-cell n_new matches
+    the replay exactly — a refactor that quietly retrains on the
+    batch, or measures it against once-more-updated centroids, moves
+    these counts and fails here even though the DuckDB differential
+    (which replays whatever the Spark side does) cannot see it."""
+    import numpy as np
+
+    C, cids, Xs, Xb = _numpy_lloyd_frozen(sf_dir)
+    d2b = ((Xb[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    batch_cells = [cids[i] for i in d2b.argmin(axis=1)]
+    expected = {c: batch_cells.count(c) for c in set(batch_cells)}
+
     rows = QUERIES["ivf_index_upsert"](spark, sf_dir).collect()
-    # frozen-centroid admit can't create cells: every reported cell id
-    # is one of the K initial ids (0..K-1 after the rank-based init)
+    reported = {r["cluster_id"]: r["n_new"] for r in rows}
+    # every replayed landing cell is reported with the exact count...
+    for cell, n in expected.items():
+        assert reported.get(cell) == n, (cell, n, reported)
+    # ...and no reported cell claims batch mass the replay didn't put
+    # there (conservation: total admitted == batch size)
+    assert sum(reported.values()) == len(Xb) == sum(expected.values())
     assert all(0 <= r["cluster_id"] < K for r in rows)
-    # and admitted mass is ~1/NEW_BATCH_MOD of standing mass overall
-    n_std = sum(r["n_standing"] for r in rows)
-    n_new = sum(r["n_new"] for r in rows)
-    assert 0 < n_new < n_std
+    # the standing-side distortion must also be measured against the
+    # SAME frozen centroids (the ADVICE r09 bias fix): replay it
+    d2s = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a_s = d2s.argmin(axis=1)
+    for i, cid in enumerate(cids):
+        m = a_s == i
+        if not m.any():
+            continue
+        want = d2s[m, i].mean()
+        got = next(
+            r["mean_dist2_standing"]
+            for r in rows
+            if r["cluster_id"] == cid and r["n_standing"] > 0
+        )
+        assert got == pytest.approx(want, rel=1e-9), (cid, got, want)
 
 
 def test_drift_metrics_are_self_consistent(spark, sf_dir):

@@ -70,7 +70,11 @@ def test_decisions_ran_sequentially_and_restart_resumes(spark, sf_dir):
     with tempfile.TemporaryDirectory(prefix="gmrs_admit_2p_") as tmp2:
         _run_full(spark, sf_dir, tmp2, [0, 1])
         _run_full(spark, sf_dir, tmp2, [2, 3])
-        dec = spark.read.parquet(os.path.join(tmp2, "decisions"))
+        # the documented read contract: dedup on (batch_id, doc_id)
+        # first, so an at-least-once replayed append can't skew reads
+        dec = spark.read.parquet(
+            os.path.join(tmp2, "decisions")
+        ).dropDuplicates(["batch_id", "doc_id"])
         # (a) each epoch saw exactly one batch_id, in batch order
         pairs = sorted(
             (r["epoch"], r["batch_id"])
@@ -139,6 +143,7 @@ def test_collapse_law_holds_for_arbitrary_slicing(spark, sf_dir):
         got = {
             r["doc_id"]
             for r in spark.read.parquet(os.path.join(tmp, "decisions"))
+            .dropDuplicates(["batch_id", "doc_id"])
             .where("admitted")
             .collect()
         }
@@ -157,3 +162,32 @@ def test_collapse_law_holds_for_arbitrary_slicing(spark, sf_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_funnel_unchanged_under_replayed_append(spark, sf_dir):
+    """At-least-once mitigation (r09 ADVICE): replay one batch's
+    decision appends — the common crash point, where the decisions
+    landed but the checkpoint (and seen-set version) did not advance,
+    so the replayed rows are byte-identical — and pin that
+    _admit_funnel's (batch_id, doc_id) dedup keeps every funnel
+    number exactly as before the replay."""
+    with tempfile.TemporaryDirectory(prefix="gmrs_admit_rp_") as tmp:
+        _run_full(spark, sf_dir, tmp, [0, 1])
+        dec_dir = os.path.join(tmp, "decisions")
+        before = {
+            r["batch_id"]: r.asDict()
+            for r in _admit_funnel(spark, dec_dir).collect()
+        }
+        assert before and all(v["docs_in"] > 0 for v in before.values())
+        replayed = (
+            spark.read.parquet(dec_dir)
+            .where("batch_id = 1")
+            .localCheckpoint(eager=True)  # break lineage before self-append
+        )
+        assert replayed.count() > 0
+        replayed.write.mode("append").parquet(dec_dir)
+        after = {
+            r["batch_id"]: r.asDict()
+            for r in _admit_funnel(spark, dec_dir).collect()
+        }
+        assert after == before
