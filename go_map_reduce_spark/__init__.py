@@ -72,6 +72,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline30,
     pipeline31,
     pipeline32,
+    pipeline33,
     sqlsurface,
     stats,
     quality_filters,

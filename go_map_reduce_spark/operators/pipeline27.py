@@ -122,9 +122,11 @@ def _staged_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "curation_pipeline_e2e",
-    oracle=f"""
+# The whole-corpus funnel oracle, shared verbatim by the direct
+# capstone (below) and its bucketed-layout twin
+# (pipeline30.curation_funnel_bucketed): one SQL definition of the
+# funnel, exactly as funnel_from_staged is its one Spark definition.
+E2E_FUNNEL_ORACLE = f"""
     WITH staged AS ({STAGED_ORACLE}),
     packed_all AS (
       WITH RECURSIVE final_sized AS (
@@ -161,30 +163,15 @@ def _staged_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
            f.docs_kept, f.docs_cut, f.tokens_cut, f.tokens_kept,
            CAST(COALESCE(n.n_sequences, 0) AS BIGINT) AS n_sequences
     FROM funnel f LEFT JOIN nseq n ON n.split = f.split
-    """,
-)
-def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end curation funnel, one row per train/val split:
-    docs_in → gate_dropped (quality verdict != 'keep') →
-    dedup_dropped (gate-kept but not its near-dup cluster's keeper) →
-    docs_kept, with docs_cut / tokens_cut (substring-dup removal on
-    the kept set), tokens_kept (post-cut), and n_sequences (best-fit
-    packed {PACK_SHARD}-doc-shard sequences of the kept set). The
-    telescoping identity docs_in = gate_dropped + dedup_dropped +
-    docs_kept holds per split by construction and is pinned by the
-    reconciliation property test.
+    """
 
-    100 TB shape: each stage keeps its own registered plan (gate: pure
-    per-row scan; cut: fixed-width-key shuffles only; dedup: the
-    shared_frame cluster assignment, materialized ONCE per pipeline
-    run and reused here — registry.shared_frame; split: one left join
-    vs the small cluster frame). The composition adds three doc_id
-    equi-joins of per-doc DECISION columns (narrow longs/booleans —
-    the text never joins), one (split, shard) applyInPandas pack over
-    the kept set, and constant-size aggregates. Every stage decision
-    is also independently driver-gated, so a funnel regression
-    bisects to its stage in one artifact read."""
-    staged = staged_decisions(spark, sf_dir)
+
+def funnel_from_staged(staged: DataFrame) -> DataFrame:
+    """The capstone funnel computed from ANY staged-decisions frame
+    (direct shared_frame build or the pipeline30 bucketed re-read):
+    per-split funnel aggregate + (split, shard) best-fit pack for
+    n_sequences.  One Spark definition of the funnel, so the bucketed
+    twin cannot drift from the registered capstone."""
     kept_ok = F.col("gate_ok") & F.col("dedup_ok")
     sized = staged.where(kept_ok).select(
         "doc_id",
@@ -226,3 +213,28 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel.join(nseq, "split", "left").withColumn(
         "n_sequences", F.coalesce("n_sequences", F.lit(0)).cast("long")
     )
+
+
+@query("curation_pipeline_e2e", oracle=E2E_FUNNEL_ORACLE)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel, one row per train/val split:
+    docs_in → gate_dropped (quality verdict != 'keep') →
+    dedup_dropped (gate-kept but not its near-dup cluster's keeper) →
+    docs_kept, with docs_cut / tokens_cut (substring-dup removal on
+    the kept set), tokens_kept (post-cut), and n_sequences (best-fit
+    packed {PACK_SHARD}-doc-shard sequences of the kept set). The
+    telescoping identity docs_in = gate_dropped + dedup_dropped +
+    docs_kept holds per split by construction and is pinned by the
+    reconciliation property test.
+
+    100 TB shape: each stage keeps its own registered plan (gate: pure
+    per-row scan; cut: fixed-width-key shuffles only; dedup: the
+    shared_frame cluster assignment, materialized ONCE per pipeline
+    run and reused here — registry.shared_frame; split: one left join
+    vs the small cluster frame). The composition adds three doc_id
+    equi-joins of per-doc DECISION columns (narrow longs/booleans —
+    the text never joins), one (split, shard) applyInPandas pack over
+    the kept set, and constant-size aggregates. Every stage decision
+    is also independently driver-gated, so a funnel regression
+    bisects to its stage in one artifact read."""
+    return funnel_from_staged(staged_decisions(spark, sf_dir))

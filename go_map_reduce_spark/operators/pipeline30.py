@@ -50,8 +50,10 @@ from go_map_reduce_spark.operators.pipeline26 import (
     leakage_safe_split,
 )
 from go_map_reduce_spark.operators.pipeline27 import (
+    E2E_FUNNEL_ORACLE,
     STAGED_ORACLE,
     _pack_with_split,
+    funnel_from_staged,
     staged_decisions,
 )
 from go_map_reduce_spark.operators.textstats import PACK_SHARD
@@ -330,6 +332,78 @@ def staged_decisions_bucketed(
             "n_removed",
         )
     )
+
+
+def _bucketed_prefix(sf_dir: str) -> str:
+    """Warehouse table prefix for one dataset VERSION: keyed by the
+    sf_dir path plus its listing fingerprint, so a rewrite of the data
+    under the same path lands in fresh tables instead of silently
+    reusing the pre-rewrite layout (the shared_frame keying rule,
+    applied to the durable layout)."""
+    import hashlib
+
+    from go_map_reduce_spark.registry import _data_fingerprint
+
+    tag = hashlib.md5(
+        f"{sf_dir}:{_data_fingerprint(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    return f"stagedb_{tag}"
+
+
+@query("curation_funnel_bucketed", oracle=E2E_FUNNEL_ORACLE)
+def curation_funnel_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone funnel computed FROM THE BUCKETED LAYOUT: lay the
+    four stage decision frames down doc_id-bucketed once
+    (write_staged_bucketed), recompose staged_decisions with ZERO
+    Exchange (staged_decisions_bucketed), and run the identical
+    funnel_from_staged the direct capstone runs — same oracle, same
+    output, different physical path.  This registers the repo's
+    concrete 100 TB layout claim under the driver's correctness gate:
+    at scale the four corpus-sized doc_id shuffles the direct
+    composition pays PER CONSUMER are paid once at layout time, and
+    every later consumer (this funnel, the card, the drift report,
+    ad-hoc audits) reads bucket i of all four tables co-located.
+
+    Lifecycle: the layout is written on first use per session (the
+    default in-memory catalog does not persist table metadata across
+    sessions; on a real deployment the bucketed tables live in a
+    durable metastore and the write happens once per dataset
+    VERSION).  The table prefix embeds the data-listing fingerprint,
+    so a rewrite under the same path gets fresh tables.  First-
+    consumer attribution (the r09 convention): whichever registered
+    query touches the layout first in a session pays the four stage
+    pipelines plus the bucketed write.
+
+    Plan pin (tests/test_round10_bucketed_funnel.py): the registered
+    plan contains no doc_id Exchange — the only shuffles left are the
+    constant-size split/(split, shard) aggregates of the funnel
+    itself."""
+    prefix = _bucketed_prefix(sf_dir)
+    tables = [f"{prefix}_{t}" for t in ("gate", "cut", "keep", "split")]
+    if not all(spark.catalog.tableExists(t) for t in tables):
+        _clear_orphan_table_dirs(spark, tables)
+        write_staged_bucketed(spark, sf_dir, prefix)
+    return funnel_from_staged(staged_decisions_bucketed(spark, prefix))
+
+
+def _clear_orphan_table_dirs(spark: SparkSession, tables: list[str]) -> None:
+    """Remove warehouse directories left behind by a PREVIOUS session's
+    managed tables: the default in-memory catalog forgets the table on
+    session exit but leaves its files, and saveAsTable then refuses the
+    name with LOCATION_ALREADY_EXISTS.  Only directories whose table is
+    absent from the live catalog are touched (never a live table's
+    data), and only under this session's own warehouse dir."""
+    import shutil
+    from urllib.parse import urlparse
+
+    import os
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in tables:
+        if not spark.catalog.tableExists(t):
+            p = os.path.join(wh, t.lower())
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------

@@ -67,27 +67,19 @@ _IS_NEW = f"vec_id % {NEW_BATCH_MOD} = {NEW_BATCH_REM}"
 _IS_STANDING = f"vec_id % {NEW_BATCH_MOD} <> {NEW_BATCH_REM}"
 
 
-def _upsert_oracle() -> str:
-    """Replay the standing-corpus Lloyd rounds, freeze the centroids
-    the FINAL STANDING ASSIGNMENT was made against (c_{ITERATIONS-1} —
-    the same set kmeans_ivf_assignments stores), assign the batch
-    against those, and aggregate the per-cell report — every stage the
-    same CTE bodies as the registered kmeans oracle
-    (src-parameterized).  One centroid set measures BOTH populations,
-    so mean_dist2_new vs mean_dist2_standing is a like-for-like drift
-    signal (an extra update step for the batch side would bias the
-    batch distortion low and weaken the alarm)."""
+def _standing_chain_parts() -> tuple[list[str], str]:
+    """CTE parts replaying the standing-corpus Lloyd rounds (standing
+    explode, first-K-standing-id init, ITERATIONS assign/update
+    rounds) and the name of the FROZEN centroid CTE c_{ITERATIONS-1}
+    — the centroids the final standing assignment (a{ITERATIONS}) was
+    made against, i.e. the stored index.  Shared by the upsert and
+    compaction oracles so the two operators replay ONE training."""
     parts = [
         f"""
     e AS (
       SELECT vec_id, i AS d, CAST(embedding[i] AS DOUBLE) AS val
       FROM embeddings, range(1, {DIMS + 1}) t(i)
       WHERE {_IS_STANDING}
-    ),
-    eb AS (
-      SELECT vec_id, i AS d, CAST(embedding[i] AS DOUBLE) AS val
-      FROM embeddings, range(1, {DIMS + 1}) t(i)
-      WHERE {_IS_NEW}
     ),
     ids AS (
       SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
@@ -103,6 +95,29 @@ def _upsert_oracle() -> str:
         if it < ITERATIONS:
             parts.append(_sql_update(f"a{it}", f"c{it}"))
             cur = f"c{it}"
+    return parts, cur
+
+
+def _upsert_oracle() -> str:
+    """Replay the standing-corpus Lloyd rounds, freeze the centroids
+    the FINAL STANDING ASSIGNMENT was made against (c_{ITERATIONS-1} —
+    the same set kmeans_ivf_assignments stores), assign the batch
+    against those, and aggregate the per-cell report — every stage the
+    same CTE bodies as the registered kmeans oracle
+    (src-parameterized).  One centroid set measures BOTH populations,
+    so mean_dist2_new vs mean_dist2_standing is a like-for-like drift
+    signal (an extra update step for the batch side would bias the
+    batch distortion low and weaken the alarm)."""
+    parts, cur = _standing_chain_parts()
+    parts.insert(
+        1,
+        f"""
+    eb AS (
+      SELECT vec_id, i AS d, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, range(1, {DIMS + 1}) t(i)
+      WHERE {_IS_NEW}
+    )""",
+    )
     parts.append(_sql_assign(cur, "ab", src="eb"))
     parts.append(f"""
     std AS (
@@ -131,6 +146,28 @@ def _upsert_oracle() -> str:
     FROM std s FULL OUTER JOIN nb n ON n.cid = s.cid
     """
     )
+
+
+def _standing_frozen(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Standing-corpus Lloyd training (first-K-lowest-standing-id
+    init, ITERATIONS rounds under the kmeans determinism discipline):
+    returns the final standing assignment and the FROZEN centroids
+    c_{ITERATIONS-1} it was made against — the stored index both the
+    daily upsert and the compaction start from."""
+    ids = (
+        e.select("vec_id")
+        .distinct()
+        .orderBy("vec_id")
+        .limit(K)
+        .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+    )
+    c = e.join(ids, "vec_id").select("cid", "d", "val")
+    assign = None
+    for it in range(1, ITERATIONS + 1):
+        assign = _spark_assign(e, c)
+        if it < ITERATIONS:
+            c = _spark_update(e, assign).localCheckpoint(eager=True)
+    return assign, c
 
 
 @query("ivf_index_upsert", oracle=_upsert_oracle())
@@ -169,20 +206,8 @@ def ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = (F.col("vec_id") % NEW_BATCH_MOD) == NEW_BATCH_REM
     e = ex.where(~is_new)
     eb = ex.where(is_new)
-    ids = (
-        e.select("vec_id")
-        .distinct()
-        .orderBy("vec_id")
-        .limit(K)
-        .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
-    )
-    c = e.join(ids, "vec_id").select("cid", "d", "val")
-    assign = None
-    for it in range(1, ITERATIONS + 1):
-        assign = _spark_assign(e, c)
-        if it < ITERATIONS:
-            c = _spark_update(e, assign).localCheckpoint(eager=True)
-    # c is now c_{ITERATIONS-1}: the frozen index centroids (the set the
+    assign, c = _standing_frozen(e)
+    # c is c_{ITERATIONS-1}: the frozen index centroids (the set the
     # final standing assignment used). No further update — the batch is
     # measured against the same centroids as the standing population.
     ab = _spark_assign(eb, c)
@@ -218,6 +243,108 @@ def ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Acting on the upsert report: warm-start index compaction
+# --------------------------------------------------------------------------
+
+COMPACT_ROUNDS = ITERATIONS  # re-centering rounds over standing+batch
+
+
+def _compaction_oracle() -> str:
+    """Replay the frozen standing index, assign EVERYONE (standing +
+    batch) against it — the BEFORE state, exactly the populations the
+    upsert report counts — then run COMPACT_ROUNDS warm-start Lloyd
+    half-steps (update centroids from the current assignment,
+    re-assign) over the combined corpus and report both phases
+    per cell."""
+    parts, cur = _standing_chain_parts()
+    parts.insert(
+        1,
+        f"""
+    ea AS (
+      SELECT vec_id, i AS d, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, range(1, {DIMS + 1}) t(i)
+    )""",
+    )
+    parts.append(_sql_assign(cur, "bf", src="ea"))
+    prev = "bf"
+    for k in range(1, COMPACT_ROUNDS + 1):
+        parts.append(_sql_update(prev, f"k{k}", src="ea"))
+        parts.append(_sql_assign(f"k{k}", f"af{k}", src="ea"))
+        prev = f"af{k}"
+    report = """
+      SELECT '{phase}' AS phase, CAST(cid AS BIGINT) AS cluster_id,
+             CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             round(CAST(SUM(CAST(dist2 AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*), 9) AS mean_dist2
+      FROM {src} GROUP BY cid"""
+    return (
+        "WITH "
+        + ",".join(parts)
+        + report.format(phase="before", src="bf")
+        + "    UNION ALL"
+        + report.format(phase="after", src=prev)
+    )
+
+
+@query("ivf_index_compaction", oracle=_compaction_oracle())
+def ivf_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acting on ``ivf_index_upsert``'s alarm (the report→act pattern,
+    alongside tokenizer_retrain_recovery): WARM-START compaction of
+    the IVF index over standing+batch.  BEFORE = every vector
+    (standing and admitted batch) assigned to the frozen standing
+    centroids — per cell this is exactly the upsert report's
+    n_standing + n_new population, so the two artifacts reconcile row
+    for row (pinned in tests/test_round10_compaction.py).  The
+    compaction then runs COMPACT_ROUNDS Lloyd half-steps seeded from
+    that assignment (update centroids from the current assignment,
+    re-assign everyone) and reports AFTER per cell.  Output: (phase,
+    cluster_id, n_vectors, mean_dist2).
+
+    Warm start is what makes the recovery PROVABLE: each Lloyd
+    half-step weakly decreases total squared distortion from the
+    frozen-index state (update: the mean minimizes within-cell SSE;
+    assign: each vector moves only to a closer centroid), so
+    sum(n*mean_dist2) after <= before holds by construction — the
+    property test pins the direction, the DuckDB oracle the exact
+    values.  A cold retrain from scratch has no such guarantee and
+    would also discard the cell ids consumers hold; warm compaction
+    preserves label continuity (cells only shrink/shift/empty).
+
+    100 TB shape: each half-step is the kmeans round plan — one
+    explode-side aggregation per (vec, cid) against broadcast K x D
+    centroids plus a (cid, d) mean — over standing+batch, i.e. the
+    SAME per-round cost the original training paid, scheduled rarely
+    (when the upsert's growth/distortion alarms fire), while the daily
+    upsert stays batch-sized."""
+    ex = _spark_exploded(spark, sf_dir).persist().transform(track_cache)
+    is_new = (F.col("vec_id") % NEW_BATCH_MOD) == NEW_BATCH_REM
+    _, c = _standing_frozen(ex.where(~is_new))
+    before = _spark_assign(ex, c).localCheckpoint(eager=True)
+    cur = before
+    for _ in range(COMPACT_ROUNDS):
+        cnew = _spark_update(ex, cur).localCheckpoint(eager=True)
+        cur = _spark_assign(ex, cnew)
+    after = cur
+
+    def _phase(a: DataFrame, phase: str) -> DataFrame:
+        return a.groupBy("cid").agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(
+                F.sum(F.col("dist2").cast(_DEC)).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_dist2"),
+        ).select(
+            F.lit(phase).alias("phase"),
+            F.col("cid").cast("long").alias("cluster_id"),
+            "n_vectors",
+            "mean_dist2",
+        )
+
+    return _phase(before, "before").unionByName(_phase(after, "after"))
 
 
 # --------------------------------------------------------------------------

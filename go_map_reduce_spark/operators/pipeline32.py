@@ -35,7 +35,7 @@ convention: the staleness closure must see the edges)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from go_map_reduce_spark.catalog import load_table
 from go_map_reduce_spark.operators.pipeline9 import (
@@ -50,6 +50,73 @@ from go_map_reduce_spark.operators.pipeline20 import (
 from go_map_reduce_spark.registry import query
 
 _IS_BATCH = f"doc_id % {NEW_BATCH_MOD} = {NEW_BATCH_REM}"
+
+
+def _doc_word_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer operators' shared base frame: (is_new, lang, t,
+    n_words) — whitespace word arrays of every non-empty document with
+    the batch carve-out flag."""
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            ((F.col("doc_id") % NEW_BATCH_MOD) == NEW_BATCH_REM).alias(
+                "is_new"
+            ),
+            "lang",
+            toks.alias("t"),
+        )
+        .where(F.size("t") >= 1)
+        .withColumn("n_words", F.size("t"))
+    )
+
+
+def _bpe_train_apply(cur: DataFrame, count_pred: Column) -> DataFrame:
+    """Train BPE_ROUNDS merges with pair counts restricted to rows
+    satisfying ``count_pred`` and apply each winner to EVERY row — the
+    pipeline9 trainer loop, shared by the drift monitor (counts over
+    standing rows: the deployed tokenizer) and the retrain operator
+    (counts over standing+batch).  Winner per round = (count desc,
+    pair asc); greedy left-to-right fold with chr(31) glue; a round
+    with no counted pairs degrades to pass-through.  The per-round
+    ``first()`` is the 1-row driver argmax inherent to the iterative
+    trainer (the pipeline9/dedup-fixpoint pattern)."""
+    for _ in range(BPE_ROUNDS):
+        pairs = (
+            cur.where(count_pred)
+            .select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(
+                            F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))
+                        ),
+                        F.slice(
+                            F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))
+                        ),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("pr")
+            )
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        win = pairs.orderBy(F.desc("n"), "a", "b").first()
+        if win is None:
+            break  # counted rows out of pairs; later rounds pass through
+        a, b = win["a"], win["b"]
+        merged = F.aggregate(
+            F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+            F.element_at(F.col("t"), 1),
+            lambda acc, x: F.when(
+                ((acc == F.lit(a)) | acc.endswith(F.lit(" " + a)))
+                & (x == F.lit(b)),
+                F.concat(acc, F.lit("\x1f"), x),
+            ).otherwise(F.concat(acc, F.lit(" "), x)),
+        )
+        cur = cur.withColumn("t", F.split(merged, " ")).localCheckpoint(
+            eager=True
+        )
+    return cur
 
 
 def _sql_drift_round(prev: str, it: int) -> str:
@@ -125,54 +192,7 @@ def tokenizer_batch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair as a literal (no join, no shuffle); the report is one
     (lang × population) aggregate.  Daily cost beyond the standing
     pair counts scales with the batch."""
-    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
-    cur = (
-        load_table(spark, sf_dir, "documents")
-        .select(
-            ((F.col("doc_id") % NEW_BATCH_MOD) == NEW_BATCH_REM).alias(
-                "is_new"
-            ),
-            "lang",
-            toks.alias("t"),
-        )
-        .where(F.size("t") >= 1)
-        .withColumn("n_words", F.size("t"))
-    )
-    for _ in range(BPE_ROUNDS):
-        pairs = (
-            cur.where(~F.col("is_new"))
-            .select(
-                F.explode(
-                    F.zip_with(
-                        F.slice(
-                            F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))
-                        ),
-                        F.slice(
-                            F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))
-                        ),
-                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
-                    )
-                ).alias("pr")
-            )
-            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        win = pairs.orderBy(F.desc("n"), "a", "b").first()
-        if win is None:
-            break  # standing corpus out of pairs; later rounds pass through
-        a, b = win["a"], win["b"]
-        merged = F.aggregate(
-            F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
-            F.element_at(F.col("t"), 1),
-            lambda acc, x: F.when(
-                ((acc == F.lit(a)) | acc.endswith(F.lit(" " + a)))
-                & (x == F.lit(b)),
-                F.concat(acc, F.lit("\x1f"), x),
-            ).otherwise(F.concat(acc, F.lit(" "), x)),
-        )
-        cur = cur.withColumn("t", F.split(merged, " ")).localCheckpoint(
-            eager=True
-        )
+    cur = _bpe_train_apply(_doc_word_tokens(spark, sf_dir), ~F.col("is_new"))
     f = cur.groupBy("lang", "is_new").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").cast("long").alias("nw"),
@@ -211,4 +231,134 @@ def tokenizer_batch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(((b_nw - b_nt) * 1000) DIV b_nw AS BIGINT)").alias(
             "merge_rate_batch_permille"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Acting on the drift report: the tokenizer retrain
+# --------------------------------------------------------------------------
+
+
+def _sql_retrain_round(prev: str, it: int) -> str:
+    """One unrolled RETRAIN round: pair counts over EVERY row (the
+    retrained tokenizer sees standing+batch), winner applied to every
+    row — the same degrading LEFT JOIN shape as the deployed chain,
+    under rp/rw/r names so both chains coexist in one oracle."""
+    return f"""
+    rp{it} AS (
+      SELECT t[p] AS a, t[p+1] AS b, COUNT(*) AS n
+      FROM (SELECT t, unnest(range(1, len(t))) AS p FROM {prev})
+      GROUP BY t[p], t[p+1]
+    ),
+    rw{it} AS (
+      SELECT a, b FROM rp{it} ORDER BY n DESC, a, b LIMIT 1
+    ),
+    r{it} AS (
+      SELECT is_new, lang, n_words,
+             CASE WHEN rw{it}.a IS NULL THEN t
+                  ELSE regexp_split_to_array({_sql_apply_merge('t', f'rw{it}')}, ' ')
+             END AS t
+      FROM {prev} LEFT JOIN rw{it} ON TRUE
+    )"""
+
+
+@query(
+    "tokenizer_retrain_recovery",
+    oracle=f"""
+    WITH c0 AS (
+      SELECT ({_IS_BATCH}) AS is_new, lang, {_SQL_TOKS} AS t,
+             len({_SQL_TOKS}) AS n_words
+      FROM documents WHERE len({_SQL_TOKS}) >= 1
+    ),
+    {','.join(_sql_drift_round(f'c{i}', i + 1) for i in range(BPE_ROUNDS))},
+    {','.join(
+        _sql_retrain_round('c0' if i == 0 else f'r{i}', i + 1)
+        for i in range(BPE_ROUNDS))},
+    fd AS (
+      SELECT lang, CAST(SUM(n_words) AS BIGINT) AS nw,
+             CAST(SUM(len(t)) AS BIGINT) AS nt
+      FROM c{BPE_ROUNDS} WHERE is_new GROUP BY lang
+    ),
+    fr AS (
+      SELECT lang, CAST(SUM(n_words) AS BIGINT) AS nw,
+             CAST(SUM(len(t)) AS BIGINT) AS nt
+      FROM r{BPE_ROUNDS} WHERE is_new GROUP BY lang
+    )
+    SELECT d.lang,
+           round(CAST(d.nt AS DOUBLE) / d.nw, 6) AS tpw_batch_deployed,
+           round(CAST(r.nt AS DOUBLE) / r.nw, 6) AS tpw_batch_retrained,
+           round(CAST(d.nt AS DOUBLE) / d.nw
+                 - CAST(r.nt AS DOUBLE) / r.nw, 6) AS recovery_tpw,
+           CAST((d.nw - d.nt) * 1000 // d.nw AS BIGINT)
+             AS merge_rate_deployed_permille,
+           CAST((r.nw - r.nt) * 1000 // r.nw AS BIGINT)
+             AS merge_rate_retrained_permille,
+           CAST((r.nw - r.nt) * 1000 // r.nw
+                - (d.nw - d.nt) * 1000 // d.nw AS BIGINT)
+             AS recovery_permille
+    FROM fd d JOIN fr r ON r.lang = d.lang
+    """,
+)
+def tokenizer_retrain_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acting on ``tokenizer_batch_drift``'s alarm (the report→act
+    pattern, after substring_dup_cut and ivf_index_compaction): train
+    the RETRAINED tokenizer on standing+batch with the identical
+    trainer loop the deployed one used on standing only, apply both to
+    the day's batch, and report the recovery per language — fertility
+    (tokens per word) under each tokenizer, their delta (positive =
+    the retrain tokenizes the batch more compactly), and the exact
+    integer merge-rate permille under each with its recovery delta.
+    On an undrifted batch (an iid slice, as in the registered
+    carve-out) the two tokenizers largely agree and recovery sits at
+    ~0 — the report then documents that NO retrain is needed; on a
+    drifted batch the deployed merge rate collapses while the
+    retrained one holds, and recovery_permille is the measured value
+    of shipping the retrain (alarm→remedy direction pinned on a
+    constructed alien batch in tests/test_round10_retrain.py).
+
+    100 TB shape: twice the trainer's cost (each round one map-side-
+    combinable pair-count aggregation + a 1-row driver argmax — the
+    pipeline9 pattern), application a per-row literal fold, report a
+    (lang x 2) aggregate.  The retrain reuses the deployed trainer's
+    machinery verbatim (_bpe_train_apply), so the two chains cannot
+    drift in semantics, only in their counted populations."""
+    base = _doc_word_tokens(spark, sf_dir)
+    dep = _bpe_train_apply(base, ~F.col("is_new"))
+    ret = _bpe_train_apply(base, F.lit(True))
+
+    def _batch_agg(df: DataFrame, p: str) -> DataFrame:
+        return (
+            df.where("is_new")
+            .groupBy("lang")
+            .agg(
+                F.sum("n_words").cast("long").alias(f"{p}nw"),
+                F.sum(F.size("t")).cast("long").alias(f"{p}nt"),
+            )
+        )
+
+    d = _batch_agg(dep, "d_")
+    r = _batch_agg(ret, "r_").withColumnRenamed("lang", "r_lang")
+    return d.join(r, F.col("lang") == F.col("r_lang")).select(
+        "lang",
+        F.round(F.col("d_nt").cast("double") / F.col("d_nw"), 6).alias(
+            "tpw_batch_deployed"
+        ),
+        F.round(F.col("r_nt").cast("double") / F.col("r_nw"), 6).alias(
+            "tpw_batch_retrained"
+        ),
+        F.round(
+            F.col("d_nt").cast("double") / F.col("d_nw")
+            - F.col("r_nt").cast("double") / F.col("r_nw"),
+            6,
+        ).alias("recovery_tpw"),
+        F.expr("CAST(((d_nw - d_nt) * 1000) DIV d_nw AS BIGINT)").alias(
+            "merge_rate_deployed_permille"
+        ),
+        F.expr("CAST(((r_nw - r_nt) * 1000) DIV r_nw AS BIGINT)").alias(
+            "merge_rate_retrained_permille"
+        ),
+        F.expr(
+            "CAST(((r_nw - r_nt) * 1000) DIV r_nw"
+            " - ((d_nw - d_nt) * 1000) DIV d_nw AS BIGINT)"
+        ).alias("recovery_permille"),
     )

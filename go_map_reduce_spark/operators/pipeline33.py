@@ -1,0 +1,242 @@
+"""Round-10 pipeline operators: format-invariant image dedup.
+
+The codec tier (BMP / PNG / JPEG native decoders) and the perceptual
+hash (``image_ahash_dedup``) existed separately; this composes them
+into the dedup a real multimodal crawl needs: THE SAME PIXELS arrive
+encoded under different codecs (a re-hosted image re-encoded by a CDN,
+a thumbnail pipeline, a format-converting mirror), every payload is
+byte-distinct — exact (md5-of-bytes) dedup finds nothing — and the
+pipeline must still collapse them into one perceptual cluster.  This
+is also the first PIPELINE consumer of the native JPEG decoder: the
+decode path runs marker walk / Huffman / IDCT for a third of the
+corpus, inside a dedup, not just inside the codec's own gate.
+
+Synthesis keeps the multimodal tier's closed-form discipline: pixels
+are 8x8-BLOCK-CONSTANT grayscale (the construction under which the
+lossy JPEG codec is bit-exact — multimodal_jpeg.py module docstring),
+the block values are closed-form in doc_id, and a whole-image
+brightness jitter makes even same-codec payloads byte-distinct while
+the exact-integer average hash is jitter-invariant by construction
+(the jitter term cancels algebraically in 64*cellsum > total).  The
+codec is doc_id % 3, so every perceptual group contains all three
+formats — pinned.
+
+Reference anchor: the reference treats inputs as opaque whole files
+split only by format-agnostic boundaries (mr/worker.go:76-94 reads
+whole input files); format-invariance of CONTENT identity is the
+engine-level upgrade of that contract.
+
+Composition queries import tier functions directly (package
+convention: the staleness closure must see the edges)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from go_map_reduce_spark.catalog import load_table
+from go_map_reduce_spark.functions.jpegcodec import encode_jpeg_gray
+from go_map_reduce_spark.operators.multimodal import (
+    _PNG_SIG,
+    decode_image,
+    encode_bmp,
+    encode_png,
+)
+from go_map_reduce_spark.registry import query
+
+CC_SIDE = 32  # image side; aHash cells are 4x4 px
+CC_BLOCKS = 4  # 4x4 grid of 8x8 constant blocks (JPEG-exact)
+CC_RESIDUES = 16  # doc_id % 16 picks the pixel CONTENT
+# block value multipliers: chosen so the 16 content residues hash to
+# 11 distinct perceptual groups (some residues genuinely collide —
+# the realistic shape of a perceptual-hash key space)
+CC_M_RES, CC_M_BX, CC_M_BY = 37, 71, 113
+
+
+def _cc_gray(doc_id: int) -> list[list[int]]:
+    """Top-down row-major gray values of one synthesized image:
+    block (bx, by) is solid (37*res + 71*bx + 113*by) % 200 plus a
+    whole-image brightness jitter (doc_id // 3) % 3 — closed form, so
+    the SQL oracle predicts every hash bit with no codec."""
+    res, jit = doc_id % CC_RESIDUES, (doc_id // 3) % 3
+    return [
+        [
+            (CC_M_RES * res + CC_M_BX * (x // 8) + CC_M_BY * (y // 8)) % 200
+            + jit
+            for x in range(CC_SIDE)
+        ]
+        for y in range(CC_SIDE)
+    ]
+
+
+def _synth_cross_codec_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Encode the SAME closed-form pixels under the codec doc_id % 3
+    selects: 0 -> grayscale JPEG (baseline, all-ones quant — exact on
+    block-constant content), 1 -> truecolor PNG (top-down RGB, all
+    five filter types), 2 -> 24-bit BMP (bottom-up BGR).  Gray goes
+    into each RGB channel equally, so the decoded blue channel equals
+    the JPEG gray plane."""
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            grays = _cc_gray(doc_id)
+            codec = doc_id % 3
+            if codec == 0:
+                img = bytes(v for row in grays for v in row)
+                payloads.append(encode_jpeg_gray(CC_SIDE, CC_SIDE, img))
+            else:
+                rows = [
+                    bytes(b for v in row for b in (v, v, v)) for row in grays
+                ]
+                if codec == 1:
+                    payloads.append(encode_png(CC_SIDE, CC_SIDE, rows))
+                else:  # BMP stores rows bottom-up
+                    payloads.append(encode_bmp(CC_SIDE, CC_SIDE, rows[::-1]))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _cross_codec_hash_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Sniff the codec by magic, REALLY decode (BMP header walk / PNG
+    chunk+filter reconstruction / JPEG Huffman+IDCT), normalize to one
+    top-down gray plane (BMP rows arrive bottom-up and flip; 24bpp
+    takes the blue channel — equal to gray by construction), and
+    average-hash in exact integer arithmetic: 8x8 cells of 4x4 px,
+    bit = 64*cellsum > total, so a uniform brightness shift cancels
+    exactly rather than approximately."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "codec": [], "ahash": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            p = bytes(payload)
+            if p[:2] == b"BM":
+                codec = "bmp"
+            elif p[:8] == _PNG_SIG:
+                codec = "png"
+            else:
+                codec = "jpeg"
+            w, h, bpp, px = decode_image(p)
+            if (w, h) != (CC_SIDE, CC_SIDE):
+                raise ValueError(f"unexpected decoded dims {w}x{h}")
+            if bpp == 8:
+                gray = np.frombuffer(px, dtype=np.uint8).reshape(
+                    CC_SIDE, CC_SIDE
+                )
+            else:
+                gray = np.frombuffer(px, dtype=np.uint8).reshape(
+                    CC_SIDE, CC_SIDE, 3
+                )[:, :, 0]
+                if codec == "bmp":
+                    gray = gray[::-1]  # bottom-up -> top-down
+            cells = (
+                gray.astype(np.int64).reshape(8, 4, 8, 4).sum(axis=(1, 3))
+            )
+            total = int(gray.astype(np.int64).sum())
+            bits = 64 * cells > total
+            out["doc_id"].append(doc_id)
+            out["codec"].append(codec)
+            out["ahash"].append(
+                "".join("1" if b else "0" for b in bits.ravel())
+            )
+        yield pd.DataFrame(out)
+
+
+@query(
+    "image_cross_codec_dedup",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id, doc_id % {CC_RESIDUES} AS res,
+             CASE doc_id % 3 WHEN 0 THEN 'jpeg'
+                             WHEN 1 THEN 'png' ELSE 'bmp' END AS codec
+      FROM documents
+    ),
+    blocks AS (
+      SELECT res, bx, by,
+             ({CC_M_RES} * res + {CC_M_BX} * bx + {CC_M_BY} * by) % 200 AS g
+      FROM (SELECT DISTINCT res FROM per_doc),
+           range({CC_BLOCKS}) t1(bx), range({CC_BLOCKS}) t2(by)
+    ),
+    tot AS (SELECT res, SUM(g) AS total FROM blocks GROUP BY res),
+    bits AS (
+      SELECT b.res, b.bx, b.by,
+             CASE WHEN {CC_BLOCKS * CC_BLOCKS} * b.g > t.total
+                  THEN '1' ELSE '0' END AS bit
+      FROM blocks b JOIN tot t ON t.res = b.res
+    ),
+    rows_ AS (
+      SELECT res, by, string_agg(repeat(bit, 2), '' ORDER BY bx) AS rowstr
+      FROM bits GROUP BY res, by
+    ),
+    hashes AS (
+      SELECT res, string_agg(rowstr || rowstr, '' ORDER BY by) AS ahash
+      FROM rows_ GROUP BY res
+    ),
+    tagged AS (
+      SELECT d.doc_id, d.codec, h.ahash
+      FROM per_doc d JOIN hashes h ON h.res = d.res
+    )
+    SELECT ahash,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT codec) AS BIGINT) AS n_codecs,
+           CAST(SUM(CASE WHEN codec = 'bmp' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bmp,
+           CAST(SUM(CASE WHEN codec = 'png' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_png,
+           CAST(SUM(CASE WHEN codec = 'jpeg' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_jpeg
+    FROM tagged GROUP BY ahash
+    """,
+)
+def image_cross_codec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-invariant perceptual dedup: synthesize each document's
+    image, encode it under the codec doc_id % 3 selects (JPEG / PNG /
+    BMP — byte-distinct payloads even for identical pixels), REALLY
+    decode every payload through the native codec the magic bytes
+    select, normalize to one gray plane, average-hash in exact
+    integers, and aggregate per perceptual cluster: group size, how
+    many distinct FORMATS the cluster spans (pinned == 3 wherever all
+    residue x codec combinations exist), and the per-format counts.
+    The oracle predicts every hash bit from the block-value closed
+    form — no codec on the DuckDB side — so a decode bug in ANY of
+    the three formats (wrong row order, channel order, filter
+    reconstruction, IDCT scaling) splits a cluster and fails the
+    hash gate.
+
+    100 TB shape: two narrow Arrow-batched codec stages (encode /
+    decode+hash — both maps, no shuffle; the pixels never leave the
+    task) followed by ONE shuffle of 64-bit hash keys for the
+    cluster aggregate — identical plan to dedup_exact_summary with
+    the perceptual hash in place of md5.  This is the plan a
+    multimodal crawl dedup wants: decode cost scales with bytes
+    scanned, shuffle cost with #images, never with pixels."""
+    from go_map_reduce_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = ids.mapInPandas(
+        _synth_cross_codec_batch, schema="doc_id long, payload binary"
+    )
+    hashed = media.mapInPandas(
+        _cross_codec_hash_batch,
+        schema="doc_id long, codec string, ahash string",
+    )
+    return hashed.groupBy("ahash").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.count_distinct("codec").cast("long").alias("n_codecs"),
+        F.sum((F.col("codec") == "bmp").cast("long"))
+        .cast("long")
+        .alias("n_bmp"),
+        F.sum((F.col("codec") == "png").cast("long"))
+        .cast("long")
+        .alias("n_png"),
+        F.sum((F.col("codec") == "jpeg").cast("long"))
+        .cast("long")
+        .alias("n_jpeg"),
+    )
