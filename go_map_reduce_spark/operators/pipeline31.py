@@ -148,26 +148,40 @@ def _upsert_oracle() -> str:
     )
 
 
-def _standing_frozen(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _standing_frozen(
+    spark: SparkSession, sf_dir: str, e: DataFrame
+) -> tuple[DataFrame, DataFrame]:
     """Standing-corpus Lloyd training (first-K-lowest-standing-id
     init, ITERATIONS rounds under the kmeans determinism discipline):
     returns the final standing assignment and the FROZEN centroids
     c_{ITERATIONS-1} it was made against — the stored index both the
-    daily upsert and the compaction start from."""
-    ids = (
-        e.select("vec_id")
-        .distinct()
-        .orderBy("vec_id")
-        .limit(K)
-        .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+    daily upsert and the compaction start from.  The frozen centroid
+    frame (K x D rows) is memoized via registry.shared_frame so the
+    two index operators train ONCE per context; the final assignment
+    is one broadcast-assign against the memoized centroids (exactly
+    a_{ITERATIONS} — the loop's last step — so the upsert's standing
+    report is unchanged)."""
+    from go_map_reduce_spark.registry import shared_frame
+
+    def _build_frozen() -> DataFrame:
+        ids = (
+            e.select("vec_id")
+            .distinct()
+            .orderBy("vec_id")
+            .limit(K)
+            .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+        )
+        c = e.join(ids, "vec_id").select("cid", "d", "val")
+        for _ in range(1, ITERATIONS):
+            c = _spark_update(e, _spark_assign(e, c)).localCheckpoint(
+                eager=True
+            )
+        return c.localCheckpoint(eager=True)
+
+    c = shared_frame(
+        spark, f"ivf_frozen_centroids:{sf_dir}", _build_frozen, data_path=sf_dir
     )
-    c = e.join(ids, "vec_id").select("cid", "d", "val")
-    assign = None
-    for it in range(1, ITERATIONS + 1):
-        assign = _spark_assign(e, c)
-        if it < ITERATIONS:
-            c = _spark_update(e, assign).localCheckpoint(eager=True)
-    return assign, c
+    return _spark_assign(e, c), c
 
 
 @query("ivf_index_upsert", oracle=_upsert_oracle())
@@ -206,7 +220,7 @@ def ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = (F.col("vec_id") % NEW_BATCH_MOD) == NEW_BATCH_REM
     e = ex.where(~is_new)
     eb = ex.where(is_new)
-    assign, c = _standing_frozen(e)
+    assign, c = _standing_frozen(spark, sf_dir, e)
     # c is c_{ITERATIONS-1}: the frozen index centroids (the set the
     # final standing assignment used). No further update — the batch is
     # measured against the same centroids as the standing population.
@@ -321,7 +335,7 @@ def ivf_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsert stays batch-sized."""
     ex = _spark_exploded(spark, sf_dir).persist().transform(track_cache)
     is_new = (F.col("vec_id") % NEW_BATCH_MOD) == NEW_BATCH_REM
-    _, c = _standing_frozen(ex.where(~is_new))
+    _, c = _standing_frozen(spark, sf_dir, ex.where(~is_new))
     before = _spark_assign(ex, c).localCheckpoint(eager=True)
     cur = before
     for _ in range(COMPACT_ROUNDS):
