@@ -78,6 +78,15 @@ NOISY = {
     "events_purchase_click_outer_join",
     "stream_source_groups",
     "pq_ann_topk",
+    # r10 additions with the set's admission profile: compaction runs
+    # the iterative Lloyd pipeline (like ivf upsert/kmeans), the
+    # retrain runs TWO trainer chains (like bpe_merge_training), and
+    # the bucketed funnel's maiden run pays write-path JIT (11.9 s
+    # first marathon vs 5.7/6.3 steady — PERFORMANCE.md r10).
+    "ivf_index_compaction",
+    "tokenizer_batch_drift",
+    "tokenizer_retrain_recovery",
+    "curation_funnel_bucketed",
     "dynamic_partition_pruning",
     "kcore_suppliers",
     "label_propagation_communities",

@@ -387,19 +387,29 @@ def curation_funnel_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _clear_orphan_table_dirs(spark: SparkSession, tables: list[str]) -> None:
-    """Remove warehouse directories left behind by a PREVIOUS session's
+    """Remove warehouse directories left behind by PREVIOUS sessions'
     managed tables: the default in-memory catalog forgets the table on
     session exit but leaves its files, and saveAsTable then refuses the
-    name with LOCATION_ALREADY_EXISTS.  Only directories whose table is
+    name with LOCATION_ALREADY_EXISTS.  Sweeps (a) the requested table
+    names and (b) every stranded ``stagedb_*`` generation — the prefix
+    embeds the data fingerprint, so a dataset rewrite changes the
+    prefix and would otherwise strand the old generation's four
+    corpus-sized tables forever.  Only directories whose table is
     absent from the live catalog are touched (never a live table's
     data), and only under this session's own warehouse dir."""
+    import os
     import shutil
     from urllib.parse import urlparse
 
-    import os
-
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    for t in tables:
+    doomed = set(tables)
+    try:
+        doomed.update(
+            n for n in os.listdir(wh) if n.startswith("stagedb_")
+        )
+    except OSError:
+        pass
+    for t in doomed:
         if not spark.catalog.tableExists(t):
             p = os.path.join(wh, t.lower())
             if os.path.isdir(p):

@@ -119,6 +119,27 @@ def _bpe_train_apply(cur: DataFrame, count_pred: Column) -> DataFrame:
     return cur
 
 
+def _deployed_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus under YESTERDAY'S tokenizer (merges trained on
+    standing rows only, applied to everyone) — memoized via
+    registry.shared_frame because BOTH tokenizer operators (the drift
+    monitor and the retrain) start from it: without the memo one
+    suite run pays the deployed chain's BPE_ROUNDS pair-count
+    aggregations twice (the ivf_frozen_centroids precedent).  The
+    extra terminal checkpoint guards the no-merge degenerate case
+    where the trainer loop exits before checkpointing."""
+    from go_map_reduce_spark.registry import shared_frame
+
+    return shared_frame(
+        spark,
+        f"bpe_deployed:{sf_dir}",
+        lambda: _bpe_train_apply(
+            _doc_word_tokens(spark, sf_dir), ~F.col("is_new")
+        ).localCheckpoint(eager=True),
+        data_path=sf_dir,
+    )
+
+
 def _sql_drift_round(prev: str, it: int) -> str:
     """One unrolled round: pair counts over STANDING rows only (the
     deployed tokenizer never saw the batch), the (count desc, pair
@@ -192,7 +213,7 @@ def tokenizer_batch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair as a literal (no join, no shuffle); the report is one
     (lang × population) aggregate.  Daily cost beyond the standing
     pair counts scales with the batch."""
-    cur = _bpe_train_apply(_doc_word_tokens(spark, sf_dir), ~F.col("is_new"))
+    cur = _deployed_tokenized(spark, sf_dir)
     f = cur.groupBy("lang", "is_new").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").cast("long").alias("nw"),
@@ -322,9 +343,8 @@ def tokenizer_retrain_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang x 2) aggregate.  The retrain reuses the deployed trainer's
     machinery verbatim (_bpe_train_apply), so the two chains cannot
     drift in semantics, only in their counted populations."""
-    base = _doc_word_tokens(spark, sf_dir)
-    dep = _bpe_train_apply(base, ~F.col("is_new"))
-    ret = _bpe_train_apply(base, F.lit(True))
+    dep = _deployed_tokenized(spark, sf_dir)
+    ret = _bpe_train_apply(_doc_word_tokens(spark, sf_dir), F.lit(True))
 
     def _batch_agg(df: DataFrame, p: str) -> DataFrame:
         return (

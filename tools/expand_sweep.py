@@ -6,10 +6,14 @@ DISTINCT group), and any WIDE-BUFFER aggregate sharing that Aggregate
 (HLL++ sketch registers, percentile buffers, collect_list arrays)
 materializes its buffer once per (group, distinct-value) partial group
 — quadratic state that count-mode benching masked.  This sweep finds
-the CLASS mechanically: for every registered query, inspect the
-physical plan (planning only — nothing executes) and flag plans where
-an Expand feeds an Aggregate that also carries a wide-buffer aggregate
-function.
+the CLASS mechanically: for every registered query, build its frame
+and inspect the physical plan, flagging plans where an Expand feeds an
+Aggregate that also carries a wide-buffer aggregate function.  The
+INSPECTION is plan-only, but building some queries' frames executes
+real work (iterative trainers run their driver argmax rounds, shared
+frames eagerly checkpoint on first build, the streaming admit runs its
+micro-batches, the bucketed funnel lays its warehouse tables out) —
+budget a few minutes at sf0.01, not seconds.
 
     python tools/expand_sweep.py            # all queries, summary
     python tools/expand_sweep.py -v         # list every Expand user
