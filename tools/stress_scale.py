@@ -172,6 +172,19 @@ def timed_count(df) -> tuple[int, float]:
     return n, round(time.perf_counter() - t0, 2)
 
 
+def timed_force(df) -> tuple[int, float]:
+    """Timed execution that forces EVERY output column (the r09
+    count-vs-noop lesson: .count() on an aggregate-final query lets
+    Catalyst prune the measure expressions and times an emptier
+    plan). hash(*) over all columns is the noop-sink equivalent."""
+    t0 = time.perf_counter()
+    row = df.agg(
+        F.sum(F.hash(*df.columns).cast("long")).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    return int(row["n"]), round(time.perf_counter() - t0, 2)
+
+
 def capstone_funnel(spark, sf_dir: str) -> tuple[list[list], float, int]:
     """Run the registered end-to-end curation capstone on a stress
     corpus and return (per-split funnel rows, wall seconds, straddling
@@ -239,7 +252,12 @@ def main() -> None:
     cols = (
         "mult n_docs n_buckets max_bucket n_overcap uncapped_pairs "
         "capped_cand verified_pairs t_minhash template_rows t_template "
-        "new_rows t_incr knn_rows t_knn cut_tokens_removed t_cut"
+        "new_rows t_incr knn_rows t_knn cut_tokens_removed t_cut "
+        # r10 daily-batch/index/multimodal additions (timed with
+        # timed_force — all aggregate-final). Upsert runs before
+        # compaction, the realistic suite order: compaction then rides
+        # the shared frozen-centroid frame the upsert built.
+        "t_upsert t_compact xcodec_groups t_xcodec t_retrain t_bfunnel"
     ).split()
     print("| " + " | ".join(cols) + " |")
     print("|" + "|".join("---" for _ in cols) + "|")
@@ -270,11 +288,22 @@ def main() -> None:
         )
         t_cut = round(time.perf_counter() - t0, 2)
         release_caches()
+        _, t_ups = timed_force(QUERIES["ivf_index_upsert"](spark, d))
+        release_caches()
+        _, t_cmp = timed_force(QUERIES["ivf_index_compaction"](spark, d))
+        release_caches()
+        xg, t_xc = timed_force(QUERIES["image_cross_codec_dedup"](spark, d))
+        release_caches()
+        _, t_rt = timed_force(QUERIES["tokenizer_retrain_recovery"](spark, d))
+        release_caches()
+        _, t_bf = timed_force(QUERIES["curation_funnel_bucketed"](spark, d))
+        release_caches()
         row = [
             m, n_docs, prof["n_buckets"], prof["max_bucket"],
             prof["n_overcap"], prof["uncapped_pairs"],
             prof["capped_candidates_analytic"], pairs, t_pairs,
             tmpl, t_tmpl, newb, t_newb, knn, t_knn, cut, t_cut,
+            t_ups, t_cmp, xg, t_xc, t_rt, t_bf,
         ]
         print("| " + " | ".join(str(x) for x in row) + " |", flush=True)
         frows, t_e2e, straddle = capstone_funnel(spark, d)
