@@ -1,4 +1,5 @@
-"""Round-10 pipeline operators: format-invariant image dedup.
+"""Round-10 pipeline operators: format-invariant media dedup (image
+cross-codec; audio cross-layout).
 
 The codec tier (BMP / PNG / JPEG native decoders) and the perceptual
 hash (``image_ahash_dedup``) existed separately; this composes them
@@ -239,4 +240,179 @@ def image_cross_codec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("codec") == "jpeg").cast("long"))
         .cast("long")
         .alias("n_jpeg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Format-invariant audio dedup: the WAV sibling of the cross-codec tier
+# --------------------------------------------------------------------------
+
+AUD_RESIDUES = 16  # doc_id % 16 picks the WAVEFORM
+AUD_FRAMES = 8  # fingerprint frames
+AUD_FRAME_LEN = 16  # samples per frame (8 x 16 = 128 samples)
+AUD_Q = 1000  # energy-profile quantization (permille)
+
+
+def _aud_samples(res: int) -> list[int]:
+    """The closed-form base waveform of one content residue: 128
+    PCM-16 samples in [-500, 500) — headroom for the 2x loudness
+    variant to stay inside int16."""
+    return [
+        (37 * res + 13 * t) % 1000 - 500
+        for t in range(AUD_FRAMES * AUD_FRAME_LEN)
+    ]
+
+
+def _synth_audio_layout_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Encode the SAME closed-form waveform under the layout doc_id % 3
+    selects: 0 -> mono, 1 -> stereo (channel-duplicated), 2 -> mono at
+    2x amplitude (a remastered/loudness-normalized copy).  All three
+    are byte-distinct RIFF payloads of the same underlying content —
+    the audio analogue of the cross-codec image variants."""
+    from go_map_reduce_spark.operators.multimodal import encode_wav
+
+    for pdf in batches:
+        payloads, layouts = [], []
+        for doc_id in pdf["doc_id"]:
+            s = _aud_samples(doc_id % AUD_RESIDUES)
+            layout = ("mono", "stereo", "loud")[doc_id % 3]
+            if layout == "stereo":
+                frames = [[v, v] for v in s]
+                payloads.append(encode_wav(2, 8000, frames))
+            elif layout == "loud":
+                payloads.append(encode_wav(1, 8000, [[2 * v] for v in s]))
+            else:
+                payloads.append(encode_wav(1, 8000, [[v] for v in s]))
+            layouts.append(layout)
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "layout": layouts, "payload": payloads}
+        )
+
+
+def _audio_fingerprint_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """REAL RIFF chunk-walk decode (multimodal.decode_wav), then an
+    exact-integer energy-profile fingerprint that is invariant to the
+    layout variants BY ALGEBRA, not tolerance: frames mix down by
+    channel SUM (duplicated channels double every value uniformly),
+    per-frame energy e_f = sum v^2, digit_f = e_f * {Q} // total —
+    a uniform amplitude scale k multiplies every e_f and the total by
+    k^2, and floor((k^2 e Q)/(k^2 T)) == floor((e Q)/T) exactly."""
+    import numpy as np
+
+    from go_map_reduce_spark.operators.multimodal import decode_wav
+
+    for pdf in batches:
+        out = {"doc_id": [], "layout": [], "afp": []}
+        for doc_id, layout, payload in zip(
+            pdf["doc_id"], pdf["layout"], pdf["payload"]
+        ):
+            _rate, channels, n_frames, data = decode_wav(bytes(payload))
+            if n_frames != AUD_FRAMES * AUD_FRAME_LEN:
+                raise ValueError(f"unexpected frame count {n_frames}")
+            v = (
+                np.frombuffer(data, dtype="<i2")
+                .astype(np.int64)
+                .reshape(n_frames, channels)
+                .sum(axis=1)
+            )
+            e = (v * v).reshape(AUD_FRAMES, AUD_FRAME_LEN).sum(axis=1)
+            total = int(e.sum())
+            if total == 0:
+                raise ValueError("silent payload — fingerprint undefined")
+            digits = [int(x) * AUD_Q // total for x in e]
+            out["doc_id"].append(doc_id)
+            out["layout"].append(layout)
+            out["afp"].append("-".join(f"{d:04d}" for d in digits))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "audio_layout_dedup",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id, doc_id % {AUD_RESIDUES} AS res,
+             CASE doc_id % 3 WHEN 0 THEN 'mono'
+                             WHEN 1 THEN 'stereo' ELSE 'loud' END AS layout
+      FROM documents
+    ),
+    samples AS (
+      SELECT res, t // {AUD_FRAME_LEN} AS f,
+             (37 * res + 13 * t) % 1000 - 500 AS v
+      FROM (SELECT DISTINCT res FROM per_doc),
+           range({AUD_FRAMES * AUD_FRAME_LEN}) u(t)
+    ),
+    fe AS (
+      SELECT res, f, SUM(v * v) AS e FROM samples GROUP BY res, f
+    ),
+    tot AS (SELECT res, SUM(e) AS total FROM fe GROUP BY res),
+    fp AS (
+      SELECT fe.res,
+             string_agg(lpad(CAST(fe.e * {AUD_Q} // t.total AS VARCHAR),
+                             4, '0'), '-' ORDER BY fe.f) AS afp
+      FROM fe JOIN tot t ON t.res = fe.res GROUP BY fe.res
+    ),
+    tagged AS (
+      SELECT d.doc_id, d.layout, fp.afp
+      FROM per_doc d JOIN fp ON fp.res = d.res
+    )
+    SELECT afp,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT layout) AS BIGINT) AS n_layouts,
+           CAST(SUM(CASE WHEN layout = 'mono' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mono,
+           CAST(SUM(CASE WHEN layout = 'stereo' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_stereo,
+           CAST(SUM(CASE WHEN layout = 'loud' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_loud
+    FROM tagged GROUP BY afp
+    """,
+)
+def audio_layout_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-invariant AUDIO dedup — the WAV sibling of
+    image_cross_codec_dedup: the same closed-form waveform arrives as
+    mono, channel-duplicated stereo, and a 2x-amplitude remaster
+    (byte-distinct RIFF payloads; exact dedup finds nothing), every
+    payload is REALLY decoded (RIFF chunk walk), and an exact-integer
+    energy-profile fingerprint (channel-sum mixdown, per-frame energy
+    permille of total) collapses each content residue to ONE cluster
+    regardless of layout.  Invariance is algebraic: channel
+    duplication and amplitude scale multiply every frame energy and
+    the total by the same k^2, which cancels inside the integer
+    floor-division digit — so the hash gate compares exact arithmetic
+    in both engines (the oracle replays the closed form with no codec).
+
+    100 TB shape: identical to the image tier — two Arrow-batched map
+    stages (encode / decode+fingerprint; samples never shuffle), one
+    shuffle of short fingerprint strings for the cluster aggregate.
+    Per-layout counts in the output pin the invariance corpus-wide:
+    every cluster spans all three layouts wherever all residue x
+    layout combinations exist."""
+    from go_map_reduce_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = ids.mapInPandas(
+        _synth_audio_layout_batch,
+        schema="doc_id long, layout string, payload binary",
+    )
+    printed = media.mapInPandas(
+        _audio_fingerprint_batch,
+        schema="doc_id long, layout string, afp string",
+    )
+    return printed.groupBy("afp").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.count_distinct("layout").cast("long").alias("n_layouts"),
+        F.sum((F.col("layout") == "mono").cast("long"))
+        .cast("long")
+        .alias("n_mono"),
+        F.sum((F.col("layout") == "stereo").cast("long"))
+        .cast("long")
+        .alias("n_stereo"),
+        F.sum((F.col("layout") == "loud").cast("long"))
+        .cast("long")
+        .alias("n_loud"),
     )

@@ -84,3 +84,62 @@ def test_every_cluster_spans_all_three_formats(spark, sf_dir):
     # perceptual grouping is non-trivial: fewer clusters than residues
     # (some residues collide by design) but more than one
     assert 1 < len(rows) < CC_RESIDUES
+
+
+# --------------------------------------------------------------------------
+# Audio cross-layout dedup
+# --------------------------------------------------------------------------
+
+
+def test_audio_against_duckdb_oracle(spark, sf_dir):
+    compare(
+        QUERIES["audio_layout_dedup"](spark, sf_dir),
+        ORACLES["audio_layout_dedup"],
+        sf_dir,
+    )
+
+
+def _audio_local(doc_ids):
+    import pandas as pd
+
+    from go_map_reduce_spark.operators.pipeline33 import (
+        _audio_fingerprint_batch,
+        _synth_audio_layout_batch,
+    )
+
+    media = pd.concat(
+        list(
+            _synth_audio_layout_batch(
+                iter([pd.DataFrame({"doc_id": doc_ids})])
+            )
+        ),
+        ignore_index=True,
+    )
+    fps = pd.concat(
+        list(_audio_fingerprint_batch(iter([media]))), ignore_index=True
+    )
+    return media, fps
+
+
+def test_audio_layouts_byte_distinct_but_fingerprint_identical():
+    """ids 0 (mono), 16 (stereo), 32 (loud) share waveform residue 0:
+    three byte-distinct RIFF payloads, one fingerprint — and the
+    invariance is exact, not tolerance-based."""
+    media, fps = _audio_local([0, 16, 32])
+    payloads = [bytes(p) for p in media["payload"]]
+    assert len(set(payloads)) == 3
+    assert set(fps["layout"]) == {"mono", "stereo", "loud"}
+    assert len(set(fps["afp"])) == 1
+
+
+def test_audio_every_cluster_spans_all_layouts(spark, sf_dir):
+    """doc_id mod 48 covers every (residue, layout) pair; the 16
+    waveform residues produce 16 distinct fingerprints (verified at
+    design time), each spanning all three layouts."""
+    rows = QUERIES["audio_layout_dedup"](spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["group_size"] for r in rows) == n_docs
+    assert len(rows) == 16
+    for r in rows:
+        assert r["n_layouts"] == 3, r
+        assert r["n_mono"] + r["n_stereo"] + r["n_loud"] == r["group_size"]
