@@ -32,6 +32,7 @@ convention: the staleness closure must see the edges)."""
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Iterator
 
 import pandas as pd
@@ -253,14 +254,18 @@ AUD_FRAME_LEN = 16  # samples per frame (8 x 16 = 128 samples)
 AUD_Q = 1000  # energy-profile quantization (permille)
 
 
-def _aud_samples(res: int) -> list[int]:
+@functools.lru_cache(maxsize=AUD_RESIDUES)
+def _aud_samples(res: int) -> tuple[int, ...]:
     """The closed-form base waveform of one content residue: 128
     PCM-16 samples in [-500, 500) — headroom for the 2x loudness
-    variant to stay inside int16."""
-    return [
+    variant to stay inside int16.  Cached at module level: only
+    AUD_RESIDUES distinct waveforms exist (no per-doc jitter, unlike
+    the image sibling), so per-document recomputation in the Arrow
+    stage is pure waste."""
+    return tuple(
         (37 * res + 13 * t) % 1000 - 500
         for t in range(AUD_FRAMES * AUD_FRAME_LEN)
-    ]
+    )
 
 
 def _synth_audio_layout_batch(

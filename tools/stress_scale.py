@@ -257,7 +257,8 @@ def main() -> None:
         # timed_force — all aggregate-final). Upsert runs before
         # compaction, the realistic suite order: compaction then rides
         # the shared frozen-centroid frame the upsert built.
-        "t_upsert t_compact xcodec_groups t_xcodec t_retrain t_bfunnel"
+        "t_upsert t_compact xcodec_groups t_xcodec t_retrain t_bfunnel "
+        "t_audio"
     ).split()
     print("| " + " | ".join(cols) + " |")
     print("|" + "|".join("---" for _ in cols) + "|")
@@ -298,12 +299,14 @@ def main() -> None:
         release_caches()
         _, t_bf = timed_force(QUERIES["curation_funnel_bucketed"](spark, d))
         release_caches()
+        _, t_au = timed_force(QUERIES["audio_layout_dedup"](spark, d))
+        release_caches()
         row = [
             m, n_docs, prof["n_buckets"], prof["max_bucket"],
             prof["n_overcap"], prof["uncapped_pairs"],
             prof["capped_candidates_analytic"], pairs, t_pairs,
             tmpl, t_tmpl, newb, t_newb, knn, t_knn, cut, t_cut,
-            t_ups, t_cmp, xg, t_xc, t_rt, t_bf,
+            t_ups, t_cmp, xg, t_xc, t_rt, t_bf, t_au,
         ]
         print("| " + " | ".join(str(x) for x in row) + " |", flush=True)
         frows, t_e2e, straddle = capstone_funnel(spark, d)
