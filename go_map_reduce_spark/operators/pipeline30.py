@@ -334,18 +334,24 @@ def staged_decisions_bucketed(
     )
 
 
-def _bucketed_prefix(sf_dir: str) -> str:
-    """Warehouse table prefix for one dataset VERSION: keyed by the
-    sf_dir path plus its listing fingerprint, so a rewrite of the data
-    under the same path lands in fresh tables instead of silently
-    reusing the pre-rewrite layout (the shared_frame keying rule,
-    applied to the durable layout)."""
+def _bucketed_prefix(spark: SparkSession, sf_dir: str) -> str:
+    """Warehouse table prefix for one dataset VERSION within one
+    SESSION: keyed by the sf_dir path plus its listing fingerprint (so
+    a rewrite of the data under the same path lands in fresh tables —
+    the shared_frame keying rule, applied to the durable layout) plus
+    the Spark applicationId (so two concurrent sessions sharing one
+    spark-warehouse — e.g. parallel pytest and bench runs from the same
+    cwd — write disjoint table names and can never see each other's
+    live tables as orphans; r10 ADVICE item).  The layout was already
+    once-per-session (the in-memory catalog forgets tables on exit), so
+    the session token changes ownership, not the cost model."""
     import hashlib
 
     from go_map_reduce_spark.registry import _data_fingerprint
 
     tag = hashlib.md5(
-        f"{sf_dir}:{_data_fingerprint(sf_dir)}".encode()
+        f"{sf_dir}:{_data_fingerprint(sf_dir)}:"
+        f"{spark.sparkContext.applicationId}".encode()
     ).hexdigest()[:10]
     return f"stagedb_{tag}"
 
@@ -378,7 +384,7 @@ def curation_funnel_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan contains no doc_id Exchange — the only shuffles left are the
     constant-size split/(split, shard) aggregates of the funnel
     itself."""
-    prefix = _bucketed_prefix(sf_dir)
+    prefix = _bucketed_prefix(spark, sf_dir)
     tables = [f"{prefix}_{t}" for t in ("gate", "cut", "keep", "split")]
     if not all(spark.catalog.tableExists(t) for t in tables):
         _clear_orphan_table_dirs(spark, tables)
@@ -386,27 +392,51 @@ def curation_funnel_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_from_staged(staged_decisions_bucketed(spark, prefix))
 
 
-def _clear_orphan_table_dirs(spark: SparkSession, tables: list[str]) -> None:
+# Stranded stagedb_* generations younger than this are left alone: a
+# CONCURRENT session sharing this warehouse (parallel pytest + bench
+# from one cwd) owns tables this session's in-memory catalog cannot
+# see, and its prefix embeds its own applicationId so we cannot match
+# by name either.  One hour comfortably exceeds any run in this repo
+# (full marathon ~4 min, full pytest ~17 min... use 1h for margin);
+# older dirs are dead generations from exited sessions.
+_ORPHAN_MIN_AGE_SEC = 3600.0
+
+
+def _clear_orphan_table_dirs(
+    spark: SparkSession, tables: list[str], warehouse: str | None = None
+) -> None:
     """Remove warehouse directories left behind by PREVIOUS sessions'
     managed tables: the default in-memory catalog forgets the table on
     session exit but leaves its files, and saveAsTable then refuses the
     name with LOCATION_ALREADY_EXISTS.  Sweeps (a) the requested table
-    names and (b) every stranded ``stagedb_*`` generation — the prefix
-    embeds the data fingerprint, so a dataset rewrite changes the
-    prefix and would otherwise strand the old generation's four
-    corpus-sized tables forever.  Only directories whose table is
-    absent from the live catalog are touched (never a live table's
-    data), and only under this session's own warehouse dir."""
+    names — uniquely THIS session's, because the prefix embeds the
+    applicationId — and (b) stranded ``stagedb_*`` generations older
+    than _ORPHAN_MIN_AGE_SEC (the prefix embeds the data fingerprint
+    and session id, so dataset rewrites and session exits would
+    otherwise strand old generations' corpus-sized tables forever; the
+    age guard keeps the sweep from deleting a CONCURRENT session's live
+    tables, which this session's catalog cannot distinguish from
+    orphans — r10 ADVICE item).  Only directories whose table is absent
+    from the live catalog are touched, and only under this session's
+    own warehouse dir."""
     import os
     import shutil
+    import time
     from urllib.parse import urlparse
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    wh = warehouse or urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     doomed = set(tables)
+    now = time.time()
     try:
-        doomed.update(
-            n for n in os.listdir(wh) if n.startswith("stagedb_")
-        )
+        for n in os.listdir(wh):
+            if not n.startswith("stagedb_"):
+                continue
+            try:
+                if now - os.stat(os.path.join(wh, n)).st_mtime < _ORPHAN_MIN_AGE_SEC:
+                    continue
+            except OSError:
+                continue
+            doomed.add(n)
     except OSError:
         pass
     for t in doomed:

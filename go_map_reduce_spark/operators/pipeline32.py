@@ -140,6 +140,26 @@ def _deployed_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _retrained_tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus under TODAY'S retrained tokenizer (merges trained on
+    standing+batch, applied to everyone) — memoized exactly like the
+    deployed chain (r10 ADVICE closure): repeated invocations within
+    one session (oracle test + reconciliation test + bench) would
+    otherwise pay BPE_ROUNDS full-corpus localCheckpoints and driver
+    argmaxes per call.  Same trainer, different count predicate — the
+    factoring that pins the two chains to identical semantics."""
+    from go_map_reduce_spark.registry import shared_frame
+
+    return shared_frame(
+        spark,
+        f"bpe_retrained:{sf_dir}",
+        lambda: _bpe_train_apply(
+            _doc_word_tokens(spark, sf_dir), F.lit(True)
+        ).localCheckpoint(eager=True),
+        data_path=sf_dir,
+    )
+
+
 def _sql_drift_round(prev: str, it: int) -> str:
     """One unrolled round: pair counts over STANDING rows only (the
     deployed tokenizer never saw the batch), the (count desc, pair
@@ -342,9 +362,12 @@ def tokenizer_retrain_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline9 pattern), application a per-row literal fold, report a
     (lang x 2) aggregate.  The retrain reuses the deployed trainer's
     machinery verbatim (_bpe_train_apply), so the two chains cannot
-    drift in semantics, only in their counted populations."""
+    drift in semantics, only in their counted populations.  Both
+    chains are shared frames — first-consumer attribution applies:
+    whichever query touches a chain first in a session pays its
+    BPE_ROUNDS training cost; later consumers read checkpoint blocks."""
     dep = _deployed_tokenized(spark, sf_dir)
-    ret = _bpe_train_apply(_doc_word_tokens(spark, sf_dir), F.lit(True))
+    ret = _retrained_tokenized(spark, sf_dir)
 
     def _batch_agg(df: DataFrame, p: str) -> DataFrame:
         return (

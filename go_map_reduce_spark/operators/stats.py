@@ -349,6 +349,13 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Descending-revenue percentile bins for the two-phase Pareto ranking
+# (the pipeline14 RANK_BINS convention; on a cluster, ~one bin per
+# 2-4 tasks keeps the intra-bin sorts balanced even under revenue skew
+# because edges are revenue QUANTILES — equal-population by design).
+PARETO_BINS = 16
+
+
 @query(
     "customer_pareto_share",
     oracle="""
@@ -381,12 +388,25 @@ def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     All accumulation is integer cents — the running sum, the total, and
     the INCLUSION TEST ((cum − own) × 2 < total, i.e. "the customers
     above me don't reach half") are exact int64 comparisons; the only
-    float is the final share division, one identical op per row. The
-    per-customer aggregate shrinks input to |customers| rows first; the
-    ranking window is single-partition over THAT frame — fine while
-    customers fit one task's sort (millions), and the documented
-    two-phase variant (per-partition partial cumsums + offset join)
-    takes over beyond."""
+    float is the final share division, one identical op per row.
+
+    TWO-PHASE ranking/cumsum (r10 verdict task 4 — was the engine's
+    last single-partition window over an unbounded per-entity frame):
+    (1) revenue-percentile BIN EDGES from one holistic aggregate split
+    customers into {PARETO_BINS} descending-revenue ranges; (2) per-bin
+    (count, cents-sum) — a ≤{PARETO_BINS}+1-row frame — turn into rank
+    and cumsum OFFSETS plus the grand total with windows over that tiny
+    frame; (3) each customer's rank/cum = its bin's offsets + its
+    INTRA-BIN row_number/running sum, where the intra windows partition
+    BY BIN — parallel across bins, never one task (the pipeline14
+    global_price_rank_twophase pattern).  Edge ties are safe: customers
+    whose cents equal an edge all land in the same bin (strictly-above
+    count), and (cents desc, custkey) inside the bin completes the
+    total order, so the output is hash-identical to the naive global
+    window the oracle still runs."""
+    from go_map_reduce_spark.registry import track_cache
+
+    qs = [i / PARETO_BINS for i in range(1, PARETO_BINS)]
     rev = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -396,13 +416,47 @@ def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
-    ranked = rev.select(
-        "o_custkey",
-        "cents",
-        F.row_number().over(w).alias("rk"),
-        F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-        F.sum("cents").over(Window.partitionBy()).alias("total"),
+    edges = rev.agg(F.percentile("cents", F.lit(qs)).alias("e"))
+    # consumed twice (per-bin offsets + the ranked output): persist so
+    # the per-customer aggregate and bin assignment run once
+    binned = (
+        rev.crossJoin(F.broadcast(edges))
+        .select(
+            "o_custkey",
+            "cents",
+            # bin 1 = richest: count edges strictly ABOVE my cents
+            (1 + F.size(F.filter("e", lambda x: x > F.col("cents")))).alias(
+                "bin"
+            ),
+        )
+        .persist()
+        .transform(track_cache)
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("cents").alias("s")
+    )
+    tiny = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bin.select(
+        "bin",
+        F.coalesce(F.sum("c").over(tiny), F.lit(0)).alias("rk_off"),
+        F.coalesce(F.sum("s").over(tiny), F.lit(0)).alias("cum_off"),
+        F.sum("s").over(Window.partitionBy()).alias("total"),
+    )
+    intra = Window.partitionBy("bin").orderBy(F.desc("cents"), F.asc("o_custkey"))
+    ranked = (
+        binned.join(F.broadcast(offsets), "bin")
+        .select(
+            "o_custkey",
+            "cents",
+            "total",
+            (F.col("rk_off") + F.row_number().over(intra)).alias("rk"),
+            (
+                F.col("cum_off")
+                + F.sum("cents").over(
+                    intra.rowsBetween(Window.unboundedPreceding, 0)
+                )
+            ).alias("cum"),
+        )
     )
     return ranked.where(
         (F.col("cum") - F.col("cents")) * 2 < F.col("total")

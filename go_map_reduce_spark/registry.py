@@ -86,36 +86,41 @@ _SHARED_FRAMES: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _data_fingerprint(path: Optional[str]) -> str:
-    """Listing fingerprint (entry names + sizes + mtimes) of a data
-    directory — cheap (one readdir + stats, no content read).
+    """Recursive listing fingerprint (relative paths + sizes + mtimes)
+    of a data directory — stat-only, no content read.
 
-    FLAT-LAYOUT ASSUMPTION: the scan is non-recursive (one readdir), so
-    it detects adds/removes/rewrites of the directory's TOP-LEVEL
-    entries only.  Rewriting a file nested inside a subdirectory (a
-    directory-style/partitioned parquet table) changes that file's
-    mtime but not the parent entry's stat, and would be missed.  Every
-    sf_dir this repo points shared_frame at is a flat directory of
-    single-file parquet tables (TESTDATA.md layout), and
-    tests/test_registry_shared.py::test_shared_frame_data_dirs_are_flat
-    pins that assumption against the real testdata.  If a future table
-    becomes directory-style, replace the readdir with an os.walk over
-    relative paths (stat-only, same cost class on flat layouts)."""
+    The walk covers NESTED files too, so a rewrite inside a
+    directory-style/partitioned parquet table (new part file, rewritten
+    part file, added hive partition dir) changes the fingerprint just
+    like a top-level rewrite does.  On the flat single-file-table
+    layouts this repo's sf_dirs use (TESTDATA.md) the walk degenerates
+    to one readdir + stats — same cost class as the previous
+    non-recursive scan.  Directory traversal order is pinned
+    (lexicographic via in-place dirnames sort) so the digest is
+    deterministic across platforms.  Coverage:
+    tests/test_registry_shared.py::test_fingerprint_sees_nested_rewrites
+    pins that a nested-file rewrite MUST change the fingerprint and
+    MUST miss the shared_frame memo."""
     if path is None:
         return ""
     import hashlib
     import os
 
-    h = hashlib.md5()
     try:
-        names = sorted(os.listdir(path))
+        os.listdir(path)
     except OSError:
         return "unreadable"
-    for n in names:
-        try:
-            st = os.stat(os.path.join(path, n))
-        except OSError:
-            continue
-        h.update(f"{n}:{st.st_size}:{st.st_mtime_ns};".encode())
+    h = hashlib.md5()
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames.sort()
+        rel = os.path.relpath(dirpath, path)
+        for n in sorted(filenames):
+            try:
+                st = os.stat(os.path.join(dirpath, n))
+            except OSError:
+                continue
+            relp = n if rel == "." else os.path.join(rel, n)
+            h.update(f"{relp}:{st.st_size}:{st.st_mtime_ns};".encode())
     return h.hexdigest()
 
 

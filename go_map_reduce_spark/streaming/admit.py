@@ -225,11 +225,31 @@ def _admit_funnel(spark: SparkSession, dec_dir: str) -> DataFrame:
     byte-identical rows, so the dedup makes the funnel exact there
     instead of double-counting docs_in/admitted.  In the narrower
     window where the seen-set DID advance before the crash, the
-    replayed rows can differ in is_seen/admitted and the dedup picks
-    one arbitrarily — bounding the damage to one batch's admit flags;
-    closing that window fully needs the transactional table format
-    the module docstring names as the production sink."""
-    dec = spark.read.parquet(dec_dir).dropDuplicates(["batch_id", "doc_id"])
+    replayed rows can differ in is_seen/admitted — the survivor pick
+    is DETERMINISTIC (r10 ADVICE closure): max_by on
+    (admitted, NOT is_seen, epoch) keeps the row written when the
+    decision was actually MADE (before the seen-set advance marked
+    the replay as already-seen), so repeated reads of the same
+    decisions dir always agree and agree with the original run's
+    funnel.  Closing the window fully (no divergent rows at all)
+    needs the transactional sink — see admit_txn.py, which commits
+    decisions and seen-set version atomically."""
+    raw = spark.read.parquet(dec_dir)
+    payload = [c for c in raw.columns if c not in ("batch_id", "doc_id")]
+    dec = (
+        raw.groupBy("batch_id", "doc_id")
+        .agg(
+            F.max_by(
+                F.struct(*payload),
+                F.struct(
+                    F.col("admitted").cast("int"),
+                    (~F.col("is_seen")).cast("int"),
+                    F.col("epoch"),
+                ),
+            ).alias("r")
+        )
+        .select("batch_id", "doc_id", "r.*")
+    )
     adm = F.col("admitted")
     return dec.groupBy("batch_id").agg(
         F.count(F.lit(1)).alias("docs_in"),

@@ -59,3 +59,15 @@ def test_registered_sketch_query_is_clean(spark, sf_dir):
 
     plan = _plan(QUERIES["approx_distinct_sketch"](spark, sf_dir), spark)
     assert _expand_under_wide_aggregate(plan) == []
+
+
+def test_exit_codes_distinguish_pathology_from_env_failure():
+    """r10 ADVICE closure: a frame-build error (environment problem)
+    must not masquerade as the Expand pathology.  1 = flagged (and it
+    dominates), 2 = errors only, 0 = clean."""
+    from tools.expand_sweep import _exit_code
+
+    assert _exit_code([], []) == 0
+    assert _exit_code([("q", "Aggregate")], []) == 1
+    assert _exit_code([], [("q", "err")]) == 2
+    assert _exit_code([("q", "Aggregate")], [("r", "err")]) == 1

@@ -122,31 +122,64 @@ def test_invalidate_shared_hook(spark):
     assert calls == [1, 1]
 
 
-def test_shared_frame_data_dirs_are_flat():
-    """Guard for _data_fingerprint's documented FLAT-LAYOUT ASSUMPTION:
-    the fingerprint is one non-recursive readdir, so a rewrite nested
-    inside a subdirectory (a directory-style/partitioned table) would be
-    invisible to it.  Every path the package passes as data_path is an
-    sf_dir; pin that the real testdata layout stays flat (single-file
-    tables, no nested files).  If this ever fails, switch
-    _data_fingerprint to a stat-only os.walk as its docstring directs.
-    """
+def test_fingerprint_sees_nested_rewrites(spark, tmp_path):
+    """Coverage for the recursive _data_fingerprint (r10 verdict task 1,
+    inverting the old flat-layout guard): a rewrite of a file NESTED
+    inside a subdirectory — the directory-style/partitioned-table shape
+    the old one-readdir scan was blind to — MUST change the fingerprint
+    and MUST miss the shared_frame memo."""
     import os
+    import time
 
-    checked = 0
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        root = os.path.join("/root/testdata", sf)
-        if not os.path.isdir(root):
-            continue
-        checked += 1
-        nested = [
-            os.path.join(dirpath, f)
-            for dirpath, _, files in os.walk(root)
-            if os.path.abspath(dirpath) != os.path.abspath(root)
-            for f in files
-        ]
-        assert nested == [], (
-            f"{root} is no longer flat ({nested[:3]}...): "
-            "_data_fingerprint must become recursive (os.walk)"
-        )
-    assert checked > 0, "no testdata dirs found — guard vacuous"
+    from go_map_reduce_spark.registry import _data_fingerprint
+
+    d = tmp_path / "table"
+    part = d / "dt=2024-01-01"
+    part.mkdir(parents=True)
+    (d / "part-0.parquet").write_bytes(b"top")
+    (part / "part-1.parquet").write_bytes(b"v1")
+    fp1 = _data_fingerprint(str(d))
+
+    (part / "part-1.parquet").write_bytes(b"v2-longer")
+    os.utime(part / "part-1.parquet", ns=(time.time_ns(), time.time_ns() + 1))
+    fp2 = _data_fingerprint(str(d))
+    assert fp1 != fp2, "nested rewrite invisible: fingerprint is not recursive"
+
+    # Adding a new hive partition dir must also register.
+    part2 = d / "dt=2024-01-02"
+    part2.mkdir()
+    (part2 / "part-0.parquet").write_bytes(b"new")
+    fp3 = _data_fingerprint(str(d))
+    assert fp3 not in (fp1, fp2)
+
+    # And the memo must miss end-to-end on a nested rewrite.
+    calls = []
+
+    def mk(n):
+        def build():
+            calls.append(n)
+            return spark.range(n).localCheckpoint(eager=True)
+
+        return build
+
+    assert shared_frame(spark, "t:nested", mk(3), data_path=str(d)).count() == 3
+    (part / "part-1.parquet").write_bytes(b"v3-even-longer")
+    os.utime(part / "part-1.parquet", ns=(time.time_ns(), time.time_ns() + 1))
+    assert shared_frame(spark, "t:nested", mk(5), data_path=str(d)).count() == 5
+    assert calls == [3, 5]
+
+
+def test_fingerprint_flat_layout_unchanged_semantics(tmp_path):
+    """On a flat layout the recursive walk must behave exactly like the
+    old readdir scan: deterministic, order-independent of creation
+    order, and 'unreadable' on a missing root."""
+    from go_map_reduce_spark.registry import _data_fingerprint
+
+    d = tmp_path / "flat"
+    d.mkdir()
+    (d / "b.parquet").write_bytes(b"bb")
+    (d / "a.parquet").write_bytes(b"aa")
+    fp = _data_fingerprint(str(d))
+    assert fp == _data_fingerprint(str(d)), "not deterministic"
+    assert _data_fingerprint(str(tmp_path / "missing")) == "unreadable"
+    assert _data_fingerprint(None) == ""

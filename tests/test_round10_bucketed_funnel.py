@@ -73,7 +73,7 @@ def test_second_call_reuses_layout(spark, sf_dir):
     from go_map_reduce_spark.operators.pipeline30 import _bucketed_prefix
 
     QUERIES["curation_funnel_bucketed"](spark, sf_dir).collect()
-    prefix = _bucketed_prefix(sf_dir)
+    prefix = _bucketed_prefix(spark, sf_dir)
     for t in ("gate", "cut", "keep", "split"):
         assert spark.catalog.tableExists(f"{prefix}_{t}")
     import time
@@ -83,3 +83,53 @@ def test_second_call_reuses_layout(spark, sf_dir):
     # reuse is far cheaper than a relayout; generous bound to stay
     # noise-proof (first build includes four stage pipelines + writes)
     assert time.monotonic() - t0 < 60
+
+
+def test_prefix_is_session_scoped(spark, sf_dir):
+    """r10 ADVICE closure: two concurrent sessions sharing one
+    spark-warehouse must write DISJOINT table names, so neither can
+    mistake the other's live tables for orphans.  The prefix embeds the
+    applicationId; same data + different session id => different
+    prefix."""
+    import hashlib
+
+    from go_map_reduce_spark.operators.pipeline30 import _bucketed_prefix
+    from go_map_reduce_spark.registry import _data_fingerprint
+
+    mine = _bucketed_prefix(spark, sf_dir)
+    other = hashlib.md5(
+        f"{sf_dir}:{_data_fingerprint(sf_dir)}:other-app-id".encode()
+    ).hexdigest()[:10]
+    assert mine != f"stagedb_{other}"
+    assert mine.startswith("stagedb_")
+
+
+def test_orphan_sweep_spares_young_strangers(spark, tmp_path):
+    """r10 ADVICE closure, the other half: the stranded-generation
+    sweep must NOT rmtree a recent stagedb_* dir it doesn't own (it
+    could be a concurrent session's live table), but must still clear
+    (a) dirs it was explicitly asked for and (b) old dead generations."""
+    import os
+    import time
+
+    from go_map_reduce_spark.operators.pipeline30 import (
+        _ORPHAN_MIN_AGE_SEC,
+        _clear_orphan_table_dirs,
+    )
+
+    wh = tmp_path / "wh"
+    wh.mkdir()
+    young = wh / "stagedb_young01_gate"
+    old = wh / "stagedb_old001_gate"
+    mine = wh / "stagedb_mine01_gate"
+    for d in (young, old, mine):
+        d.mkdir()
+        (d / "part-0.parquet").write_bytes(b"x")
+    past = time.time() - _ORPHAN_MIN_AGE_SEC - 60
+    os.utime(old, (past, past))
+
+    _clear_orphan_table_dirs(spark, ["stagedb_mine01_gate"], warehouse=str(wh))
+
+    assert young.is_dir(), "young stranger swept: concurrent-session hazard"
+    assert not old.exists(), "old dead generation not swept"
+    assert not mine.exists(), "explicitly requested dir not swept"

@@ -135,3 +135,70 @@ def test_mad_flags_are_extreme(spark, sf_dir):
     for r in flagged:
         m, mad = stats_by_type[r["event_type"]]
         assert mad > 0 and r["deviation"] * 100 > 3 * mad
+
+
+def test_pareto_has_no_unpartitioned_data_window(spark, sf_dir):
+    """r10 verdict task 4: customer_pareto_share was the engine's last
+    single-partition window over an unbounded per-entity frame.  The
+    two-phase plan's data-sized windows (the ones ordering the
+    (cents, o_custkey) total-order key) must all carry the bin
+    partition key; only the tiny per-bin offsets windows (ordering by
+    bin alone, over an aggregate of <= PARETO_BINS+1 rows) may be
+    unpartitioned."""
+    import re
+
+    df = QUERIES["customer_pareto_share"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    wins = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert wins
+    data_wins = [w for w in wins if "cents" in w and "custkey" in w]
+    assert data_wins and all("bin" in w for w in data_wins), wins
+
+
+def test_pareto_two_phase_matches_naive_window(spark, sf_dir):
+    """Bit-for-bit equivalence with the naive global-window form the
+    oracle runs (belt to the oracle gate's braces): same members, same
+    ranks, same exact cumulative shares."""
+    from go_map_reduce_spark.catalog import load_table
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    naive = (
+        rev.select(
+            "o_custkey",
+            "cents",
+            F.row_number().over(w).alias("rk"),
+            F.sum("cents")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum"),
+            F.sum("cents").over(Window.partitionBy()).alias("total"),
+        )
+        .where((F.col("cum") - F.col("cents")) * 2 < F.col("total"))
+        .select(
+            "o_custkey",
+            (F.col("cents").cast("double") / 100.0).alias("revenue"),
+            F.col("rk").cast("long").alias("rk"),
+            (F.col("cum").cast("double") / F.col("total")).alias("cum_share"),
+        )
+    )
+    got = sorted(
+        QUERIES["customer_pareto_share"](spark, sf_dir).collect(),
+        key=lambda r: r["rk"],
+    )
+    want = sorted(naive.collect(), key=lambda r: r["rk"])
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    assert len(got) > 0

@@ -191,3 +191,41 @@ def test_funnel_unchanged_under_replayed_append(spark, sf_dir):
             for r in _admit_funnel(spark, dec_dir).collect()
         }
         assert after == before
+
+
+def test_divergent_replay_survivor_is_deterministic(spark, sf_dir):
+    """r10 ADVICE closure: when a replay straddles a seen-set advance,
+    the replayed rows differ in is_seen/admitted from the originals.
+    The read-side pick must be DETERMINISTIC and must keep the row
+    written when the decision was actually made (admitted=true /
+    is_seen=false beats the replay's seen-marked twin), so repeated
+    reads of the same decisions dir agree with each other and with the
+    pre-divergence funnel."""
+    with tempfile.TemporaryDirectory(prefix="gmrs_admit_dv_") as tmp:
+        _run_full(spark, sf_dir, tmp, [0, 1])
+        dec_dir = os.path.join(tmp, "decisions")
+        before = {
+            r["batch_id"]: r.asDict()
+            for r in _admit_funnel(spark, dec_dir).collect()
+        }
+        # Forge the divergent replay: batch 1's rows recomputed AFTER
+        # the seen-set advance — every cluster now looks seen, so the
+        # replayed twins carry is_seen=true / admitted=false.
+        divergent = (
+            spark.read.parquet(dec_dir)
+            .where("batch_id = 1")
+            .withColumn("is_seen", F.lit(True))
+            .withColumn("admitted", F.lit(False))
+            .localCheckpoint(eager=True)
+        )
+        assert divergent.count() > 0
+        divergent.write.mode("append").parquet(dec_dir)
+        reads = [
+            {
+                r["batch_id"]: r.asDict()
+                for r in _admit_funnel(spark, dec_dir).collect()
+            }
+            for _ in range(3)
+        ]
+        assert reads[0] == reads[1] == reads[2], "read not deterministic"
+        assert reads[0] == before, "survivor pick lost the original decision"

@@ -18,9 +18,14 @@ budget a few minutes at sf0.01, not seconds.
     python tools/expand_sweep.py            # all queries, summary
     python tools/expand_sweep.py -v         # list every Expand user
 
-Exit code 1 if any flagged query exists (usable as a regression gate).
-The companion per-query noop-vs-count timing ratio lives in
-BENCH_DETAIL.json (BENCH_ACTION=noop vs count) and PERFORMANCE.md.
+Exit codes (r10 ADVICE: keep pathology and environment failures
+distinguishable): 0 = clean; 1 = a flagged Expand-x-wide-buffer plan
+exists (the regression gate tripped on the real pathology); 2 = no
+flags but some query's FRAME BUILD errored (environment problem —
+missing testdata table, session misconfig — the sweep is incomplete,
+not failed-on-pathology).  The companion per-query noop-vs-count
+timing ratio lives in BENCH_DETAIL.json (BENCH_ACTION=noop vs count)
+and PERFORMANCE.md.
 """
 
 from __future__ import annotations
@@ -109,7 +114,14 @@ def sweep(verbose: bool = False) -> int:
             print(f"  {name}: {hits}")
     else:
         print("FLAGGED: none")
-    return 1 if flagged or errors else 0
+    return _exit_code(flagged, errors)
+
+
+def _exit_code(flagged: list, errors: list) -> int:
+    """0 clean; 1 pathology flagged (dominates); 2 build errors only."""
+    if flagged:
+        return 1
+    return 2 if errors else 0
 
 
 if __name__ == "__main__":
