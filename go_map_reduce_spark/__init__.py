@@ -73,6 +73,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline31,
     pipeline32,
     pipeline33,
+    pipeline34,
     sqlsurface,
     stats,
     quality_filters,

@@ -150,10 +150,12 @@ def _cross_codec_hash_batch(
         yield pd.DataFrame(out)
 
 
-@query(
-    "image_cross_codec_dedup",
-    oracle=f"""
-    WITH per_doc AS (
+# The closed-form (doc_id, codec, ahash) derivation as a reusable CTE
+# body: the survivor/cut-list composition (pipeline34) registers the
+# IDENTICAL closed form, so the two oracles cannot drift (the
+# curation_funnel_bucketed precedent, operators/pipeline30.py).
+CC_TAGGED_CTES = f"""
+    per_doc AS (
       SELECT doc_id, doc_id % {CC_RESIDUES} AS res,
              CASE doc_id % 3 WHEN 0 THEN 'jpeg'
                              WHEN 1 THEN 'png' ELSE 'bmp' END AS codec
@@ -184,6 +186,40 @@ def _cross_codec_hash_batch(
       SELECT d.doc_id, d.codec, h.ahash
       FROM per_doc d JOIN hashes h ON h.res = d.res
     )
+"""
+
+
+def cc_hashed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decoded-and-hashed image frame (doc_id, codec, ahash) —
+    memoized via registry.shared_frame because the cluster report
+    (``image_cross_codec_dedup``) and the survivor selection
+    (``media_dedup_survivors``, pipeline34) both start from it: the
+    JPEG Huffman+IDCT decode for a third of the corpus is the tier's
+    dominant cost and must run once per session, not once per
+    consumer (the ivf_frozen_centroids / bpe_deployed precedent —
+    first-consumer attribution note applies)."""
+    from go_map_reduce_spark.registry import shared_frame
+    from go_map_reduce_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+
+    def _build() -> DataFrame:
+        ids = load_table(spark, sf_dir, "documents").select("doc_id")
+        media = ids.mapInPandas(
+            _synth_cross_codec_batch, schema="doc_id long, payload binary"
+        )
+        return media.mapInPandas(
+            _cross_codec_hash_batch,
+            schema="doc_id long, codec string, ahash string",
+        ).localCheckpoint(eager=True)
+
+    return shared_frame(spark, f"cc_hashed:{sf_dir}", _build, data_path=sf_dir)
+
+
+@query(
+    "image_cross_codec_dedup",
+    oracle=f"""
+    WITH {CC_TAGGED_CTES}
     SELECT ahash,
            CAST(COUNT(*) AS BIGINT) AS group_size,
            CAST(COUNT(DISTINCT codec) AS BIGINT) AS n_codecs,
@@ -217,18 +253,11 @@ def image_cross_codec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster aggregate — identical plan to dedup_exact_summary with
     the perceptual hash in place of md5.  This is the plan a
     multimodal crawl dedup wants: decode cost scales with bytes
-    scanned, shuffle cost with #images, never with pixels."""
-    from go_map_reduce_spark.shipping import ensure_package_shipped
-
-    ensure_package_shipped(spark)
-    ids = load_table(spark, sf_dir, "documents").select("doc_id")
-    media = ids.mapInPandas(
-        _synth_cross_codec_batch, schema="doc_id long, payload binary"
-    )
-    hashed = media.mapInPandas(
-        _cross_codec_hash_batch,
-        schema="doc_id long, codec string, ahash string",
-    )
+    scanned, shuffle cost with #images, never with pixels.  The
+    hashed frame itself is session-memoized (``cc_hashed_frame``) so
+    the survivor composition reuses the decode instead of re-paying
+    it."""
+    hashed = cc_hashed_frame(spark, sf_dir)
     return hashed.groupBy("ahash").agg(
         F.count(F.lit(1)).cast("long").alias("group_size"),
         F.count_distinct("codec").cast("long").alias("n_codecs"),
@@ -335,35 +364,68 @@ def _audio_fingerprint_batch(
         yield pd.DataFrame(out)
 
 
-@query(
-    "audio_layout_dedup",
-    oracle=f"""
-    WITH per_doc AS (
+# Reusable closed-form (doc_id, layout, afp) CTE body — shared with
+# the pipeline34 survivor composition (same discipline as
+# CC_TAGGED_CTES above).
+AUD_TAGGED_CTES = f"""
+    aud_docs AS (
       SELECT doc_id, doc_id % {AUD_RESIDUES} AS res,
              CASE doc_id % 3 WHEN 0 THEN 'mono'
                              WHEN 1 THEN 'stereo' ELSE 'loud' END AS layout
       FROM documents
     ),
-    samples AS (
+    aud_samples AS (
       SELECT res, t // {AUD_FRAME_LEN} AS f,
              (37 * res + 13 * t) % 1000 - 500 AS v
-      FROM (SELECT DISTINCT res FROM per_doc),
+      FROM (SELECT DISTINCT res FROM aud_docs),
            range({AUD_FRAMES * AUD_FRAME_LEN}) u(t)
     ),
-    fe AS (
-      SELECT res, f, SUM(v * v) AS e FROM samples GROUP BY res, f
+    aud_fe AS (
+      SELECT res, f, SUM(v * v) AS e FROM aud_samples GROUP BY res, f
     ),
-    tot AS (SELECT res, SUM(e) AS total FROM fe GROUP BY res),
-    fp AS (
-      SELECT fe.res,
-             string_agg(lpad(CAST(fe.e * {AUD_Q} // t.total AS VARCHAR),
-                             4, '0'), '-' ORDER BY fe.f) AS afp
-      FROM fe JOIN tot t ON t.res = fe.res GROUP BY fe.res
+    aud_tot AS (SELECT res, SUM(e) AS total FROM aud_fe GROUP BY res),
+    aud_fp AS (
+      SELECT aud_fe.res,
+             string_agg(lpad(CAST(aud_fe.e * {AUD_Q} // t.total AS VARCHAR),
+                             4, '0'), '-' ORDER BY aud_fe.f) AS afp
+      FROM aud_fe JOIN aud_tot t ON t.res = aud_fe.res GROUP BY aud_fe.res
     ),
-    tagged AS (
-      SELECT d.doc_id, d.layout, fp.afp
-      FROM per_doc d JOIN fp ON fp.res = d.res
+    aud_tagged AS (
+      SELECT d.doc_id, d.layout, aud_fp.afp
+      FROM aud_docs d JOIN aud_fp ON aud_fp.res = d.res
     )
+"""
+
+
+def audio_fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decoded-and-fingerprinted audio frame (doc_id, layout, afp)
+    — session-memoized for the same reason as ``cc_hashed_frame``:
+    the cluster report and the pipeline34 survivor selection share
+    the RIFF decode + fingerprint work (first-consumer attribution
+    note applies)."""
+    from go_map_reduce_spark.registry import shared_frame
+    from go_map_reduce_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+
+    def _build() -> DataFrame:
+        ids = load_table(spark, sf_dir, "documents").select("doc_id")
+        media = ids.mapInPandas(
+            _synth_audio_layout_batch,
+            schema="doc_id long, layout string, payload binary",
+        )
+        return media.mapInPandas(
+            _audio_fingerprint_batch,
+            schema="doc_id long, layout string, afp string",
+        ).localCheckpoint(eager=True)
+
+    return shared_frame(spark, f"aud_fp:{sf_dir}", _build, data_path=sf_dir)
+
+
+@query(
+    "audio_layout_dedup",
+    oracle=f"""
+    WITH {AUD_TAGGED_CTES}
     SELECT afp,
            CAST(COUNT(*) AS BIGINT) AS group_size,
            CAST(COUNT(DISTINCT layout) AS BIGINT) AS n_layouts,
@@ -373,7 +435,7 @@ def _audio_fingerprint_batch(
              AS n_stereo,
            CAST(SUM(CASE WHEN layout = 'loud' THEN 1 ELSE 0 END) AS BIGINT)
              AS n_loud
-    FROM tagged GROUP BY afp
+    FROM aud_tagged GROUP BY afp
     """,
 )
 def audio_layout_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -395,19 +457,10 @@ def audio_layout_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of short fingerprint strings for the cluster aggregate.
     Per-layout counts in the output pin the invariance corpus-wide:
     every cluster spans all three layouts wherever all residue x
-    layout combinations exist."""
-    from go_map_reduce_spark.shipping import ensure_package_shipped
-
-    ensure_package_shipped(spark)
-    ids = load_table(spark, sf_dir, "documents").select("doc_id")
-    media = ids.mapInPandas(
-        _synth_audio_layout_batch,
-        schema="doc_id long, layout string, payload binary",
-    )
-    printed = media.mapInPandas(
-        _audio_fingerprint_batch,
-        schema="doc_id long, layout string, afp string",
-    )
+    layout combinations exist.  The fingerprint frame is
+    session-memoized (``audio_fp_frame``) and shared with the
+    survivor composition."""
+    printed = audio_fp_frame(spark, sf_dir)
     return printed.groupBy("afp").agg(
         F.count(F.lit(1)).cast("long").alias("group_size"),
         F.count_distinct("layout").cast("long").alias("n_layouts"),

@@ -1,0 +1,375 @@
+"""Round-11 pipeline operators: media dedup that ACTS (survivor
+selection + cut list over the cross-codec image and cross-layout
+audio clusters) and a time-shift-robust audio fingerprint.
+
+``media_dedup_survivors`` is the report→act pattern's fifth
+application (after substring_dup_cut, dedup_exact_survivors,
+tokenizer_retrain_recovery, ivf_index_compaction): the pipeline33
+cluster reports FIND the format-variant duplicates; a real crawl then
+KEEPS one canonical survivor per cluster — the lossless/most-faithful
+format, deterministic tiebreak — and cuts the rest.  Survivor policy,
+stated once: images prefer PNG (compressed lossless) over BMP (raw
+lossless) over JPEG (lossy); audio prefers the untouched mono master
+over the channel-duplicated stereo over the 2x-amplitude remaster;
+ties inside a format break on lowest doc_id.  The policy is a single
+integer preference key, so both engines compute the survivor with one
+arg-min — no window, no self-join.
+
+``audio_shift_dedup`` closes the layout tier's documented blind spot:
+the pipeline33 energy profile is invariant to channel layout and
+amplitude but NOT to a leading-silence pad or a clip offset — the
+commonest real audio near-dups (re-uploads with padded intros,
+trimmed openings).  The fix is an END-ANCHORED energy envelope: trim
+trailing silence to the last nonzero sample (every content sample is
+odd by construction, hence nonzero — the anchor is exact, not a
+threshold), then fingerprint the LAST W frames relative to their own
+window total.  A leading pad of ANY length, a prefix clip shorter
+than (content - window), a trailing pad, channel duplication, and a
+uniform amplitude scale all cancel EXACTLY: pads/clips never touch
+the end-anchored window, and scale multiplies every frame energy and
+the window total by the same k², which cancels inside the integer
+floor-division digit (the pipeline33 algebra, re-anchored).
+
+Reference anchors: the map-side dedup in mrapps/indexer.go:21-26 is
+the engine-level seed of the survivor tier (emit each key once, drop
+the rest); the reference's whole-file opaque-input contract
+(mr/worker.go:76-94) is what format/shift-invariant CONTENT identity
+upgrades.
+
+Composition queries import tier functions directly (package
+convention: the staleness closure must see the edges)."""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from go_map_reduce_spark.catalog import load_table
+from go_map_reduce_spark.operators.pipeline33 import (
+    AUD_Q,
+    AUD_TAGGED_CTES,
+    CC_TAGGED_CTES,
+    audio_fp_frame,
+    cc_hashed_frame,
+)
+from go_map_reduce_spark.registry import query
+
+# Preference ranks (lower wins).  The doc_id tiebreak rides in the low
+# bits: pref = rank * 2^40 + doc_id (doc_id < 2^40 at any plausible SF).
+_PREF_BASE = 1 << 40
+IMG_RANK = {"png": 0, "bmp": 1, "jpeg": 2}
+AUD_RANK = {"mono": 0, "stereo": 1, "loud": 2}
+
+_IMG_RANK_SQL = "CASE codec WHEN 'png' THEN 0 WHEN 'bmp' THEN 1 ELSE 2 END"
+_AUD_RANK_SQL = "CASE layout WHEN 'mono' THEN 0 WHEN 'stereo' THEN 1 ELSE 2 END"
+
+
+def _survivor_agg(
+    frame: DataFrame, key: str, fmt_col: str, rank_expr: F.Column
+) -> DataFrame:
+    """One arg-min survivor selection per cluster: group by the
+    perceptual key, pick the (rank, doc_id)-minimal member via
+    ``min_by`` on the packed integer preference, and emit the cut
+    size.  No window function and no self-join: at 100 TB this is the
+    same single short-key shuffle as the cluster report itself, with
+    a map-side partial min."""
+    pref = rank_expr * F.lit(_PREF_BASE) + F.col("doc_id")
+    return (
+        frame.withColumn("pref", pref.cast("long"))
+        .groupBy(F.col(key).alias("cluster_key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            F.min_by("doc_id", "pref").cast("long").alias("survivor_doc_id"),
+            F.min_by(fmt_col, "pref").alias("survivor_format"),
+            (F.count(F.lit(1)) - F.lit(1)).cast("long").alias("cut_count"),
+        )
+    )
+
+
+@query(
+    "media_dedup_survivors",
+    oracle=f"""
+    WITH {CC_TAGGED_CTES},
+    img AS (
+      SELECT 'image' AS media_type, ahash AS cluster_key,
+             CAST(COUNT(*) AS BIGINT) AS group_size,
+             CAST(arg_min(doc_id,
+                          ({_IMG_RANK_SQL}) * {_PREF_BASE} + doc_id)
+                  AS BIGINT) AS survivor_doc_id,
+             arg_min(codec,
+                     ({_IMG_RANK_SQL}) * {_PREF_BASE} + doc_id)
+               AS survivor_format,
+             CAST(COUNT(*) - 1 AS BIGINT) AS cut_count
+      FROM tagged GROUP BY ahash
+    ),
+    {AUD_TAGGED_CTES},
+    aud AS (
+      SELECT 'audio' AS media_type, afp AS cluster_key,
+             CAST(COUNT(*) AS BIGINT) AS group_size,
+             CAST(arg_min(doc_id,
+                          ({_AUD_RANK_SQL}) * {_PREF_BASE} + doc_id)
+                  AS BIGINT) AS survivor_doc_id,
+             arg_min(layout,
+                     ({_AUD_RANK_SQL}) * {_PREF_BASE} + doc_id)
+               AS survivor_format,
+             CAST(COUNT(*) - 1 AS BIGINT) AS cut_count
+      FROM aud_tagged GROUP BY afp
+    )
+    SELECT * FROM img UNION ALL SELECT * FROM aud
+    """,
+)
+def media_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection + cut list over BOTH media dedup tiers: per
+    perceptual cluster (image ahash / audio energy fingerprint), keep
+    the preference-minimal member — lossless format first for images
+    (PNG, then BMP, then JPEG), untouched master first for audio
+    (mono, then stereo, then the 2x remaster), lowest doc_id inside a
+    format — and emit (media_type, cluster_key, group_size,
+    survivor_doc_id, survivor_format, cut_count).  cut_count is the
+    cluster's cut-list size: group_size - 1, everything that is NOT
+    the survivor.  The oracle replays the survivor in closed form
+    (the pipeline33 tagged CTEs verbatim + one arg-min) — no codec on
+    the DuckDB side — so a wrong preference order or a
+    nondeterministic tiebreak fails the hash gate.
+
+    100 TB shape: both inputs are the session-memoized decoded frames
+    (cc_hashed_frame / audio_fp_frame — the expensive codec work runs
+    once per session across the report AND the act), and the act
+    itself is one groupBy per tier with a packed-integer ``min_by`` —
+    a map-side-combinable arg-min over the same short keys the
+    cluster report shuffles.  No window over the corpus, no
+    cluster-vs-members self-join; union of two narrow aggregates."""
+    img = _survivor_agg(
+        cc_hashed_frame(spark, sf_dir),
+        "ahash",
+        "codec",
+        F.when(F.col("codec") == "png", F.lit(0))
+        .when(F.col("codec") == "bmp", F.lit(1))
+        .otherwise(F.lit(2)),
+    ).select(F.lit("image").alias("media_type"), "*")
+    aud = _survivor_agg(
+        audio_fp_frame(spark, sf_dir),
+        "afp",
+        "layout",
+        F.when(F.col("layout") == "mono", F.lit(0))
+        .when(F.col("layout") == "stereo", F.lit(1))
+        .otherwise(F.lit(2)),
+    ).select(F.lit("audio").alias("media_type"), "*")
+    return img.unionByName(aud)
+
+
+# --------------------------------------------------------------------------
+# Time-shift-robust audio fingerprint (end-anchored energy envelope)
+# --------------------------------------------------------------------------
+
+ASD_RESIDUES = 16  # doc_id % 16 picks the waveform content
+ASD_CONTENT = 128  # content samples per waveform
+ASD_FRAME_LEN = 16  # fingerprint frame length (samples)
+ASD_WINDOW_FRAMES = 6  # end-anchored window: last 6 frames = 96 samples
+ASD_WINDOW = ASD_WINDOW_FRAMES * ASD_FRAME_LEN
+ASD_CLIP = 16  # the 'clipped' variant drops this many leading samples
+
+
+@functools.lru_cache(maxsize=ASD_RESIDUES)
+def _asd_samples(res: int) -> tuple[int, ...]:
+    """Closed-form content waveform: 128 PCM-16 samples, every one ODD
+    (2*((37*res + 13*t) % 500) - 499 ∈ [-499, 499], always odd) so the
+    last-nonzero-sample anchor is exactly the content end — no
+    threshold, no tolerance.  Headroom: the 2x variant stays inside
+    int16."""
+    return tuple(
+        2 * ((37 * res + 13 * t) % 500) - 499 for t in range(ASD_CONTENT)
+    )
+
+
+def _synth_shift_variant_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Encode the SAME closed-form waveform under the shift/layout
+    variant (doc_id // {ASD_RESIDUES}) % 4 selects — independent of
+    the content residue doc_id % {ASD_RESIDUES} (a doc_id % 4 variant
+    would be COUPLED to the residue since 4 divides 16, and no cluster
+    would ever span two variants); ids r, r+16, r+32, r+48 carry the
+    same content under all four variants.  All byte-distinct RIFF
+    payloads:
+
+    0 'master':        mono, untouched.
+    1 'padded':        mono, (7 + doc_id % 5) leading + 6 trailing
+                       zero samples (per-doc pad length: even
+                       same-residue padded copies are byte-distinct).
+    2 'clipped_loud':  first {ASD_CLIP} content samples dropped AND
+                       2x amplitude — a trimmed, remastered re-upload.
+    3 'stereo_padded': channel-duplicated stereo with 3 leading zero
+                       frames of silence.
+    """
+    from go_map_reduce_spark.operators.multimodal import encode_wav
+
+    for pdf in batches:
+        payloads, variants = [], []
+        for doc_id in pdf["doc_id"]:
+            s = _asd_samples(doc_id % ASD_RESIDUES)
+            variant = ("master", "padded", "clipped_loud", "stereo_padded")[
+                (doc_id // ASD_RESIDUES) % 4
+            ]
+            if variant == "master":
+                frames = [[v] for v in s]
+                channels = 1
+            elif variant == "padded":
+                lead = 7 + doc_id % 5
+                frames = [[0]] * lead + [[v] for v in s] + [[0]] * 6
+                channels = 1
+            elif variant == "clipped_loud":
+                frames = [[2 * v] for v in s[ASD_CLIP:]]
+                channels = 1
+            else:  # stereo_padded
+                frames = [[0, 0]] * 3 + [[v, v] for v in s]
+                channels = 2
+            payloads.append(encode_wav(channels, 8000, frames))
+            variants.append(variant)
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "variant": variants, "payload": payloads}
+        )
+
+
+def _shift_fingerprint_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """REAL RIFF decode, channel-SUM mixdown, then the end-anchored
+    envelope: find the last nonzero mixdown sample (exact — content
+    samples are odd), take the {ASD_WINDOW} samples ending there,
+    frame into {ASD_WINDOW_FRAMES} frames of {ASD_FRAME_LEN}, and emit
+    permille digits e_f * Q // window_total.  Leading pads and prefix
+    clips never reach the window; trailing pads are trimmed by the
+    anchor; channel duplication and amplitude scale multiply every e_f
+    and the total by one k² that cancels in the integer division."""
+    import numpy as np
+
+    from go_map_reduce_spark.operators.multimodal import decode_wav
+
+    for pdf in batches:
+        out = {"doc_id": [], "variant": [], "sfp": []}
+        for doc_id, variant, payload in zip(
+            pdf["doc_id"], pdf["variant"], pdf["payload"]
+        ):
+            _rate, channels, n_frames, data = decode_wav(bytes(payload))
+            v = (
+                np.frombuffer(data, dtype="<i2")
+                .astype(np.int64)
+                .reshape(n_frames, channels)
+                .sum(axis=1)
+            )
+            nz = np.nonzero(v)[0]
+            if len(nz) == 0:
+                raise ValueError("silent payload — fingerprint undefined")
+            end = int(nz[-1]) + 1  # one past the last nonzero sample
+            if end < ASD_WINDOW:
+                raise ValueError(f"content too short for window: {end}")
+            w = v[end - ASD_WINDOW : end]
+            e = (w * w).reshape(ASD_WINDOW_FRAMES, ASD_FRAME_LEN).sum(axis=1)
+            total = int(e.sum())
+            digits = [int(x) * AUD_Q // total for x in e]
+            out["doc_id"].append(doc_id)
+            out["variant"].append(variant)
+            out["sfp"].append("-".join(f"{d:04d}" for d in digits))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "audio_shift_dedup",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id, doc_id % {ASD_RESIDUES} AS res,
+             CASE (doc_id // {ASD_RESIDUES}) % 4
+                  WHEN 0 THEN 'master'
+                  WHEN 1 THEN 'padded'
+                  WHEN 2 THEN 'clipped_loud'
+                  ELSE 'stereo_padded' END AS variant
+      FROM documents
+    ),
+    win AS (
+      SELECT res, (t - {ASD_CONTENT - ASD_WINDOW}) // {ASD_FRAME_LEN} AS f,
+             2 * ((37 * res + 13 * t) % 500) - 499 AS v
+      FROM (SELECT DISTINCT res FROM per_doc),
+           range({ASD_CONTENT - ASD_WINDOW}, {ASD_CONTENT}) u(t)
+    ),
+    fe AS (SELECT res, f, SUM(v * v) AS e FROM win GROUP BY res, f),
+    tot AS (SELECT res, SUM(e) AS total FROM fe GROUP BY res),
+    fp AS (
+      SELECT fe.res,
+             string_agg(lpad(CAST(fe.e * {AUD_Q} // t.total AS VARCHAR),
+                             4, '0'), '-' ORDER BY fe.f) AS sfp
+      FROM fe JOIN tot t ON t.res = fe.res GROUP BY fe.res
+    ),
+    tagged AS (
+      SELECT d.doc_id, d.variant, fp.sfp
+      FROM per_doc d JOIN fp ON fp.res = d.res
+    )
+    SELECT sfp,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT variant) AS BIGINT) AS n_variants,
+           CAST(SUM(CASE WHEN variant = 'master' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_master,
+           CAST(SUM(CASE WHEN variant = 'padded' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_padded,
+           CAST(SUM(CASE WHEN variant = 'clipped_loud' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped,
+           CAST(SUM(CASE WHEN variant = 'stereo_padded' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stereo
+    FROM tagged GROUP BY sfp
+    """,
+)
+def audio_shift_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-shift-robust audio dedup: the same closed-form waveform
+    arrives untouched, silence-padded (per-doc pad length), prefix-
+    clipped at 2x amplitude, and as leading-padded duplicated stereo —
+    four byte-distinct RIFF payloads per content residue, three of
+    them TIME-SHIFTED, which the pipeline33 start-anchored profile
+    cannot collapse (pinned in tests).  Every payload is really
+    decoded; the end-anchored energy envelope (last-nonzero-sample
+    trim, last {ASD_WINDOW_FRAMES} frames, permille of the window's
+    own total) collapses each residue to ONE cluster.  Invariance is
+    exact, not approximate: the window never contains pad/clip
+    samples, and layout/amplitude scale cancels algebraically inside
+    the integer digit (the pipeline33 k² argument, re-anchored).  The
+    oracle replays the window digits in closed form over the content's
+    last {ASD_WINDOW} samples — no codec, no shift logic on the DuckDB
+    side — so a wrong anchor or an off-by-one window fails the hash
+    gate.
+
+    100 TB shape: identical to the layout tier — two Arrow-batched map
+    stages (encode / decode+fingerprint; samples never shuffle), one
+    shuffle of short fingerprint strings for the cluster aggregate.
+    The anchor scan is one pass over each clip's own samples inside
+    the map task: shift-robustness costs zero extra shuffles."""
+    from go_map_reduce_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = ids.mapInPandas(
+        _synth_shift_variant_batch,
+        schema="doc_id long, variant string, payload binary",
+    )
+    printed = media.mapInPandas(
+        _shift_fingerprint_batch,
+        schema="doc_id long, variant string, sfp string",
+    )
+    return printed.groupBy("sfp").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.count_distinct("variant").cast("long").alias("n_variants"),
+        F.sum((F.col("variant") == "master").cast("long"))
+        .cast("long")
+        .alias("n_master"),
+        F.sum((F.col("variant") == "padded").cast("long"))
+        .cast("long")
+        .alias("n_padded"),
+        F.sum((F.col("variant") == "clipped_loud").cast("long"))
+        .cast("long")
+        .alias("n_clipped"),
+        F.sum((F.col("variant") == "stereo_padded").cast("long"))
+        .cast("long")
+        .alias("n_stereo"),
+    )
