@@ -373,3 +373,224 @@ def audio_shift_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_stereo"),
     )
+
+
+# --------------------------------------------------------------------------
+# Letterbox/pillarbox-invariant image dedup (the image shift sibling)
+# --------------------------------------------------------------------------
+
+LB_RESIDUES = 16  # doc_id % 16 picks the pixel content
+LB_SIDE = 32  # content side; aHash cells are 4x4 px
+LB_BLOCKS = 4  # 4x4 grid of 8x8 constant blocks
+LB_M_RES, LB_M_BX, LB_M_BY = 37, 71, 113  # pipeline33 block multipliers
+LB_PAD = 8  # letterbox/pillarbox bar thickness (px)
+LB_FRAME = 4  # 'framed' border thickness on all four sides
+
+
+def _lb_gray(doc_id: int) -> list[list[int]]:
+    """Content pixels of one synthesized image: the pipeline33 block
+    closed form SHIFTED UP BY ONE (+1, plus the brightness jitter
+    (doc_id // 3) % 3) so every content pixel is >= 1 — strictly
+    brighter than the exact-zero black bars, making the border trim an
+    exact predicate rather than a threshold.  The uniform +1 cancels
+    in the average-hash bits exactly like the jitter does, so the
+    oracle's bit prediction is the unshifted block form."""
+    res, jit = doc_id % LB_RESIDUES, (doc_id // 3) % 3
+    return [
+        [
+            (LB_M_RES * res + LB_M_BX * (x // 8) + LB_M_BY * (y // 8)) % 200
+            + 1
+            + jit
+            for x in range(LB_SIDE)
+        ]
+        for y in range(LB_SIDE)
+    ]
+
+
+def _lb_synth_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Encode the SAME content pixels under the framing variant
+    (doc_id // {LB_RESIDUES}) % 4 selects (independent of the content
+    residue — the audio tier's coupling lesson): 0 'bare' 32x32,
+    1 'letterbox' (+{LB_PAD} black rows top and bottom), 2 'pillarbox'
+    (+{LB_PAD} black columns left and right), 3 'framed' (+{LB_FRAME}
+    on all four sides).  All truecolor PNG — byte-distinct payloads of
+    three different canvas shapes."""
+    from go_map_reduce_spark.operators.multimodal import encode_png
+
+    for pdf in batches:
+        payloads, variants = [], []
+        for doc_id in pdf["doc_id"]:
+            grays = _lb_gray(doc_id)
+            variant = ("bare", "letterbox", "pillarbox", "framed")[
+                (doc_id // LB_RESIDUES) % 4
+            ]
+            if variant == "letterbox":
+                canvas = (
+                    [[0] * LB_SIDE] * LB_PAD
+                    + grays
+                    + [[0] * LB_SIDE] * LB_PAD
+                )
+            elif variant == "pillarbox":
+                canvas = [[0] * LB_PAD + row + [0] * LB_PAD for row in grays]
+            elif variant == "framed":
+                w = LB_SIDE + 2 * LB_FRAME
+                canvas = (
+                    [[0] * w] * LB_FRAME
+                    + [[0] * LB_FRAME + row + [0] * LB_FRAME for row in grays]
+                    + [[0] * w] * LB_FRAME
+                )
+            else:
+                canvas = grays
+            rows = [
+                bytes(b for v in row for b in (v, v, v)) for row in canvas
+            ]
+            payloads.append(encode_png(len(canvas[0]), len(canvas), rows))
+            variants.append(variant)
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "variant": variants, "payload": payloads}
+        )
+
+
+def _lb_hash_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """REAL PNG decode (chunk walk + filter reconstruction), exact
+    border trim (drop rows/columns that are entirely zero — content
+    pixels are >= 1 by construction, so the content bounding box is
+    exact), then the pipeline33 exact-integer average hash over the
+    trimmed {LB_SIDE}x{LB_SIDE} content."""
+    import numpy as np
+
+    from go_map_reduce_spark.operators.multimodal import decode_image
+
+    for pdf in batches:
+        out = {"doc_id": [], "variant": [], "ahash": []}
+        for doc_id, variant, payload in zip(
+            pdf["doc_id"], pdf["variant"], pdf["payload"]
+        ):
+            w, h, bpp, px = decode_image(bytes(payload))
+            gray = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
+            keep_r = np.nonzero(gray.any(axis=1))[0]
+            keep_c = np.nonzero(gray.any(axis=0))[0]
+            content = gray[
+                keep_r[0] : keep_r[-1] + 1, keep_c[0] : keep_c[-1] + 1
+            ]
+            if content.shape != (LB_SIDE, LB_SIDE):
+                raise ValueError(f"unexpected content dims {content.shape}")
+            cells = (
+                content.astype(np.int64).reshape(8, 4, 8, 4).sum(axis=(1, 3))
+            )
+            total = int(content.astype(np.int64).sum())
+            bits = 64 * cells > total
+            out["doc_id"].append(doc_id)
+            out["variant"].append(variant)
+            out["ahash"].append(
+                "".join("1" if b else "0" for b in bits.ravel())
+            )
+        yield pd.DataFrame(out)
+
+
+@query(
+    "image_letterbox_dedup",
+    oracle=f"""
+    WITH lb_docs AS (
+      SELECT doc_id, doc_id % {LB_RESIDUES} AS res,
+             CASE (doc_id // {LB_RESIDUES}) % 4
+                  WHEN 0 THEN 'bare'
+                  WHEN 1 THEN 'letterbox'
+                  WHEN 2 THEN 'pillarbox'
+                  ELSE 'framed' END AS variant
+      FROM documents
+    ),
+    lb_blocks AS (
+      SELECT res, bx, by,
+             ({LB_M_RES} * res + {LB_M_BX} * bx + {LB_M_BY} * by) % 200 AS g
+      FROM (SELECT DISTINCT res FROM lb_docs),
+           range({LB_BLOCKS}) t1(bx), range({LB_BLOCKS}) t2(by)
+    ),
+    lb_tot AS (SELECT res, SUM(g) AS total FROM lb_blocks GROUP BY res),
+    lb_bits AS (
+      SELECT b.res, b.bx, b.by,
+             CASE WHEN {LB_BLOCKS * LB_BLOCKS} * b.g > t.total
+                  THEN '1' ELSE '0' END AS bit
+      FROM lb_blocks b JOIN lb_tot t ON t.res = b.res
+    ),
+    lb_rows AS (
+      SELECT res, by, string_agg(repeat(bit, 2), '' ORDER BY bx) AS rowstr
+      FROM lb_bits GROUP BY res, by
+    ),
+    lb_hashes AS (
+      SELECT res, string_agg(rowstr || rowstr, '' ORDER BY by) AS ahash
+      FROM lb_rows GROUP BY res
+    ),
+    lb_tagged AS (
+      SELECT d.doc_id, d.variant, h.ahash
+      FROM lb_docs d JOIN lb_hashes h ON h.res = d.res
+    )
+    SELECT ahash,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT variant) AS BIGINT) AS n_variants,
+           CAST(SUM(CASE WHEN variant = 'bare' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bare,
+           CAST(SUM(CASE WHEN variant = 'letterbox' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_letterbox,
+           CAST(SUM(CASE WHEN variant = 'pillarbox' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pillarbox,
+           CAST(SUM(CASE WHEN variant = 'framed' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_framed
+    FROM lb_tagged GROUP BY ahash
+    """,
+)
+def image_letterbox_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Letterbox/pillarbox-invariant image dedup — the image sibling
+    of ``audio_shift_dedup``: the same content pixels arrive bare,
+    letterboxed (+{LB_PAD}px black bars top/bottom), pillarboxed
+    (+{LB_PAD}px bars left/right), and framed (+{LB_FRAME}px all
+    around) — four byte-distinct PNG payloads on THREE different
+    canvas shapes, which both exact dedup and a raw whole-canvas
+    perceptual hash fail to collapse (the bars shift every cell
+    boundary and drag the mean down; pinned in tests).  Every payload
+    is really decoded; the exact border trim (content pixels are >= 1
+    by construction, bars are exact zero) recovers the content
+    bounding box, and the pipeline33 exact-integer average hash
+    collapses each content residue to ONE cluster.  The oracle
+    predicts every hash bit from the unshifted block closed form (the
+    uniform +1 content offset cancels like the brightness jitter) —
+    no codec and no trim logic on the DuckDB side — so a wrong
+    bounding box or an off-by-one bar width fails the hash gate.
+
+    100 TB shape: identical to the cross-codec tier — two Arrow-
+    batched map stages (encode / decode+trim+hash; pixels never
+    shuffle), one shuffle of 64-bit hash keys for the cluster
+    aggregate.  The trim is one row/column scan inside the map task:
+    framing-robustness costs zero extra shuffles."""
+    from go_map_reduce_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = ids.mapInPandas(
+        _lb_synth_batch,
+        schema="doc_id long, variant string, payload binary",
+    )
+    hashed = media.mapInPandas(
+        _lb_hash_batch,
+        schema="doc_id long, variant string, ahash string",
+    )
+    return hashed.groupBy("ahash").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.count_distinct("variant").cast("long").alias("n_variants"),
+        F.sum((F.col("variant") == "bare").cast("long"))
+        .cast("long")
+        .alias("n_bare"),
+        F.sum((F.col("variant") == "letterbox").cast("long"))
+        .cast("long")
+        .alias("n_letterbox"),
+        F.sum((F.col("variant") == "pillarbox").cast("long"))
+        .cast("long")
+        .alias("n_pillarbox"),
+        F.sum((F.col("variant") == "framed").cast("long"))
+        .cast("long")
+        .alias("n_framed"),
+    )

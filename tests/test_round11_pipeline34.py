@@ -207,3 +207,98 @@ def test_cluster_shape(spark, sf_dir):
             r["n_master"] + r["n_padded"] + r["n_clipped"] + r["n_stereo"]
             == r["group_size"]
         )
+
+
+# --------------------------------------------------------------------------
+# Letterbox-invariant image dedup pins
+# --------------------------------------------------------------------------
+
+
+def test_letterbox_against_duckdb_oracle(spark, sf_dir):
+    compare(
+        QUERIES["image_letterbox_dedup"](spark, sf_dir),
+        ORACLES["image_letterbox_dedup"],
+        sf_dir,
+    )
+
+
+def _lb_local(doc_ids):
+    from go_map_reduce_spark.operators.pipeline34 import (
+        _lb_hash_batch,
+        _lb_synth_batch,
+    )
+
+    media = pd.concat(
+        list(_lb_synth_batch(iter([pd.DataFrame({"doc_id": doc_ids})]))),
+        ignore_index=True,
+    )
+    hashed = pd.concat(
+        list(_lb_hash_batch(iter([media]))), ignore_index=True
+    )
+    return media, hashed
+
+
+def test_framed_payloads_byte_distinct_but_hash_identical():
+    """ids 0/16/32/48 carry content residue 0 under the four framing
+    variants: three different canvas shapes, pairwise byte-distinct
+    payloads, ONE perceptual hash after the exact border trim."""
+    import numpy as np
+
+    from go_map_reduce_spark.operators.multimodal import decode_image
+
+    ids = [0, 16, 32, 48]
+    media, hashed = _lb_local(ids)
+    assert list(media["variant"]) == [
+        "bare",
+        "letterbox",
+        "pillarbox",
+        "framed",
+    ]
+    payloads = [bytes(p) for p in media["payload"]]
+    assert len(set(payloads)) == 4
+    dims = {decode_image(p)[:2] for p in payloads}
+    assert len(dims) >= 3  # genuinely different canvas shapes
+    assert len(set(hashed["ahash"])) == 1
+
+
+def test_raw_whole_canvas_hash_cannot_collapse_the_bars():
+    """The blind spot is real: average-hashing the RAW canvas (no
+    trim) of the letterboxed payload disagrees with the bare one —
+    the black bars shift every cell boundary and drag the mean."""
+    import numpy as np
+
+    from go_map_reduce_spark.operators.multimodal import decode_image
+
+    media, hashed = _lb_local([0, 16])  # res 0: bare, letterbox
+    assert hashed["ahash"][0] == hashed["ahash"][1]  # trimmed: collapsed
+
+    def raw_hash(payload):
+        w, h, _bpp, px = decode_image(bytes(payload))
+        gray = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
+        # canvas-relative 8x8 cells (what a trim-less hash would do)
+        ch, cw = h // 8, w // 8
+        cells = (
+            gray[: ch * 8, : cw * 8]
+            .astype(np.int64)
+            .reshape(8, ch, 8, cw)
+            .sum(axis=(1, 3))
+        )
+        total = int(cells.sum())
+        return tuple((64 * cells > total).ravel().tolist())
+
+    a, b = (raw_hash(p) for p in media["payload"])
+    assert a != b
+
+
+def test_letterbox_cluster_shape(spark, sf_dir):
+    rows = QUERIES["image_letterbox_dedup"](spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["group_size"] for r in rows) == n_docs
+    for r in rows:
+        assert r["n_variants"] == 4, r
+        assert (
+            r["n_bare"] + r["n_letterbox"] + r["n_pillarbox"] + r["n_framed"]
+            == r["group_size"]
+        )
+    # same residue->hash collision structure as the cross-codec tier
+    assert 1 < len(rows) < 16

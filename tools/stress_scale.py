@@ -258,7 +258,11 @@ def main() -> None:
         # compaction, the realistic suite order: compaction then rides
         # the shared frozen-centroid frame the upsert built.
         "t_upsert t_compact xcodec_groups t_xcodec t_retrain t_bfunnel "
-        "t_audio"
+        "t_audio "
+        # r11 additions: the survivor act runs AFTER the two cluster
+        # reports (realistic suite order — it rides their shared
+        # decoded frames), the shift tier pays its own encode+decode
+        "t_shift t_survivors"
     ).split()
     print("| " + " | ".join(cols) + " |")
     print("|" + "|".join("---" for _ in cols) + "|")
@@ -301,12 +305,16 @@ def main() -> None:
         release_caches()
         _, t_au = timed_force(QUERIES["audio_layout_dedup"](spark, d))
         release_caches()
+        _, t_sh = timed_force(QUERIES["audio_shift_dedup"](spark, d))
+        release_caches()
+        _, t_sv = timed_force(QUERIES["media_dedup_survivors"](spark, d))
+        release_caches()
         row = [
             m, n_docs, prof["n_buckets"], prof["max_bucket"],
             prof["n_overcap"], prof["uncapped_pairs"],
             prof["capped_candidates_analytic"], pairs, t_pairs,
             tmpl, t_tmpl, newb, t_newb, knn, t_knn, cut, t_cut,
-            t_ups, t_cmp, xg, t_xc, t_rt, t_bf, t_au,
+            t_ups, t_cmp, xg, t_xc, t_rt, t_bf, t_au, t_sh, t_sv,
         ]
         print("| " + " | ".join(str(x) for x in row) + " |", flush=True)
         frows, t_e2e, straddle = capstone_funnel(spark, d)
