@@ -150,6 +150,27 @@ def _cross_codec_hash_batch(
         yield pd.DataFrame(out)
 
 
+def _spread_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc_id driver frame for every media synth/decode stage,
+    repartitioned to the session's default parallelism.  Without this,
+    the heavy Arrow codec stages inherit the PARQUET FILE COUNT of the
+    tiny ids scan (often 1-2 files at test SFs), and one task pays the
+    whole corpus's encode+decode — measured on the r11 stress sweep as
+    a wall time FLAT in corpus size only because the file count grew
+    with it (per-partition work stayed ~5k docs × 2 ms).  The
+    repartition is a keys-only Exchange (8-byte rows — the cheapest
+    shuffle the engine can buy) that converts the codec work from
+    file-count-parallel to cluster-parallel.  On a real 100 TB corpus
+    the payloads arrive from storage and scan splits provide this
+    parallelism for free; a synthesized/generated corpus needs it
+    spelled out."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 # The closed-form (doc_id, codec, ahash) derivation as a reusable CTE
 # body: the survivor/cut-list composition (pipeline34) registers the
 # IDENTICAL closed form, so the two oracles cannot drift (the
@@ -204,7 +225,7 @@ def cc_hashed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_package_shipped(spark)
 
     def _build() -> DataFrame:
-        ids = load_table(spark, sf_dir, "documents").select("doc_id")
+        ids = _spread_ids(spark, sf_dir)
         media = ids.mapInPandas(
             _synth_cross_codec_batch, schema="doc_id long, payload binary"
         )
@@ -248,8 +269,10 @@ def image_cross_codec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash gate.
 
     100 TB shape: two narrow Arrow-batched codec stages (encode /
-    decode+hash — both maps, no shuffle; the pixels never leave the
-    task) followed by ONE shuffle of 64-bit hash keys for the
+    decode+hash — both maps, preceded only by a keys-only
+    repartition of the 8-byte ids for codec parallelism; the pixels
+    never leave the task) followed by ONE shuffle of 64-bit hash keys
+    for the
     cluster aggregate — identical plan to dedup_exact_summary with
     the perceptual hash in place of md5.  This is the plan a
     multimodal crawl dedup wants: decode cost scales with bytes
@@ -409,7 +432,7 @@ def audio_fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_package_shipped(spark)
 
     def _build() -> DataFrame:
-        ids = load_table(spark, sf_dir, "documents").select("doc_id")
+        ids = _spread_ids(spark, sf_dir)
         media = ids.mapInPandas(
             _synth_audio_layout_batch,
             schema="doc_id long, layout string, payload binary",
@@ -453,7 +476,8 @@ def audio_layout_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines (the oracle replays the closed form with no codec).
 
     100 TB shape: identical to the image tier — two Arrow-batched map
-    stages (encode / decode+fingerprint; samples never shuffle), one
+    stages (encode / decode+fingerprint after the keys-only id
+    repartition; samples never shuffle), one
     shuffle of short fingerprint strings for the cluster aggregate.
     Per-layout counts in the output pin the invariance corpus-wide:
     every cluster spans all three layouts wherever all residue x

@@ -48,11 +48,11 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from go_map_reduce_spark.catalog import load_table
 from go_map_reduce_spark.operators.pipeline33 import (
     AUD_Q,
     AUD_TAGGED_CTES,
     CC_TAGGED_CTES,
+    _spread_ids,
     audio_fp_frame,
     cc_hashed_frame,
 )
@@ -341,14 +341,15 @@ def audio_shift_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate.
 
     100 TB shape: identical to the layout tier — two Arrow-batched map
-    stages (encode / decode+fingerprint; samples never shuffle), one
+    stages (encode / decode+fingerprint after the keys-only id
+    repartition; samples never shuffle), one
     shuffle of short fingerprint strings for the cluster aggregate.
     The anchor scan is one pass over each clip's own samples inside
-    the map task: shift-robustness costs zero extra shuffles."""
+    the map task: shift-robustness costs zero payload shuffles."""
     from go_map_reduce_spark.shipping import ensure_package_shipped
 
     ensure_package_shipped(spark)
-    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    ids = _spread_ids(spark, sf_dir)
     media = ids.mapInPandas(
         _synth_shift_variant_batch,
         schema="doc_id long, variant string, payload binary",
@@ -565,11 +566,11 @@ def image_letterbox_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batched map stages (encode / decode+trim+hash; pixels never
     shuffle), one shuffle of 64-bit hash keys for the cluster
     aggregate.  The trim is one row/column scan inside the map task:
-    framing-robustness costs zero extra shuffles."""
+    framing-robustness costs zero payload shuffles."""
     from go_map_reduce_spark.shipping import ensure_package_shipped
 
     ensure_package_shipped(spark)
-    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    ids = _spread_ids(spark, sf_dir)
     media = ids.mapInPandas(
         _lb_synth_batch,
         schema="doc_id long, variant string, payload binary",

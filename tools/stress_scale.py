@@ -166,18 +166,29 @@ def bucket_profile(spark, sf_dir: str) -> dict:
     return {k: int(row[k] or 0) for k in row.asDict()}
 
 
-def timed_count(df) -> tuple[int, float]:
+def timed_count(df_or_thunk) -> tuple[int, float]:
     t0 = time.perf_counter()
+    df = df_or_thunk() if callable(df_or_thunk) else df_or_thunk
     n = df.count()
     return n, round(time.perf_counter() - t0, 2)
 
 
-def timed_force(df) -> tuple[int, float]:
+def timed_force(df_or_thunk) -> tuple[int, float]:
     """Timed execution that forces EVERY output column (the r09
     count-vs-noop lesson: .count() on an aggregate-final query lets
     Catalyst prune the measure expressions and times an emptier
-    plan). hash(*) over all columns is the noop-sink equivalent."""
+    plan). hash(*) over all columns is the noop-sink equivalent.
+
+    Accepts a zero-arg THUNK as well as a frame: several operators
+    build shared frames eagerly (localCheckpoint) at
+    DataFrame-CONSTRUCTION time, so timing only the action on an
+    already-constructed frame misses the dominant cost (the r11
+    sweep's own blind-spot lesson — t_xcodec read 0.23 s after the
+    decode moved into a construction-time shared frame).  Pass
+    ``lambda: QUERIES[name](spark, d)`` to start the clock before
+    construction."""
     t0 = time.perf_counter()
+    df = df_or_thunk() if callable(df_or_thunk) else df_or_thunk
     row = df.agg(
         F.sum(F.hash(*df.columns).cast("long")).alias("h"),
         F.count(F.lit(1)).alias("n"),
@@ -262,7 +273,7 @@ def main() -> None:
         # r11 additions: the survivor act runs AFTER the two cluster
         # reports (realistic suite order — it rides their shared
         # decoded frames), the shift tier pays its own encode+decode
-        "t_shift t_survivors"
+        "t_shift t_letterbox t_survivors"
     ).split()
     print("| " + " | ".join(cols) + " |")
     print("|" + "|".join("---" for _ in cols) + "|")
@@ -273,15 +284,15 @@ def main() -> None:
             os.path.join(d, "documents.parquet")
         ).count()
         prof = bucket_profile(spark, d)
-        pairs, t_pairs = timed_count(QUERIES["minhash_near_dup_pairs"](spark, d))
+        pairs, t_pairs = timed_count(lambda: QUERIES["minhash_near_dup_pairs"](spark, d))
         release_caches()
-        tmpl, t_tmpl = timed_count(QUERIES["lsh_template_clusters"](spark, d))
+        tmpl, t_tmpl = timed_count(lambda: QUERIES["lsh_template_clusters"](spark, d))
         release_caches()
         newb, t_newb = timed_count(
-            QUERIES["incremental_dedup_new_batch"](spark, d)
+            lambda: QUERIES["incremental_dedup_new_batch"](spark, d)
         )
         release_caches()
-        knn, t_knn = timed_count(QUERIES["knn_label_purity_ann"](spark, d))
+        knn, t_knn = timed_count(lambda: QUERIES["knn_label_purity_ann"](spark, d))
         release_caches()
         # .count() alone would let Catalyst ELIMINATE the cut pipeline's
         # final left join (unique right key, no columns needed) and time
@@ -293,28 +304,30 @@ def main() -> None:
         )
         t_cut = round(time.perf_counter() - t0, 2)
         release_caches()
-        _, t_ups = timed_force(QUERIES["ivf_index_upsert"](spark, d))
+        _, t_ups = timed_force(lambda: QUERIES["ivf_index_upsert"](spark, d))
         release_caches()
-        _, t_cmp = timed_force(QUERIES["ivf_index_compaction"](spark, d))
+        _, t_cmp = timed_force(lambda: QUERIES["ivf_index_compaction"](spark, d))
         release_caches()
-        xg, t_xc = timed_force(QUERIES["image_cross_codec_dedup"](spark, d))
+        xg, t_xc = timed_force(lambda: QUERIES["image_cross_codec_dedup"](spark, d))
         release_caches()
-        _, t_rt = timed_force(QUERIES["tokenizer_retrain_recovery"](spark, d))
+        _, t_rt = timed_force(lambda: QUERIES["tokenizer_retrain_recovery"](spark, d))
         release_caches()
-        _, t_bf = timed_force(QUERIES["curation_funnel_bucketed"](spark, d))
+        _, t_bf = timed_force(lambda: QUERIES["curation_funnel_bucketed"](spark, d))
         release_caches()
-        _, t_au = timed_force(QUERIES["audio_layout_dedup"](spark, d))
+        _, t_au = timed_force(lambda: QUERIES["audio_layout_dedup"](spark, d))
         release_caches()
-        _, t_sh = timed_force(QUERIES["audio_shift_dedup"](spark, d))
+        _, t_sh = timed_force(lambda: QUERIES["audio_shift_dedup"](spark, d))
         release_caches()
-        _, t_sv = timed_force(QUERIES["media_dedup_survivors"](spark, d))
+        _, t_lb = timed_force(lambda: QUERIES["image_letterbox_dedup"](spark, d))
+        release_caches()
+        _, t_sv = timed_force(lambda: QUERIES["media_dedup_survivors"](spark, d))
         release_caches()
         row = [
             m, n_docs, prof["n_buckets"], prof["max_bucket"],
             prof["n_overcap"], prof["uncapped_pairs"],
             prof["capped_candidates_analytic"], pairs, t_pairs,
             tmpl, t_tmpl, newb, t_newb, knn, t_knn, cut, t_cut,
-            t_ups, t_cmp, xg, t_xc, t_rt, t_bf, t_au, t_sh, t_sv,
+            t_ups, t_cmp, xg, t_xc, t_rt, t_bf, t_au, t_sh, t_lb, t_sv,
         ]
         print("| " + " | ".join(str(x) for x in row) + " |", flush=True)
         frows, t_e2e, straddle = capstone_funnel(spark, d)
