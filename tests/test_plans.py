@@ -243,3 +243,16 @@ def test_negative_sampling_bounds_window_state(spark, sf_dir):
     the exchange (WindowGroupLimit), like every top-k in the engine."""
     plan = _plan(spark, "contrastive_negative_sampling", sf_dir)
     assert "WindowGroupLimit" in plan
+
+
+def test_media_survivors_is_two_partial_aggs_no_window(spark, sf_dir):
+    """The survivor act must stay a map-side-combinable arg-min per
+    tier: one partial+final HashAggregate pair over each memoized
+    frame (exactly two hashpartitioning Exchanges, one per tier), no
+    window function, no self-join — the plan that keeps the act the
+    same cost class as the cluster report at 100 TB."""
+    plan = _plan(spark, "media_dedup_survivors", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_min_by" in plan or "partial_minby" in plan.lower()
+    assert "Window" not in plan
+    assert "Join" not in plan  # no cluster-vs-members self-join
