@@ -64,8 +64,26 @@ _PREF_BASE = 1 << 40
 IMG_RANK = {"png": 0, "bmp": 1, "jpeg": 2}
 AUD_RANK = {"mono": 0, "stereo": 1, "loud": 2}
 
-_IMG_RANK_SQL = "CASE codec WHEN 'png' THEN 0 WHEN 'bmp' THEN 1 ELSE 2 END"
-_AUD_RANK_SQL = "CASE layout WHEN 'mono' THEN 0 WHEN 'stereo' THEN 1 ELSE 2 END"
+
+def _rank_sql(col: str, ranks: dict[str, int]) -> str:
+    """The rank dict rendered as a SQL CASE — Spark and DuckDB both
+    derive their preference key from the ONE policy table above."""
+    whens = " ".join(
+        f"WHEN '{fmt}' THEN {r}" for fmt, r in sorted(ranks.items(), key=lambda kv: kv[1])[:-1]
+    )
+    return f"CASE {col} {whens} ELSE {max(ranks.values())} END"
+
+
+def _rank_col(col: str, ranks: dict[str, int]) -> F.Column:
+    """The same policy table as a Spark Column expression."""
+    expr = F.lit(max(ranks.values()))
+    for fmt, r in sorted(ranks.items(), key=lambda kv: kv[1], reverse=True)[1:]:
+        expr = F.when(F.col(col) == fmt, F.lit(r)).otherwise(expr)
+    return expr
+
+
+_IMG_RANK_SQL = _rank_sql("codec", IMG_RANK)
+_AUD_RANK_SQL = _rank_sql("layout", AUD_RANK)
 
 
 def _survivor_agg(
@@ -147,17 +165,13 @@ def media_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         cc_hashed_frame(spark, sf_dir),
         "ahash",
         "codec",
-        F.when(F.col("codec") == "png", F.lit(0))
-        .when(F.col("codec") == "bmp", F.lit(1))
-        .otherwise(F.lit(2)),
+        _rank_col("codec", IMG_RANK),
     ).select(F.lit("image").alias("media_type"), "*")
     aud = _survivor_agg(
         audio_fp_frame(spark, sf_dir),
         "afp",
         "layout",
-        F.when(F.col("layout") == "mono", F.lit(0))
-        .when(F.col("layout") == "stereo", F.lit(1))
-        .otherwise(F.lit(2)),
+        _rank_col("layout", AUD_RANK),
     ).select(F.lit("audio").alias("media_type"), "*")
     return img.unionByName(aud)
 

@@ -9,17 +9,12 @@ fingerprint-identical, and that the START-anchored pipeline33 profile
 really cannot collapse them (the blind spot this tier closes)."""
 
 import pandas as pd
-import pytest
 
 from go_map_reduce_spark.operators.pipeline33 import AUD_Q
 from go_map_reduce_spark.operators.pipeline34 import (
-    ASD_CLIP,
-    ASD_CONTENT,
     ASD_FRAME_LEN,
-    ASD_RESIDUES,
     ASD_WINDOW,
     ASD_WINDOW_FRAMES,
-    _asd_samples,
     _shift_fingerprint_batch,
     _synth_shift_variant_batch,
 )
