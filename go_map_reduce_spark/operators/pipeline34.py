@@ -208,13 +208,20 @@ def _synth_shift_variant_batch(
     the content residue doc_id % {ASD_RESIDUES} (a doc_id % 4 variant
     would be COUPLED to the residue since 4 divides 16, and no cluster
     would ever span two variants); ids r, r+16, r+32, r+48 carry the
-    same content under all four variants.  All byte-distinct RIFF
-    payloads:
+    same content under all four variants.  The four variants of one
+    residue are pairwise byte-distinct:
 
     0 'master':        mono, untouched.
     1 'padded':        mono, (7 + doc_id % 5) leading + 6 trailing
-                       zero samples (per-doc pad length: even
-                       same-residue padded copies are byte-distinct).
+                       zero samples.  The pad length varies with
+                       doc_id but CYCLES: same (residue, variant)
+                       repeats every 64 ids and the pad every 5, so
+                       same-residue padded copies 320 ids apart are
+                       byte-IDENTICAL — genuinely identical files,
+                       which exact dedup rightly collapses anyway;
+                       this tier's subject is the byte-DISTINCT
+                       shifted variants (r11 review correction of an
+                       overstated per-doc-distinctness claim).
     2 'clipped_loud':  first {ASD_CLIP} content samples dropped AND
                        2x amplitude — a trimmed, remastered re-upload.
     3 'stereo_padded': channel-duplicated stereo with 3 leading zero

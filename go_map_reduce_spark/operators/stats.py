@@ -407,6 +407,9 @@ def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_map_reduce_spark.registry import track_cache
 
     qs = [i / PARETO_BINS for i in range(1, PARETO_BINS)]
+    # persisted because BOTH the edge aggregate and the bin assignment
+    # consume it — without the cache the whole orders scan+aggregate
+    # runs twice per invocation (round-11 review finding)
     rev = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -415,10 +418,12 @@ def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cents"
             )
         )
+        .persist()
+        .transform(track_cache)
     )
     edges = rev.agg(F.percentile("cents", F.lit(qs)).alias("e"))
     # consumed twice (per-bin offsets + the ranked output): persist so
-    # the per-customer aggregate and bin assignment run once
+    # the bin assignment runs once
     binned = (
         rev.crossJoin(F.broadcast(edges))
         .select(

@@ -109,19 +109,37 @@ def _data_fingerprint(path: Optional[str]) -> str:
     try:
         os.listdir(path)
     except OSError:
+        # a MISSING/unreadable root is a stable state ("no data") and
+        # may alias itself across calls
         return "unreadable"
+    # A PARTIAL walk must never alias a stable fingerprint: os.walk's
+    # default swallows unreadable subdirectories, so a transient
+    # permission/NFS failure inside a partitioned table would yield a
+    # valid-looking digest over the readable subset (r11 review
+    # finding).  Any mid-walk error therefore returns a never-matching
+    # token — the memo misses and the frame rebuilds until the listing
+    # is whole again (correctness-first invalidation, the mr/s3.go
+    # truncate discipline).
+    errors: list[OSError] = []
     h = hashlib.md5()
-    for dirpath, dirnames, filenames in os.walk(path):
+    for dirpath, dirnames, filenames in os.walk(path, onerror=errors.append):
         dirnames.sort()
         rel = os.path.relpath(dirpath, path)
         for n in sorted(filenames):
             try:
                 st = os.stat(os.path.join(dirpath, n))
-            except OSError:
+            except OSError as ex:
+                errors.append(ex)
                 continue
             relp = n if rel == "." else os.path.join(rel, n)
             h.update(f"{relp}:{st.st_size}:{st.st_mtime_ns};".encode())
+    if errors:
+        _DEGRADED_COUNT[0] += 1
+        return f"degraded-{_DEGRADED_COUNT[0]}"
     return h.hexdigest()
+
+
+_DEGRADED_COUNT = [0]
 
 
 def shared_frame(

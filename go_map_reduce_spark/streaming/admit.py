@@ -146,6 +146,61 @@ def _latest_seen_version(state_root: str) -> int:
     return max(vs, default=0)
 
 
+def _decide_batch(
+    side: DataFrame, batch_df: DataFrame, seen: DataFrame | None
+) -> DataFrame:
+    """The per-batch decision dataflow BOTH sinks share — one join
+    against the standing seen-set on the cluster key, one keep-best
+    window over the batch's own groups, one admitted predicate.  The
+    registered append sink and the transactional twin (admit_txn.py)
+    differ ONLY in durability protocol; factoring the semantics here
+    removes the copy-drift channel (the _bpe_train_apply precedent:
+    shared chains cannot diverge)."""
+    b = batch_df.join(side, "doc_id")
+    if seen is not None:
+        b = b.join(
+            seen.withColumn("is_seen", F.lit(True)), "group_id", "left"
+        ).withColumn("is_seen", F.coalesce("is_seen", F.lit(False)))
+    else:
+        b = b.withColumn("is_seen", F.lit(False))
+    w = W.partitionBy("group_id").orderBy(F.desc("n_tokens"), "doc_id")
+    return b.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id",
+        "batch_id",
+        "group_id",
+        "gate_ok",
+        "n_tokens",
+        "is_seen",
+        (F.col("gate_ok") & ~F.col("is_seen") & (F.col("rk") == 1)).alias(
+            "admitted"
+        ),
+    )
+
+
+def _next_seen(marked_groups: DataFrame, prev: DataFrame | None) -> DataFrame:
+    """The advanced seen-set: this batch's distinct cluster keys
+    unioned into the previous version (shared by both sinks)."""
+    if prev is not None:
+        marked_groups = prev.unionByName(marked_groups)
+    return marked_groups.distinct()
+
+
+def _funnel_agg(dec: DataFrame) -> DataFrame:
+    """Per-batch funnel aggregate over UNIQUE (batch_id, doc_id)
+    decisions (shared by both sinks; the append sink dedups first,
+    the transactional sink's protocol guarantees uniqueness)."""
+    adm = F.col("admitted")
+    return dec.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum((~F.col("gate_ok")).cast("long")).alias("gate_dropped"),
+        F.sum((F.col("gate_ok") & ~adm).cast("long")).alias("dedup_dropped"),
+        F.sum(adm.cast("long")).alias("admitted"),
+        F.sum(F.when(adm, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("tokens_admitted"),
+    )
+
+
 def _run_admit_stream(
     spark: SparkSession, side: DataFrame, tmp: str
 ) -> None:
@@ -167,38 +222,18 @@ def _run_admit_stream(
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
         v = _latest_seen_version(seen_root)
-        b = batch_df.join(side, "doc_id")
-        if v > 0:
-            seen = spark.read.parquet(os.path.join(seen_root, f"v{v}"))
-            b = b.join(
-                seen.withColumn("is_seen", F.lit(True)), "group_id", "left"
-            ).withColumn("is_seen", F.coalesce("is_seen", F.lit(False)))
-        else:
-            b = b.withColumn("is_seen", F.lit(False))
-        w = W.partitionBy("group_id").orderBy(F.desc("n_tokens"), "doc_id")
-        d = b.withColumn("rk", F.row_number().over(w)).select(
-            "doc_id",
-            "batch_id",
-            "group_id",
-            "gate_ok",
-            "n_tokens",
-            "is_seen",
-            (
-                F.col("gate_ok") & ~F.col("is_seen") & (F.col("rk") == 1)
-            ).alias("admitted"),
-            F.lit(epoch_id).cast("long").alias("epoch"),
+        seen = (
+            spark.read.parquet(os.path.join(seen_root, f"v{v}"))
+            if v > 0
+            else None
+        )
+        d = _decide_batch(side, batch_df, seen).withColumn(
+            "epoch", F.lit(epoch_id).cast("long")
         )
         d.write.mode("append").parquet(dec_dir)
-        marked = d.select("group_id").distinct()
-        if v > 0:
-            marked = (
-                spark.read.parquet(os.path.join(seen_root, f"v{v}"))
-                .unionByName(marked)
-                .distinct()
-            )
-        marked.write.mode("overwrite").parquet(
-            os.path.join(seen_root, f"v{v + 1}")
-        )
+        _next_seen(d.select("group_id"), seen).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(seen_root, f"v{v + 1}"))
 
     with _stream_state_partitions(spark, 8):
         q = (
@@ -250,16 +285,7 @@ def _admit_funnel(spark: SparkSession, dec_dir: str) -> DataFrame:
         )
         .select("batch_id", "doc_id", "r.*")
     )
-    adm = F.col("admitted")
-    return dec.groupBy("batch_id").agg(
-        F.count(F.lit(1)).alias("docs_in"),
-        F.sum((~F.col("gate_ok")).cast("long")).alias("gate_dropped"),
-        F.sum((F.col("gate_ok") & ~adm).cast("long")).alias("dedup_dropped"),
-        F.sum(adm.cast("long")).alias("admitted"),
-        F.sum(F.when(adm, F.col("n_tokens")).otherwise(0))
-        .cast("long")
-        .alias("tokens_admitted"),
-    )
+    return _funnel_agg(dec)
 
 
 @query(

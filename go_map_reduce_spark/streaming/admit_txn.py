@@ -47,8 +47,13 @@ import json
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from go_map_reduce_spark.streaming.admit import (
+    _decide_batch,
+    _funnel_agg,
+    _next_seen,
+)
 from go_map_reduce_spark.streaming.windows import _stream_state_partitions
 
 # Test hook: set to ("<batch_id>", "<point>") to raise mid-merge, where
@@ -118,26 +123,18 @@ def _merge_txn(
         return  # replay of a committed batch: exactly-once no-op
     v = max(done.values(), default=0)  # committed version, never newer
 
-    b = batch_df.join(side, "doc_id")
-    if v > 0:
-        seen = spark.read.parquet(os.path.join(root, "seen", f"v{v}"))
-        b = b.join(
-            seen.withColumn("is_seen", F.lit(True)), "group_id", "left"
-        ).withColumn("is_seen", F.coalesce("is_seen", F.lit(False)))
-    else:
-        b = b.withColumn("is_seen", F.lit(False))
-    w = W.partitionBy("group_id").orderBy(F.desc("n_tokens"), "doc_id")
-    d = b.withColumn("rk", F.row_number().over(w)).select(
-        "doc_id",
-        "batch_id",
-        "group_id",
-        "gate_ok",
-        "n_tokens",
-        "is_seen",
-        (F.col("gate_ok") & ~F.col("is_seen") & (F.col("rk") == 1)).alias(
-            "admitted"
-        ),
+    seen = (
+        spark.read.parquet(os.path.join(root, "seen", f"v{v}"))
+        if v > 0
+        else None
     )
+    # The decision dataflow is admit._decide_batch — SHARED with the
+    # registered append sink, so the two sinks cannot drift in
+    # semantics; only the durability protocol below differs.  (The
+    # registered sink also stamps an `epoch` column for its restart
+    # bijection test — read-side provenance, not decision semantics;
+    # the protocol here keys on the data's own batch_id instead.)
+    d = _decide_batch(side, batch_df, seen)
 
     dec_stage = os.path.join(root, "decisions", f".staging_{batch_id}")
     d.write.mode("overwrite").parquet(dec_stage)
@@ -146,15 +143,11 @@ def _merge_txn(
     )
     _maybe_crash(batch_id, "after_decisions")
 
-    marked = spark.read.parquet(
-        os.path.join(root, "decisions", f"b{batch_id}")
-    ).select("group_id").distinct()
-    if v > 0:
-        marked = (
-            spark.read.parquet(os.path.join(root, "seen", f"v{v}"))
-            .unionByName(marked)
-            .distinct()
-        )
+    marked = _next_seen(
+        spark.read.parquet(os.path.join(root, "decisions", f"b{batch_id}"))
+        .select("group_id"),
+        seen,
+    )
     seen_stage = os.path.join(root, "seen", f".staging_v{v + 1}")
     marked.write.mode("overwrite").parquet(seen_stage)
     _rename_into_place(seen_stage, os.path.join(root, "seen", f"v{v + 1}"))
@@ -211,16 +204,6 @@ def admit_decisions_txn(spark: SparkSession, root: str) -> DataFrame:
 
 def admit_funnel_txn(spark: SparkSession, root: str) -> DataFrame:
     """Per-batch funnel over committed decisions (the registered
-    funnel's aggregate, minus its replay-repair dedup — exactly-once
-    makes repair unnecessary)."""
-    dec = admit_decisions_txn(spark, root)
-    adm = F.col("admitted")
-    return dec.groupBy("batch_id").agg(
-        F.count(F.lit(1)).alias("docs_in"),
-        F.sum((~F.col("gate_ok")).cast("long")).alias("gate_dropped"),
-        F.sum((F.col("gate_ok") & ~adm).cast("long")).alias("dedup_dropped"),
-        F.sum(adm.cast("long")).alias("admitted"),
-        F.sum(F.when(adm, F.col("n_tokens")).otherwise(0))
-        .cast("long")
-        .alias("tokens_admitted"),
-    )
+    funnel's aggregate — admit._funnel_agg, SHARED — minus its
+    replay-repair dedup: exactly-once makes repair unnecessary)."""
+    return _funnel_agg(admit_decisions_txn(spark, root))

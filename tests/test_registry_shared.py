@@ -183,3 +183,38 @@ def test_fingerprint_flat_layout_unchanged_semantics(tmp_path):
     assert fp == _data_fingerprint(str(d)), "not deterministic"
     assert _data_fingerprint(str(tmp_path / "missing")) == "unreadable"
     assert _data_fingerprint(None) == ""
+
+
+def test_fingerprint_degraded_walk_never_aliases(tmp_path, monkeypatch):
+    """A PARTIAL walk (unreadable subdir / failing stat mid-walk) must
+    return a never-matching token, not a valid-looking digest over the
+    readable subset — otherwise shared_frame would key a frame to a
+    transiently-degraded listing and serve it as stable (r11 review
+    finding)."""
+    import os as _os
+
+    from go_map_reduce_spark.registry import _data_fingerprint
+
+    d = tmp_path / "part"
+    d.mkdir()
+    (d / "ok.parquet").write_bytes(b"ok")
+    (d / "flaky.parquet").write_bytes(b"x")
+    stable = _data_fingerprint(str(d))
+
+    real_stat = _os.stat
+
+    def flaky_stat(p, *a, **k):
+        if str(p).endswith("flaky.parquet"):
+            raise OSError("transient stat failure")
+        return real_stat(p, *a, **k)
+
+    monkeypatch.setattr("os.stat", flaky_stat)
+    t1 = _data_fingerprint(str(d))
+    t2 = _data_fingerprint(str(d))
+    monkeypatch.undo()
+
+    assert t1.startswith("degraded-") and t2.startswith("degraded-")
+    assert t1 != t2, "degraded listings must never alias each other"
+    assert stable not in (t1, t2)
+    # once the listing is whole again the stable digest returns
+    assert _data_fingerprint(str(d)) == stable
