@@ -218,7 +218,17 @@ def cc_hashed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     JPEG Huffman+IDCT decode for a third of the corpus is the tier's
     dominant cost and must run once per session, not once per
     consumer (the ivf_frozen_centroids / bpe_deployed precedent —
-    first-consumer attribution note applies)."""
+    first-consumer attribution note applies).
+
+    EAGER-CONSTRUCTION contract (r11 ADVICE): the memoized lineage
+    ends in ``localCheckpoint(eager=True)``, so merely CONSTRUCTING a
+    consumer DataFrame (``image_cross_codec_dedup``,
+    ``media_dedup_survivors``, plan dumps, ``explain()``) pays the
+    full corpus encode+decode before any action runs.  Deliberate:
+    the bench/stress protocol times thunks
+    (tools/stress_scale.py ``timed_force``) precisely so construction
+    cost lands inside the clock; plan-only callers should expect the
+    first construction per session to be the expensive one."""
     from go_map_reduce_spark.registry import shared_frame
     from go_map_reduce_spark.shipping import ensure_package_shipped
 
@@ -425,7 +435,9 @@ def audio_fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     — session-memoized for the same reason as ``cc_hashed_frame``:
     the cluster report and the pipeline34 survivor selection share
     the RIFF decode + fingerprint work (first-consumer attribution
-    note applies)."""
+    note applies).  The eager-construction contract documented on
+    ``cc_hashed_frame`` applies here verbatim: constructing any
+    consumer frame pays the corpus encode+decode up front."""
     from go_map_reduce_spark.registry import shared_frame
     from go_map_reduce_spark.shipping import ensure_package_shipped
 

@@ -94,8 +94,23 @@ def _survivor_agg(
     ``min_by`` on the packed integer preference, and emit the cut
     size.  No window function and no self-join: at 100 TB this is the
     same single short-key shuffle as the cluster report itself, with
-    a map-side partial min."""
-    pref = rank_expr * F.lit(_PREF_BASE) + F.col("doc_id")
+    a map-side partial min.
+
+    The doc_id-fits-the-low-bits precondition fails LOUDLY: the DuckDB
+    oracle replays the identical rank*2^40+doc_id packing, so a
+    doc_id >= 2^40 corrupting the preference order would make BOTH
+    engines agree on the wrong survivor and sail through the hash gate
+    (r11 ADVICE) — the runtime guard is the only tripwire."""
+    pref = F.when(
+        F.col("doc_id") >= _PREF_BASE,
+        F.raise_error(
+            F.concat(
+                F.lit("doc_id overflows the packed preference key "
+                      f"(>= 2^40={_PREF_BASE}): "),
+                F.col("doc_id").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(rank_expr * F.lit(_PREF_BASE) + F.col("doc_id"))
     return (
         frame.withColumn("pref", pref.cast("long"))
         .groupBy(F.col(key).alias("cluster_key"))

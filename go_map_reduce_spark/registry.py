@@ -119,7 +119,13 @@ def _data_fingerprint(path: Optional[str]) -> str:
     # finding).  Any mid-walk error therefore returns a never-matching
     # token — the memo misses and the frame rebuilds until the listing
     # is whole again (correctness-first invalidation, the mr/s3.go
-    # truncate discipline).
+    # truncate discipline).  One exception (r11 ADVICE): a file that
+    # VANISHES between listing and stat (a concurrent writer removing
+    # a _temporary/.crc file) is a stable state, not a degraded one —
+    # the post-deletion digest simply never includes it, so skipping
+    # converges to exactly that digest instead of evicting the entry
+    # on every call until the directory goes quiet.  Permission/IO
+    # errors and os.walk onerror failures keep the degraded token.
     errors: list[OSError] = []
     h = hashlib.md5()
     for dirpath, dirnames, filenames in os.walk(path, onerror=errors.append):
@@ -128,6 +134,8 @@ def _data_fingerprint(path: Optional[str]) -> str:
         for n in sorted(filenames):
             try:
                 st = os.stat(os.path.join(dirpath, n))
+            except FileNotFoundError:
+                continue  # concurrent delete — the stable digest skips it
             except OSError as ex:
                 errors.append(ex)
                 continue

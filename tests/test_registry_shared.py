@@ -218,3 +218,36 @@ def test_fingerprint_degraded_walk_never_aliases(tmp_path, monkeypatch):
     assert stable not in (t1, t2)
     # once the listing is whole again the stable digest returns
     assert _data_fingerprint(str(d)) == stable
+
+
+def test_fingerprint_vanished_file_is_a_skip_not_degraded(tmp_path, monkeypatch):
+    """A file that VANISHES between listing and stat (concurrent writer
+    deleting a _temporary/.crc file) is a stable state: the fingerprint
+    must equal the post-deletion digest — NOT a never-matching degraded
+    token, which would evict the shared frame and re-run the expensive
+    build on every call until the directory goes quiet (r11 ADVICE)."""
+    import os as _os
+
+    from go_map_reduce_spark.registry import _data_fingerprint
+
+    d = tmp_path / "racy"
+    d.mkdir()
+    (d / "keep.parquet").write_bytes(b"keep")
+    (d / "gone.crc").write_bytes(b"tmp")
+
+    real_stat = _os.stat
+
+    def racy_stat(p, *a, **k):
+        if str(p).endswith("gone.crc"):
+            raise FileNotFoundError(p)
+        return real_stat(p, *a, **k)
+
+    monkeypatch.setattr("os.stat", racy_stat)
+    racy = _data_fingerprint(str(d))
+    monkeypatch.undo()
+
+    assert not racy.startswith("degraded-")
+    (d / "gone.crc").unlink()
+    assert _data_fingerprint(str(d)) == racy, (
+        "skip must converge to the post-deletion stable digest"
+    )

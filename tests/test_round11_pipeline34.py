@@ -297,3 +297,37 @@ def test_letterbox_cluster_shape(spark, sf_dir):
         )
     # same residue->hash collision structure as the cross-codec tier
     assert 1 < len(rows) < 16
+
+
+def test_survivor_pref_overflow_fails_loudly(spark):
+    """A doc_id >= 2^40 would corrupt the packed rank*2^40+doc_id
+    preference order IDENTICALLY in both engines (the oracle replays
+    the same packing), so the hash gate cannot catch it — the runtime
+    raise_error guard must (r11 ADVICE)."""
+    import pytest
+
+    from go_map_reduce_spark.operators.pipeline34 import (
+        _PREF_BASE,
+        IMG_RANK,
+        _rank_col,
+        _survivor_agg,
+    )
+
+    frame = spark.createDataFrame(
+        [(_PREF_BASE + 7, "png", "h1"), (3, "bmp", "h1")],
+        "doc_id long, codec string, ahash string",
+    )
+    out = _survivor_agg(frame, "ahash", "codec", _rank_col("codec", IMG_RANK))
+    with pytest.raises(Exception, match="overflows the packed preference"):
+        out.collect()
+    # in-range ids keep the registered behavior
+    ok = spark.createDataFrame(
+        [(_PREF_BASE - 1, "png", "h1"), (3, "bmp", "h1")],
+        "doc_id long, codec string, ahash string",
+    )
+    row = (
+        _survivor_agg(ok, "ahash", "codec", _rank_col("codec", IMG_RANK))
+        .collect()[0]
+    )
+    assert row.survivor_doc_id == _PREF_BASE - 1  # png outranks bmp
+    assert row.survivor_format == "png"

@@ -251,7 +251,11 @@ def main() -> None:
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
 
-    from go_map_reduce_spark.registry import QUERIES, release_caches
+    from go_map_reduce_spark.registry import (
+        QUERIES,
+        invalidate_shared,
+        release_caches,
+    )
     from go_map_reduce_spark.session import get_spark
 
     spark = get_spark(
@@ -332,6 +336,13 @@ def main() -> None:
         print("| " + " | ".join(str(x) for x in row) + " |", flush=True)
         frows, t_e2e, straddle = capstone_funnel(spark, d)
         release_caches()
+        # Shared-frame keys embed the scale dir, so eviction never fires
+        # by key collision when the sweep advances to the next multiple;
+        # without an explicit drop every earlier SF's localCheckpoint
+        # blocks (cc_hashed/aud_fp/staged) stay pinned MEMORY_AND_DISK
+        # and pressure storage memory during the largest-SF measurements
+        # (r11 ADVICE).
+        invalidate_shared()
         for fr in frows:
             cap_rows.append([m] + fr + [straddle, t_e2e])
     print()
