@@ -74,6 +74,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline32,
     pipeline33,
     pipeline34,
+    pipeline35,
     sqlsurface,
     stats,
     quality_filters,

@@ -1,0 +1,181 @@
+"""Round-12: cross-modal dedup capstone + the media admit stage.
+
+The oracle differentials pin the unified clustering and the composed
+survivor policy bit-for-bit; these pin what the oracle can't express:
+that each per-modality clustering REFINES the unified one, that the
+survivor election reconciles per modality and with the registered
+media_dedup_survivors policy, and that the composed preference order
+(quality, then lossless media, then doc_id) is the one actually
+applied."""
+
+import pandas as pd
+
+from go_map_reduce_spark.operators.pipeline34 import (
+    AUD_RANK,
+    IMG_RANK,
+    _rank_col,
+    _survivor_agg,
+)
+from go_map_reduce_spark.operators.pipeline35 import (
+    MEDIA_CARRIER_MOD,
+    MEDIA_CARRIER_REM,
+    _carrier_media_frames,
+    _crossmodal_labels,
+    media_survivor_ids,
+)
+from go_map_reduce_spark.registry import ORACLES, QUERIES
+
+from tests.oracle_util import compare
+
+
+def test_crossmodal_against_duckdb_oracle(spark, sf_dir):
+    compare(
+        QUERIES["crossmodal_dedup_survivors"](spark, sf_dir),
+        ORACLES["crossmodal_dedup_survivors"],
+        sf_dir,
+    )
+
+
+def test_media_admit_against_duckdb_oracle(spark, sf_dir):
+    compare(
+        QUERIES["media_admit_decision"](spark, sf_dir),
+        ORACLES["media_admit_decision"],
+        sf_dir,
+    )
+
+
+def _members(spark, sf_dir) -> pd.DataFrame:
+    """(doc_id, cluster_id) for every doc: labels ∪ singletons."""
+    from go_map_reduce_spark.catalog import load_table
+
+    labels = _crossmodal_labels(spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").toPandas()
+    m = docs.merge(labels, on="doc_id", how="left")
+    m["cluster_id"] = m["cluster_id"].fillna(m["doc_id"]).astype("int64")
+    return m
+
+
+def test_modality_clusters_refine_unified(spark, sf_dir):
+    """Every per-modality cluster (carrier image ahash group, carrier
+    audio afp group, text near-dup component) lands INSIDE exactly one
+    unified cluster — refinement, the structural claim that makes
+    'one cluster graph' true."""
+    m = _members(spark, sf_dir).set_index("doc_id")["cluster_id"]
+
+    imgc, audc = _carrier_media_frames(spark, sf_dir)
+    for frame, key in ((imgc, "ahash"), (audc, "afp")):
+        pdf = frame.select("doc_id", key).toPandas()
+        pdf["ucl"] = pdf["doc_id"].map(m)
+        per_key = pdf.groupby(key)["ucl"].nunique()
+        assert (per_key == 1).all(), f"{key} cluster straddles unified"
+
+    txt = QUERIES["dedup_clusters_largestar"](spark, sf_dir).toPandas()
+    txt["ucl"] = txt["doc_id"].map(m)
+    per_txt = txt.groupby("cluster_id")["ucl"].nunique()
+    assert (per_txt == 1).all(), "text component straddles unified"
+
+
+def test_survivors_reconcile_per_modality(spark, sf_dir):
+    """Conservation + absorption accounting: every doc in exactly one
+    unified cluster; the per-cluster absorbed-modality counts sum to
+    the total number of carrier clusters of that modality; the
+    survivor is a member of its own cluster."""
+    from go_map_reduce_spark.catalog import load_table
+
+    out = QUERIES["crossmodal_dedup_survivors"](spark, sf_dir).toPandas()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert int(out["n_docs"].sum()) == n_docs
+    assert (out["cut_count"] == out["n_docs"] - 1).all()
+
+    imgc, audc = _carrier_media_frames(spark, sf_dir)
+    n_img = imgc.select("ahash").distinct().count()
+    n_aud = audc.select("afp").distinct().count()
+    assert int(out["n_img_clusters"].sum()) == n_img
+    assert int(out["n_aud_clusters"].sum()) == n_aud
+
+    m = _members(spark, sf_dir)
+    surv = out.merge(
+        m,
+        left_on=["cluster_id", "survivor_doc_id"],
+        right_on=["cluster_id", "doc_id"],
+        how="left",
+    )
+    assert surv["doc_id"].notna().all(), "survivor not a cluster member"
+
+
+def test_composed_policy_is_quality_then_media_then_id(spark, sf_dir):
+    """Recompute the survivor independently in pandas under the stated
+    order (n_tokens DESC, image rank, audio rank, doc_id) and demand
+    bit-agreement for every cluster."""
+    from go_map_reduce_spark.operators.pipeline33 import (
+        audio_fp_frame,
+        cc_hashed_frame,
+    )
+
+    out = QUERIES["crossmodal_dedup_survivors"](spark, sf_dir).toPandas()
+    m = _members(spark, sf_dir)
+    q = (
+        QUERIES["text_quality_scores"](spark, sf_dir)
+        .select("doc_id", "n_tokens")
+        .toPandas()
+    )
+    img = cc_hashed_frame(spark, sf_dir).select("doc_id", "codec").toPandas()
+    aud = audio_fp_frame(spark, sf_dir).select("doc_id", "layout").toPandas()
+    df = (
+        m.merge(q, on="doc_id", how="left")
+        .merge(img, on="doc_id")
+        .merge(aud, on="doc_id")
+    )
+    df["n_tokens"] = df["n_tokens"].fillna(0).astype("int64")
+    df["ir"] = df["codec"].map(IMG_RANK)
+    df["ar"] = df["layout"].map(AUD_RANK)
+    expect = (
+        df.sort_values(
+            ["cluster_id", "n_tokens", "ir", "ar", "doc_id"],
+            ascending=[True, False, True, True, True],
+        )
+        .groupby("cluster_id")
+        .first()
+        .reset_index()[["cluster_id", "doc_id"]]
+        .rename(columns={"doc_id": "expect_doc"})
+    )
+    j = out.merge(expect, on="cluster_id")
+    assert len(j) == len(out)
+    assert (j["survivor_doc_id"] == j["expect_doc"]).all()
+
+
+def test_media_stage_admits_one_survivor_per_carrier_cluster(spark, sf_dir):
+    """The funnel stage's invariants: survivors are carriers; exactly
+    one admitted carrier per carrier-populated cluster; every
+    non-carrier passes vacuously; and the election IS the registered
+    media_dedup_survivors arg-min (recomputed via _survivor_agg)."""
+    dec = QUERIES["media_admit_decision"](spark, sf_dir).toPandas()
+    carriers = dec[dec["is_carrier"]]
+    non = dec[~dec["is_carrier"]]
+    assert non["media_ok"].all()
+    assert (
+        dec["is_carrier"]
+        == (dec["doc_id"] % MEDIA_CARRIER_MOD == MEDIA_CARRIER_REM)
+    ).all()
+
+    sv = set(media_survivor_ids(spark, sf_dir).toPandas()["doc_id"])
+    assert sv <= set(carriers["doc_id"]), "a survivor is not a carrier"
+    admitted = set(carriers[carriers["media_ok"]]["doc_id"])
+    assert admitted == sv
+
+    imgc, audc = _carrier_media_frames(spark, sf_dir)
+    n_clusters = (
+        imgc.select("ahash").distinct().count()
+        + audc.select("afp").distinct().count()
+    )
+    assert len(sv) == n_clusters, "must admit exactly one per cluster"
+
+    re_img = _survivor_agg(
+        imgc, "ahash", "codec", _rank_col("codec", IMG_RANK)
+    ).toPandas()
+    re_aud = _survivor_agg(
+        audc, "afp", "layout", _rank_col("layout", AUD_RANK)
+    ).toPandas()
+    assert (
+        set(re_img["survivor_doc_id"]) | set(re_aud["survivor_doc_id"]) == sv
+    )
