@@ -45,6 +45,16 @@ from go_map_reduce_spark.operators.pipeline26 import (
     dedup_keep_best_quality,
     leakage_safe_split,
 )
+from go_map_reduce_spark.operators.pipeline33 import (
+    AUD_TAGGED_CTES,
+    CC_TAGGED_CTES,
+)
+from go_map_reduce_spark.operators.pipeline35 import (
+    MEDIA_SV_CTES,
+    _carrier,
+    media_ok_sql,
+    media_survivor_ids,
+)
 from go_map_reduce_spark.operators.textstats import PACK_SHARD
 from go_map_reduce_spark.registry import ORACLES, query
 
@@ -59,26 +69,33 @@ def _pack_with_split(pdf: pd.DataFrame) -> pd.DataFrame:
 # The staged CTE body shared between the capstone oracle and the
 # dataset-card oracle (pipeline29) — one definition of the per-doc
 # decision frame, exactly like the Spark side's staged_decisions().
+# media_ok (r12) replays the pipeline35 carrier-survivor election from
+# the pipeline33 closed forms — the media stage's one SQL definition.
 STAGED_ORACLE = f"""
       WITH gate AS ({ORACLES["doc_quality_composite_gate"]}),
       cutq AS ({ORACLES["substring_dup_cut"]}),
       keepq AS ({ORACLES["dedup_keep_best_quality"]}),
-      splitq AS ({ORACLES["leakage_safe_split"]})
+      splitq AS ({ORACLES["leakage_safe_split"]}),
+      {CC_TAGGED_CTES},
+      {AUD_TAGGED_CTES},
+      {MEDIA_SV_CTES}
       SELECT s.doc_id, s.split,
              (g.verdict = 'keep') AS gate_ok,
              COALESCE(k.is_kept, TRUE) AS dedup_ok,
+             {media_ok_sql('s')} AS media_ok,
              c.n_tokens, c.n_removed
       FROM splitq s
       JOIN gate g ON g.doc_id = s.doc_id
       JOIN cutq c ON c.doc_id = s.doc_id
       LEFT JOIN keepq k ON k.doc_id = s.doc_id
+      LEFT JOIN msv sv ON sv.sdoc = s.doc_id
 """
 
 
 def staged_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capstone's per-doc decision frame — every registered stage
     operator run verbatim and joined on doc_id: (doc_id, split,
-    gate_ok, dedup_ok, n_tokens, n_removed). Shared by the funnel,
+    gate_ok, dedup_ok, media_ok, n_tokens, n_removed). Shared by the funnel,
     the dataset card, the drift report, and the incremental admit so
     'what the pipeline decided' has exactly one definition — and
     materialized ONCE per context via registry.shared_frame (the
@@ -107,15 +124,24 @@ def _staged_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keep = dedup_keep_best_quality(spark, sf_dir).select("doc_id", "is_kept")
     split = leakage_safe_split(spark, sf_dir).select("doc_id", "split")
+    # The media stage rides a BROADCAST of the tiny survivor set (≤
+    # #carrier-clusters rows) — unlike the four corpus-sized stage
+    # frames it adds no doc_id Exchange even on the direct path.
+    sv = media_survivor_ids(spark, sf_dir).withColumn("is_sv", F.lit(True))
     return (
         split.join(gate, "doc_id")
         .join(cut, "doc_id")
         .join(keep, "doc_id", "left")
+        .join(F.broadcast(sv), "doc_id", "left")
         .select(
             "doc_id",
             "split",
             (F.col("verdict") == "keep").alias("gate_ok"),
             F.coalesce("is_kept", F.lit(True)).alias("dedup_ok"),
+            (
+                ~_carrier(F.col("doc_id"))
+                | F.coalesce("is_sv", F.lit(False))
+            ).alias("media_ok"),
             "n_tokens",
             "n_removed",
         )
@@ -132,7 +158,7 @@ E2E_FUNNEL_ORACLE = f"""
       WITH RECURSIVE final_sized AS (
         SELECT doc_id, n_tokens - n_removed AS n_tokens,
                doc_id // {PACK_SHARD} AS shard, split
-        FROM staged WHERE gate_ok AND dedup_ok
+        FROM staged WHERE gate_ok AND dedup_ok AND media_ok
       ),
       {_pack_oracle_from('final_sized', ('split', 'shard'))}
       SELECT split, shard * 1000000 + bin AS seq_id FROM packed
@@ -148,19 +174,24 @@ E2E_FUNNEL_ORACLE = f"""
                   AS BIGINT) AS gate_dropped,
              CAST(SUM(CASE WHEN gate_ok AND NOT dedup_ok THEN 1 ELSE 0 END)
                   AS BIGINT) AS dedup_dropped,
-             CAST(SUM(CASE WHEN gate_ok AND dedup_ok THEN 1 ELSE 0 END)
-                  AS BIGINT) AS docs_kept,
-             CAST(SUM(CASE WHEN gate_ok AND dedup_ok AND n_removed > 0
+             CAST(SUM(CASE WHEN gate_ok AND dedup_ok AND NOT media_ok
+                           THEN 1 ELSE 0 END) AS BIGINT) AS media_dropped,
+             CAST(SUM(CASE WHEN gate_ok AND dedup_ok AND media_ok
+                           THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+             CAST(SUM(CASE WHEN gate_ok AND dedup_ok AND media_ok
+                           AND n_removed > 0
                            THEN 1 ELSE 0 END) AS BIGINT) AS docs_cut,
-             CAST(SUM(CASE WHEN gate_ok AND dedup_ok THEN n_removed
+             CAST(SUM(CASE WHEN gate_ok AND dedup_ok AND media_ok
+                           THEN n_removed
                            ELSE 0 END) AS BIGINT) AS tokens_cut,
-             CAST(SUM(CASE WHEN gate_ok AND dedup_ok
+             CAST(SUM(CASE WHEN gate_ok AND dedup_ok AND media_ok
                            THEN n_tokens - n_removed
                            ELSE 0 END) AS BIGINT) AS tokens_kept
       FROM staged GROUP BY split
     )
     SELECT f.split, f.docs_in, f.gate_dropped, f.dedup_dropped,
-           f.docs_kept, f.docs_cut, f.tokens_cut, f.tokens_kept,
+           f.media_dropped, f.docs_kept, f.docs_cut, f.tokens_cut,
+           f.tokens_kept,
            CAST(COALESCE(n.n_sequences, 0) AS BIGINT) AS n_sequences
     FROM funnel f LEFT JOIN nseq n ON n.split = f.split
     """
@@ -171,8 +202,9 @@ def funnel_from_staged(staged: DataFrame) -> DataFrame:
     (direct shared_frame build or the pipeline30 bucketed re-read):
     per-split funnel aggregate + (split, shard) best-fit pack for
     n_sequences.  One Spark definition of the funnel, so the bucketed
-    twin cannot drift from the registered capstone."""
-    kept_ok = F.col("gate_ok") & F.col("dedup_ok")
+    twin cannot drift from the registered capstone.  Stage order
+    (drops attribute to the FIRST failing stage): gate, dedup, media."""
+    kept_ok = F.col("gate_ok") & F.col("dedup_ok") & F.col("media_ok")
     sized = staged.where(kept_ok).select(
         "doc_id",
         (F.col("n_tokens") - F.col("n_removed")).alias("n_tokens"),
@@ -195,6 +227,11 @@ def funnel_from_staged(staged: DataFrame) -> DataFrame:
         F.sum((F.col("gate_ok") & ~F.col("dedup_ok")).cast("long")).alias(
             "dedup_dropped"
         ),
+        F.sum(
+            (F.col("gate_ok") & F.col("dedup_ok") & ~F.col("media_ok")).cast(
+                "long"
+            )
+        ).alias("media_dropped"),
         F.sum(kept_ok.cast("long")).alias("docs_kept"),
         F.sum((kept_ok & (F.col("n_removed") > 0)).cast("long")).alias(
             "docs_cut"
@@ -220,12 +257,14 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel, one row per train/val split:
     docs_in → gate_dropped (quality verdict != 'keep') →
     dedup_dropped (gate-kept but not its near-dup cluster's keeper) →
+    media_dropped (a media-carrying doc that is not its perceptual
+    cluster's survivor — the pipeline35 carrier-survivor stage, r12) →
     docs_kept, with docs_cut / tokens_cut (substring-dup removal on
     the kept set), tokens_kept (post-cut), and n_sequences (best-fit
     packed {PACK_SHARD}-doc-shard sequences of the kept set). The
     telescoping identity docs_in = gate_dropped + dedup_dropped +
-    docs_kept holds per split by construction and is pinned by the
-    reconciliation property test.
+    media_dropped + docs_kept holds per split by construction and is
+    pinned by the reconciliation property test.
 
     100 TB shape: each stage keeps its own registered plan (gate: pure
     per-row scan; cut: fixed-width-key shuffles only; dedup: the

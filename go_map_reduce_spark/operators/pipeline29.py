@@ -129,7 +129,7 @@ def decontamination_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT st.doc_id, st.split, d.source,
              st.n_tokens - st.n_removed AS tok
       FROM staged st JOIN documents d ON d.doc_id = st.doc_id
-      WHERE st.gate_ok AND st.dedup_ok
+      WHERE st.gate_ok AND st.dedup_ok AND st.media_ok
     ),
     agg AS (
       SELECT split, source,
@@ -161,7 +161,9 @@ def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality-|splits|x|sources| frame; the share window runs over
     that tiny aggregate, not the corpus."""
     staged = staged_decisions(spark, sf_dir)
-    kept = staged.where(F.col("gate_ok") & F.col("dedup_ok")).select(
+    kept = staged.where(
+        F.col("gate_ok") & F.col("dedup_ok") & F.col("media_ok")
+    ).select(
         "doc_id",
         "split",
         (F.col("n_tokens") - F.col("n_removed")).alias("tok"),

@@ -56,6 +56,7 @@ from go_map_reduce_spark.operators.pipeline27 import (
     funnel_from_staged,
     staged_decisions,
 )
+from go_map_reduce_spark.operators.pipeline35 import media_keep_decision
 from go_map_reduce_spark.operators.textstats import PACK_SHARD
 from go_map_reduce_spark.registry import ORACLES, query
 
@@ -68,10 +69,11 @@ _IS_BATCH_SQL = f"doc_id % {NEW_BATCH_MOD} = {NEW_BATCH_REM}"
 
 def _batch_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-batch-doc decision frame (doc_id, split, gate_ok, n_tokens,
-    n_removed, has_index, admit_ok, direct_match) — the incremental
-    funnel's staged_decisions analogue, exposed so the property tests
-    (no-double-admit, no-straddle, standing-plus-admitted
-    reconciliation) pin doc-level invariants the aggregate can't."""
+    n_removed, has_index, admit_ok, media_ok, direct_match) — the
+    incremental funnel's staged_decisions analogue, exposed so the
+    property tests (no-double-admit, no-straddle,
+    standing-plus-admitted reconciliation) pin doc-level invariants
+    the aggregate can't."""
     staged = staged_decisions(spark, sf_dir)
     ls = leakage_safe_split(spark, sf_dir).select("doc_id", "group_id")
     is_index = (F.col("doc_id") % NEW_BATCH_MOD) != NEW_BATCH_REM
@@ -98,6 +100,7 @@ def _batch_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & ~F.col("has_index")
                 & ~F.coalesce("is_near_dup", F.lit(False))
             ).alias("admit_ok"),
+            "media_ok",
             F.coalesce("is_near_dup", F.lit(False)).alias("direct_match"),
         )
     )
@@ -119,6 +122,7 @@ def _batch_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT st.doc_id, st.split, st.gate_ok, st.n_tokens, st.n_removed,
              (st.dedup_ok AND NOT gh.has_index
               AND NOT COALESCE(i.is_near_dup, FALSE)) AS admit_ok,
+             st.media_ok,
              COALESCE(i.is_near_dup, FALSE) AS direct_match
       FROM staged st
       JOIN splitq s ON s.doc_id = st.doc_id
@@ -130,7 +134,7 @@ def _batch_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
       WITH RECURSIVE final_sized AS (
         SELECT doc_id, n_tokens - n_removed AS n_tokens,
                doc_id // {PACK_SHARD} AS shard, split
-        FROM b WHERE gate_ok AND admit_ok
+        FROM b WHERE gate_ok AND admit_ok AND media_ok
       ),
       {_pack_oracle_from('final_sized', ('split', 'shard'))}
       SELECT split, shard * 1000000 + bin AS seq_id FROM packed
@@ -146,13 +150,17 @@ def _batch_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS gate_dropped,
              CAST(SUM(CASE WHEN gate_ok AND NOT admit_ok THEN 1 ELSE 0 END)
                   AS BIGINT) AS dedup_dropped,
-             CAST(SUM(CASE WHEN gate_ok AND admit_ok THEN 1 ELSE 0 END)
-                  AS BIGINT) AS docs_kept,
-             CAST(SUM(CASE WHEN gate_ok AND admit_ok AND n_removed > 0
+             CAST(SUM(CASE WHEN gate_ok AND admit_ok AND NOT media_ok
+                           THEN 1 ELSE 0 END) AS BIGINT) AS media_dropped,
+             CAST(SUM(CASE WHEN gate_ok AND admit_ok AND media_ok
+                           THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+             CAST(SUM(CASE WHEN gate_ok AND admit_ok AND media_ok
+                           AND n_removed > 0
                            THEN 1 ELSE 0 END) AS BIGINT) AS docs_cut,
-             CAST(SUM(CASE WHEN gate_ok AND admit_ok THEN n_removed
+             CAST(SUM(CASE WHEN gate_ok AND admit_ok AND media_ok
+                           THEN n_removed
                            ELSE 0 END) AS BIGINT) AS tokens_cut,
-             CAST(SUM(CASE WHEN gate_ok AND admit_ok
+             CAST(SUM(CASE WHEN gate_ok AND admit_ok AND media_ok
                            THEN n_tokens - n_removed
                            ELSE 0 END) AS BIGINT) AS tokens_kept,
              CAST(SUM(CASE WHEN direct_match THEN 1 ELSE 0 END)
@@ -160,7 +168,8 @@ def _batch_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM b GROUP BY split
     )
     SELECT f.split, f.docs_in, f.gate_dropped, f.dedup_dropped,
-           f.docs_kept, f.docs_cut, f.tokens_cut, f.tokens_kept,
+           f.media_dropped, f.docs_kept, f.docs_cut, f.tokens_cut,
+           f.tokens_kept,
            CAST(COALESCE(n.n_sequences, 0) AS BIGINT) AS n_sequences,
            f.index_matched
     FROM funnel f LEFT JOIN nseq n ON n.split = f.split
@@ -170,6 +179,7 @@ def curation_incremental_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capstone funnel for the DAILY BATCH (doc_id % 10 == 7, the
     deterministic "today's crawl" of ``incremental_dedup_new_batch``):
     per train/val split — docs_in → gate_dropped → dedup_dropped →
+    media_dropped (the pipeline35 carrier-survivor stage, r12) →
     docs_kept (ADMITTED), with docs_cut / tokens_cut / tokens_kept /
     n_sequences over the admitted set, plus index_matched (batch docs
     with a direct verified near-dup in the standing index).  A batch
@@ -204,7 +214,7 @@ def curation_incremental_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard) pack over the admitted set only.  Daily work scales with
     the batch, not the corpus."""
     b = _batch_decisions(spark, sf_dir)
-    kept_ok = F.col("gate_ok") & F.col("admit_ok")
+    kept_ok = F.col("gate_ok") & F.col("admit_ok") & F.col("media_ok")
     sized = b.where(kept_ok).select(
         "doc_id",
         (F.col("n_tokens") - F.col("n_removed")).alias("n_tokens"),
@@ -227,6 +237,11 @@ def curation_incremental_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("gate_ok") & ~F.col("admit_ok")).cast("long")).alias(
             "dedup_dropped"
         ),
+        F.sum(
+            (F.col("gate_ok") & F.col("admit_ok") & ~F.col("media_ok")).cast(
+                "long"
+            )
+        ).alias("media_dropped"),
         F.sum(kept_ok.cast("long")).alias("docs_kept"),
         F.sum((kept_ok & (F.col("n_removed") > 0)).cast("long")).alias(
             "docs_cut"
@@ -253,6 +268,7 @@ def curation_incremental_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "docs_in",
             "gate_dropped",
             "dedup_dropped",
+            "media_dropped",
             "docs_kept",
             "docs_cut",
             "tokens_cut",
@@ -284,10 +300,10 @@ STAGED_BUCKETS = 8
 def write_staged_bucketed(
     spark: SparkSession, sf_dir: str, prefix: str = "staged"
 ) -> None:
-    """Materialize the four stage decision frames as doc_id-bucketed,
-    bucket-sorted warehouse tables ({prefix}_gate/_cut/_keep/_split).
-    One-time layout cost; each frame is narrow (doc_id + verdict
-    columns, never text)."""
+    """Materialize the five stage decision frames as doc_id-bucketed,
+    bucket-sorted warehouse tables
+    ({prefix}_gate/_cut/_keep/_split/_media).  One-time layout cost;
+    each frame is narrow (doc_id + verdict columns, never text)."""
     from go_map_reduce_spark.sources.bucketed import write_bucketed
 
     frames = {
@@ -301,6 +317,9 @@ def write_staged_bucketed(
             "doc_id", "is_kept"
         ),
         "split": leakage_safe_split(spark, sf_dir).select("doc_id", "split"),
+        "media": media_keep_decision(spark, sf_dir).select(
+            "doc_id", "media_ok"
+        ),
     }
     for name, df in frames.items():
         write_bucketed(df, f"{prefix}_{name}", "doc_id", STAGED_BUCKETS)
@@ -310,24 +329,27 @@ def staged_decisions_bucketed(
     spark: SparkSession, prefix: str = "staged"
 ) -> DataFrame:
     """staged_decisions re-read from the bucketed layout: the same
-    (doc_id, split, gate_ok, dedup_ok, n_tokens, n_removed) frame,
-    composed as sort-merge joins over co-bucketed tables — Catalyst
-    sees matching output partitionings on all four sides and plans
-    ZERO Exchange (the merge hint keeps a small-scale run from
+    (doc_id, split, gate_ok, dedup_ok, media_ok, n_tokens, n_removed)
+    frame, composed as sort-merge joins over co-bucketed tables —
+    Catalyst sees matching output partitionings on all five sides and
+    plans ZERO Exchange (the merge hint keeps a small-scale run from
     broadcasting past the layout this function exists to prove)."""
     split = spark.table(f"{prefix}_split").hint("merge")
     gate = spark.table(f"{prefix}_gate").hint("merge")
     cut = spark.table(f"{prefix}_cut").hint("merge")
     keep = spark.table(f"{prefix}_keep").hint("merge")
+    media = spark.table(f"{prefix}_media").hint("merge")
     return (
         split.join(gate, "doc_id")
         .join(cut, "doc_id")
         .join(keep, "doc_id", "left")
+        .join(media, "doc_id")
         .select(
             "doc_id",
             "split",
             (F.col("verdict") == "keep").alias("gate_ok"),
             F.coalesce("is_kept", F.lit(True)).alias("dedup_ok"),
+            "media_ok",
             "n_tokens",
             "n_removed",
         )
@@ -385,7 +407,9 @@ def curation_funnel_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-size split/(split, shard) aggregates of the funnel
     itself."""
     prefix = _bucketed_prefix(spark, sf_dir)
-    tables = [f"{prefix}_{t}" for t in ("gate", "cut", "keep", "split")]
+    tables = [
+        f"{prefix}_{t}" for t in ("gate", "cut", "keep", "split", "media")
+    ]
     if not all(spark.catalog.tableExists(t) for t in tables):
         _clear_orphan_table_dirs(spark, tables)
         write_staged_bucketed(spark, sf_dir, prefix)
@@ -463,6 +487,7 @@ _FUNNEL_METRICS = [
     "docs_in",
     "gate_dropped",
     "dedup_dropped",
+    "media_dropped",
     "docs_kept",
     "docs_cut",
     "tokens_cut",
@@ -481,13 +506,17 @@ def _sql_funnel(src: str, gate: str, out: str) -> str:
                   AS BIGINT) AS gate_dropped,
              CAST(SUM(CASE WHEN ({gate}) AND NOT dedup_ok
                            THEN 1 ELSE 0 END) AS BIGINT) AS dedup_dropped,
-             CAST(SUM(CASE WHEN ({gate}) AND dedup_ok
+             CAST(SUM(CASE WHEN ({gate}) AND dedup_ok AND NOT media_ok
+                           THEN 1 ELSE 0 END) AS BIGINT) AS media_dropped,
+             CAST(SUM(CASE WHEN ({gate}) AND dedup_ok AND media_ok
                            THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
-             CAST(SUM(CASE WHEN ({gate}) AND dedup_ok AND n_removed > 0
+             CAST(SUM(CASE WHEN ({gate}) AND dedup_ok AND media_ok
+                           AND n_removed > 0
                            THEN 1 ELSE 0 END) AS BIGINT) AS docs_cut,
-             CAST(SUM(CASE WHEN ({gate}) AND dedup_ok THEN n_removed
+             CAST(SUM(CASE WHEN ({gate}) AND dedup_ok AND media_ok
+                           THEN n_removed
                            ELSE 0 END) AS BIGINT) AS tokens_cut,
-             CAST(SUM(CASE WHEN ({gate}) AND dedup_ok
+             CAST(SUM(CASE WHEN ({gate}) AND dedup_ok AND media_ok
                            THEN n_tokens - n_removed ELSE 0 END)
                   AS BIGINT) AS tokens_kept
       FROM {src} GROUP BY split
@@ -500,12 +529,15 @@ def _funnel_aggs(gate: Column, prefix: str) -> list[Column]:
     so the staged frame is aggregated in a single pass (two revisions
     = two conditional-aggregation column sets, not two scans of the
     expensive staged pipeline)."""
-    kept = gate & F.col("dedup_ok")
+    kept = gate & F.col("dedup_ok") & F.col("media_ok")
     return [
         F.count(F.lit(1)).alias(f"{prefix}docs_in"),
         F.sum((~gate).cast("long")).alias(f"{prefix}gate_dropped"),
         F.sum((gate & ~F.col("dedup_ok")).cast("long")).alias(
             f"{prefix}dedup_dropped"
+        ),
+        F.sum((gate & F.col("dedup_ok") & ~F.col("media_ok")).cast("long")).alias(
+            f"{prefix}media_dropped"
         ),
         F.sum(kept.cast("long")).alias(f"{prefix}docs_kept"),
         F.sum((kept & (F.col("n_removed") > 0)).cast("long")).alias(
@@ -574,8 +606,9 @@ def curation_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the registered composite gate) diffed against revision B (the
     same funnel with the stricter >= {DRIFT_MIN_TOKENS}-token minimum
     length on top), one row per (split, metric in docs_in /
-    gate_dropped / dedup_dropped / docs_kept / docs_cut / tokens_cut /
-    tokens_kept) with both values and the delta.  The per-stage rows
+    gate_dropped / dedup_dropped / media_dropped / docs_kept /
+    docs_cut / tokens_cut / tokens_kept) with both values and the
+    delta.  The per-stage rows
     ATTRIBUTE the change: a gate retune moves mass from docs_kept into
     gate_dropped (and, second-order, out of dedup_dropped — a doc the
     new gate rejects can no longer be charged to dedup), and the

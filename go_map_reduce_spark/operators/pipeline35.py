@@ -67,6 +67,7 @@ from go_map_reduce_spark.operators.pipeline34 import (
     AUD_RANK,
     IMG_RANK,
     _rank_col,
+    _rank_sql,
     _survivor_agg,
 )
 from go_map_reduce_spark.operators.textstats import text_quality_scores
@@ -115,12 +116,18 @@ MEDIA_SV_CTES = f"""
             UNION ALL SELECT sdoc FROM media_aud_sv)
 """
 
-# media_ok as a SQL predicate over a documents-keyed relation aliased
-# ``d`` with ``msv`` in scope (pipeline27 embeds this in STAGED_ORACLE).
-MEDIA_OK_SQL = (
-    f"(d.doc_id % {MEDIA_CARRIER_MOD} <> {MEDIA_CARRIER_REM}"
-    " OR sv.sdoc IS NOT NULL)"
-)
+def media_ok_sql(alias: str = "d") -> str:
+    """media_ok as a SQL predicate over a documents-keyed relation
+    aliased ``alias``, with ``msv`` LEFT-joined as ``sv`` in scope
+    (pipeline27 embeds this in STAGED_ORACLE over its split relation;
+    the media_admit_decision oracle uses it over documents)."""
+    return (
+        f"({alias}.doc_id % {MEDIA_CARRIER_MOD} <> {MEDIA_CARRIER_REM}"
+        " OR sv.sdoc IS NOT NULL)"
+    )
+
+
+MEDIA_OK_SQL = media_ok_sql()
 
 
 def _carrier(col: F.Column) -> F.Column:
@@ -400,5 +407,308 @@ def crossmodal_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("n_tokens", ordk).cast("long").alias("survivor_n_tokens"),
         F.min_by("codec", ordk).alias("survivor_codec"),
         F.min_by("layout", ordk).alias("survivor_layout"),
+        (F.count(F.lit(1)) - F.lit(1)).cast("long").alias("cut_count"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Video perceptual dedup (re-encoded / padded copies collapse)
+# --------------------------------------------------------------------------
+
+VPD_RESIDUES = 16  # doc_id % 16 picks the frame-sequence content
+VPD_FRAMES = 6  # content frames per clip
+VPD_SIDE = 32  # frame side; aHash cells are 4x4 px
+VPD_BLOCKS = 4  # 4x4 grid of 8x8 constant blocks per frame
+VPD_M_RES, VPD_M_BX, VPD_M_BY = 37, 71, 113  # pipeline33 multipliers
+VPD_M_T = 29  # per-frame term, so frames within a clip hash differently
+VPD_SAMPLE_EVERY = 2  # hash every 2nd content frame (0, 2, 4)
+
+# Survivor preference among the synthesis variants (lossless container
+# first, then the re-encode, then the padded re-uploads).
+VID_RANK = {"master": 0, "reencoded": 1, "padded": 2, "reenc_padded": 3}
+_VID_RANK_SQL = _rank_sql("variant", VID_RANK)
+
+_VPD_VARIANTS = ("master", "reencoded", "padded", "reenc_padded")
+
+
+def _vpd_frame_gray(doc_id: int, t: int) -> list[list[int]]:
+    """Content pixels of frame ``t``: the pipeline33 block closed form
+    plus a per-frame term and +1 (every content pixel >= 1, so all-zero
+    PAD frames are exactly distinguishable — the letterbox trim
+    discipline applied to the TIME axis), plus a per-doc brightness
+    jitter that keeps same-variant payloads byte-distinct while
+    cancelling in the exact-integer average hash."""
+    res, jit = doc_id % VPD_RESIDUES, (doc_id // 5) % 3
+    return [
+        [
+            (
+                VPD_M_RES * res
+                + VPD_M_BX * (x // 8)
+                + VPD_M_BY * (y // 8)
+                + VPD_M_T * t
+            )
+            % 200
+            + 1
+            + jit
+            for x in range(VPD_SIDE)
+        ]
+        for y in range(VPD_SIDE)
+    ]
+
+
+def _vpd_synth_batch(batches):
+    """Encode the SAME content frame sequence under the variant
+    (doc_id // {VPD_RESIDUES}) % 4 selects (decoupled from the content
+    residue): 0 'master' BMP frames; 1 'reencoded' PNG frames (a
+    re-encoded copy — every frame byte-distinct, container re-written);
+    2 'padded' BMP frames with 2 leading + 1 trailing all-black frames
+    (slate/outro); 3 'reenc_padded' PNG frames with 1 leading black
+    frame.  All four are byte-distinct GMRV containers; two have a
+    DIFFERENT frame count."""
+    import pandas as pd
+
+    from go_map_reduce_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        encode_video,
+    )
+
+    def enc_frame(gray, png: bool) -> bytes:
+        rows = [bytes(b for v in row for b in (v, v, v)) for row in gray]
+        if png:
+            return encode_png(VPD_SIDE, VPD_SIDE, rows)
+        return encode_bmp(VPD_SIDE, VPD_SIDE, rows[::-1])  # BMP bottom-up
+
+    black = [[0] * VPD_SIDE for _ in range(VPD_SIDE)]
+    for pdf in batches:
+        payloads, variants = [], []
+        for doc_id in pdf["doc_id"]:
+            variant = _VPD_VARIANTS[(doc_id // VPD_RESIDUES) % 4]
+            png = variant in ("reencoded", "reenc_padded")
+            content = [
+                enc_frame(_vpd_frame_gray(doc_id, t), png)
+                for t in range(VPD_FRAMES)
+            ]
+            if variant == "padded":
+                frames = [enc_frame(black, False)] * 2 + content + [
+                    enc_frame(black, False)
+                ]
+            elif variant == "reenc_padded":
+                frames = [enc_frame(black, True)] + content
+            else:
+                frames = content
+            payloads.append(encode_video(frames))
+            variants.append(variant)
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "variant": variants, "payload": payloads}
+        )
+
+
+def _vpd_fingerprint_batch(batches):
+    """REAL container walk + per-frame decode: find the content frame
+    range by trimming leading/trailing ALL-ZERO frames (exact — content
+    pixels are >= 1 by construction), sample every
+    {VPD_SAMPLE_EVERY}nd content frame BY OFFSET, decode it through the
+    codec its magic bytes select (BMP rows arrive bottom-up and flip),
+    average-hash it in exact integer arithmetic, and emit the
+    SEQUENCE fingerprint: the sampled frame hashes joined in temporal
+    order.  Unsampled interior frames are never decoded; the trim only
+    decodes the (few) frames it inspects at each end."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from go_map_reduce_spark.operators.multimodal import decode_image
+
+    def frame_bounds(payload: bytes) -> list[tuple[int, int]]:
+        _magic, n = struct.unpack_from("<4sI", payload, 0)
+        offsets = struct.unpack_from(f"<{n}I", payload, 8)
+        bounds = list(offsets) + [len(payload)]
+        return [(bounds[i], bounds[i + 1]) for i in range(n)]
+
+    def gray_of(payload: bytes, lo: int, hi: int) -> "np.ndarray":
+        frame = payload[lo:hi]
+        w, h, bpp, px = decode_image(frame)
+        if (w, h) != (VPD_SIDE, VPD_SIDE):
+            raise ValueError(f"unexpected frame dims {w}x{h}")
+        g = np.frombuffer(px, dtype=np.uint8).reshape(VPD_SIDE, VPD_SIDE, 3)[
+            :, :, 0
+        ]
+        if frame[:2] == b"BM":
+            g = g[::-1]  # bottom-up -> top-down
+        return g
+
+    def ahash(g: "np.ndarray") -> str:
+        cells = g.astype(np.int64).reshape(8, 4, 8, 4).sum(axis=(1, 3))
+        total = int(g.astype(np.int64).sum())
+        bits = 64 * cells > total
+        return "".join("1" if b else "0" for b in bits.ravel())
+
+    for pdf in batches:
+        out = {"doc_id": [], "variant": [], "vfp": []}
+        for doc_id, variant, payload in zip(
+            pdf["doc_id"], pdf["variant"], pdf["payload"]
+        ):
+            p = bytes(payload)
+            spans = frame_bounds(p)
+            lo = 0
+            while lo < len(spans) and not gray_of(p, *spans[lo]).any():
+                lo += 1
+            hi = len(spans)
+            while hi > lo and not gray_of(p, *spans[hi - 1]).any():
+                hi -= 1
+            if hi - lo != VPD_FRAMES:
+                raise ValueError(f"unexpected content length {hi - lo}")
+            hashes = [
+                ahash(gray_of(p, *spans[lo + t]))
+                for t in range(0, hi - lo, VPD_SAMPLE_EVERY)
+            ]
+            out["doc_id"].append(doc_id)
+            out["variant"].append(variant)
+            out["vfp"].append("|".join(hashes))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "video_perceptual_dedup",
+    oracle=f"""
+    WITH vpd_docs AS (
+      SELECT doc_id, doc_id % {VPD_RESIDUES} AS res,
+             CASE (doc_id // {VPD_RESIDUES}) % 4
+                  WHEN 0 THEN 'master'
+                  WHEN 1 THEN 'reencoded'
+                  WHEN 2 THEN 'padded'
+                  ELSE 'reenc_padded' END AS variant
+      FROM documents
+    ),
+    vpd_blocks AS (
+      SELECT res, t, bx, by,
+             ({VPD_M_RES} * res + {VPD_M_BX} * bx + {VPD_M_BY} * by
+              + {VPD_M_T} * t) % 200 AS g
+      FROM (SELECT DISTINCT res FROM vpd_docs),
+           range(0, {VPD_FRAMES}, {VPD_SAMPLE_EVERY}) u(t),
+           range({VPD_BLOCKS}) t1(bx), range({VPD_BLOCKS}) t2(by)
+    ),
+    vpd_tot AS (
+      SELECT res, t, SUM(g) AS total FROM vpd_blocks GROUP BY res, t
+    ),
+    vpd_bits AS (
+      SELECT b.res, b.t, b.bx, b.by,
+             CASE WHEN {VPD_BLOCKS * VPD_BLOCKS} * b.g > tt.total
+                  THEN '1' ELSE '0' END AS bit
+      FROM vpd_blocks b JOIN vpd_tot tt ON tt.res = b.res AND tt.t = b.t
+    ),
+    vpd_rows AS (
+      SELECT res, t, by,
+             string_agg(repeat(bit, 2), '' ORDER BY bx) AS rowstr
+      FROM vpd_bits GROUP BY res, t, by
+    ),
+    vpd_fhash AS (
+      SELECT res, t, string_agg(rowstr || rowstr, '' ORDER BY by) AS fhash
+      FROM vpd_rows GROUP BY res, t
+    ),
+    vpd_fp AS (
+      SELECT res, string_agg(fhash, '|' ORDER BY t) AS vfp
+      FROM vpd_fhash GROUP BY res
+    ),
+    vpd_tagged AS (
+      SELECT d.doc_id, d.variant, fp.vfp
+      FROM vpd_docs d JOIN vpd_fp fp ON fp.res = d.res
+    )
+    SELECT vfp,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT variant) AS BIGINT) AS n_variants,
+           CAST(SUM(CASE WHEN variant = 'master' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_master,
+           CAST(SUM(CASE WHEN variant = 'reencoded' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reencoded,
+           CAST(SUM(CASE WHEN variant = 'padded' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_padded,
+           CAST(SUM(CASE WHEN variant = 'reenc_padded' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reenc_padded,
+           CAST(arg_min(doc_id, ({_VID_RANK_SQL}) * {_PREF_BASE} + doc_id)
+                AS BIGINT) AS survivor_doc_id,
+           arg_min(variant, ({_VID_RANK_SQL}) * {_PREF_BASE} + doc_id)
+             AS survivor_variant,
+           CAST(COUNT(*) - 1 AS BIGINT) AS cut_count
+    FROM vpd_tagged GROUP BY vfp
+    """,
+)
+def video_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video earns its dedup tier: the same 6-frame clip arrives as a
+    BMP-frame container, a PNG re-encode (every frame byte-distinct,
+    container re-written), a slate-padded re-upload (2 leading + 1
+    trailing black frames) and a padded re-encode — four byte-distinct
+    GMRV containers, two with a DIFFERENT frame count, which exact
+    dedup and any whole-payload hash fail to collapse.  Every payload
+    is really walked and the sampled frames really decoded (magic
+    sniff per frame: BMP header walk or PNG chunk+filter
+    reconstruction); the TEMPORAL trim (drop leading/trailing
+    all-zero frames — content pixels are >= 1 by construction, the
+    letterbox bbox discipline applied to the time axis) recovers the
+    content frame range, every {VPD_SAMPLE_EVERY}nd content frame is
+    average-hashed in exact integers, and the ORDER-PRESERVING concat
+    of frame hashes is the sequence fingerprint that collapses each
+    content residue to ONE cluster.  The survivor act is reconciled in
+    the same row: the pipeline34 packed arg-min (master container
+    first, then the re-encode, then the padded re-uploads, doc_id
+    tiebreak) elects the canonical copy and prices the cut list.  The
+    oracle predicts every sampled frame hash bit and the survivor from
+    the block closed form — no codec, no container walk, no trim logic
+    on the DuckDB side.
+
+    100 TB shape: identical to the image/audio tiers — two
+    Arrow-batched map stages (encode / walk+decode+hash after the
+    keys-only id repartition; pixels never shuffle), one shuffle of
+    fingerprint strings for the cluster-aggregate-plus-survivor (a
+    single groupBy: the act costs no second pass).  Frame sampling is
+    by OFFSET, so interior unsampled frames are never decoded, and the
+    trim decodes only the few frames it inspects at each end — decode
+    cost scales with frames KEPT, the production frame-sampler
+    contract (multimodal_video_framesample's discipline, upgraded
+    from feature extraction to identity)."""
+    from go_map_reduce_spark.operators.pipeline33 import _spread_ids
+    from go_map_reduce_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    ids = _spread_ids(spark, sf_dir)
+    media = ids.mapInPandas(
+        _vpd_synth_batch,
+        schema="doc_id long, variant string, payload binary",
+    )
+    printed = media.mapInPandas(
+        _vpd_fingerprint_batch,
+        schema="doc_id long, variant string, vfp string",
+    )
+    pref = F.when(
+        F.col("doc_id") >= _PREF_BASE,
+        F.raise_error(
+            F.concat(
+                F.lit("doc_id overflows the packed preference key "
+                      f"(>= 2^40={_PREF_BASE}): "),
+                F.col("doc_id").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(
+        _rank_col("variant", VID_RANK) * F.lit(_PREF_BASE) + F.col("doc_id")
+    )
+    return printed.withColumn("pref", pref).groupBy("vfp").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.count_distinct("variant").cast("long").alias("n_variants"),
+        F.sum((F.col("variant") == "master").cast("long"))
+        .cast("long")
+        .alias("n_master"),
+        F.sum((F.col("variant") == "reencoded").cast("long"))
+        .cast("long")
+        .alias("n_reencoded"),
+        F.sum((F.col("variant") == "padded").cast("long"))
+        .cast("long")
+        .alias("n_padded"),
+        F.sum((F.col("variant") == "reenc_padded").cast("long"))
+        .cast("long")
+        .alias("n_reenc_padded"),
+        F.min_by("doc_id", "pref").cast("long").alias("survivor_doc_id"),
+        F.min_by("variant", "pref").alias("survivor_variant"),
         (F.count(F.lit(1)) - F.lit(1)).cast("long").alias("cut_count"),
     )

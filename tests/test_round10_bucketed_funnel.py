@@ -74,7 +74,7 @@ def test_second_call_reuses_layout(spark, sf_dir):
 
     QUERIES["curation_funnel_bucketed"](spark, sf_dir).collect()
     prefix = _bucketed_prefix(spark, sf_dir)
-    for t in ("gate", "cut", "keep", "split"):
+    for t in ("gate", "cut", "keep", "split", "media"):
         assert spark.catalog.tableExists(f"{prefix}_{t}")
     import time
 

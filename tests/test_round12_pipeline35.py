@@ -179,3 +179,68 @@ def test_media_stage_admits_one_survivor_per_carrier_cluster(spark, sf_dir):
     assert (
         set(re_img["survivor_doc_id"]) | set(re_aud["survivor_doc_id"]) == sv
     )
+
+
+def test_video_dedup_against_duckdb_oracle(spark, sf_dir):
+    compare(
+        QUERIES["video_perceptual_dedup"](spark, sf_dir),
+        ORACLES["video_perceptual_dedup"],
+        sf_dir,
+    )
+
+
+def test_video_variants_byte_distinct_but_fingerprint_identical():
+    """The tier's reason to exist: four byte-distinct containers (two
+    with a DIFFERENT frame count) carry the same content and must
+    fingerprint identically; a whole-payload hash collapses nothing."""
+    import hashlib
+    import struct
+
+    import pandas as pd
+
+    from go_map_reduce_spark.operators.pipeline35 import (
+        VPD_RESIDUES,
+        _vpd_fingerprint_batch,
+        _vpd_synth_batch,
+    )
+
+    res = 3
+    ids = [res + k * VPD_RESIDUES for k in range(4)]  # one per variant
+    synth = pd.concat(list(_vpd_synth_batch(iter([pd.DataFrame({"doc_id": ids})]))))
+    assert sorted(synth["variant"]) == sorted(
+        ["master", "reencoded", "padded", "reenc_padded"]
+    )
+    payloads = [bytes(p) for p in synth["payload"]]
+    assert len({hashlib.md5(p).hexdigest() for p in payloads}) == 4
+    frame_counts = {
+        struct.unpack_from("<4sI", p, 0)[1] for p in payloads
+    }
+    assert frame_counts == {6, 7, 9}, frame_counts
+
+    printed = pd.concat(list(_vpd_fingerprint_batch(iter([synth]))))
+    assert printed["vfp"].nunique() == 1, "variants must collapse"
+    # and a different residue does NOT collapse into it
+    other = pd.concat(
+        list(_vpd_synth_batch(iter([pd.DataFrame({"doc_id": [res + 1]})])))
+    )
+    o_printed = pd.concat(list(_vpd_fingerprint_batch(iter([other]))))
+    assert o_printed["vfp"].iloc[0] != printed["vfp"].iloc[0]
+
+
+def test_video_survivor_act_reconciles(spark, sf_dir):
+    """Survivor columns reconcile with the pipeline34 policy: every
+    cluster containing a master keeps the lowest-id master; corpus
+    conservation holds (sum of group sizes == corpus size)."""
+    from go_map_reduce_spark.catalog import load_table
+
+    out = QUERIES["video_perceptual_dedup"](spark, sf_dir).toPandas()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert int(out["group_size"].sum()) == n_docs
+    assert (out["cut_count"] == out["group_size"] - 1).all()
+    with_master = out[out["n_master"] > 0]
+    assert len(with_master) > 0
+    assert (with_master["survivor_variant"] == "master").all()
+    # the oracle differential pins the full packed (rank, doc_id)
+    # ordering; master-wins-wherever-present pins the rank table's
+    # direction independently of the oracle's own packing.
+    assert (out["n_variants"] >= 1).all()

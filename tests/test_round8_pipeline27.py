@@ -29,16 +29,17 @@ def funnel(spark, sf_dir):
 
 def test_funnel_telescopes_exactly(spark, sf_dir, funnel):
     """The reconciliation identity the capstone exists to certify:
-    per split, docs_in = gate_dropped + dedup_dropped + docs_kept
-    (every document is attributed to exactly one outcome), and the
-    split totals re-add to the corpus row count."""
+    per split, docs_in = gate_dropped + dedup_dropped + media_dropped
+    + docs_kept (every document is attributed to exactly one outcome),
+    and the split totals re-add to the corpus row count."""
     from go_map_reduce_spark.catalog import load_table
 
     assert funnel  # at least the train row exists
     for r in funnel.values():
         assert (
             r["docs_in"]
-            == r["gate_dropped"] + r["dedup_dropped"] + r["docs_kept"]
+            == r["gate_dropped"] + r["dedup_dropped"] + r["media_dropped"]
+            + r["docs_kept"]
         ), r
         assert 0 <= r["docs_cut"] <= r["docs_kept"]
         assert r["tokens_cut"] >= r["docs_cut"]  # each cut doc cut >=1 token
@@ -49,8 +50,9 @@ def test_funnel_telescopes_exactly(spark, sf_dir, funnel):
 def test_funnel_agrees_with_composed_stages(spark, sf_dir, funnel):
     """Recompute the kept set by composing the registered stage
     operators directly; the funnel's docs_kept / tokens_kept /
-    tokens_cut must match exactly, and dedup_dropped must equal the
-    gate-kept non-keepers."""
+    tokens_cut must match exactly, dedup_dropped must equal the
+    gate-kept non-keepers, and media_dropped the gate+dedup-kept
+    media non-survivors."""
     from go_map_reduce_spark.operators.pipeline23 import (
         doc_quality_composite_gate,
     )
@@ -59,7 +61,12 @@ def test_funnel_agrees_with_composed_stages(spark, sf_dir, funnel):
         dedup_keep_best_quality,
         leakage_safe_split,
     )
+    from go_map_reduce_spark.operators.pipeline35 import media_keep_decision
 
+    media_ok = {
+        r["doc_id"]: r["media_ok"]
+        for r in media_keep_decision(spark, sf_dir).collect()
+    }
     gate_keep = {
         r["doc_id"]
         for r in doc_quality_composite_gate(spark, sf_dir)
@@ -85,12 +92,22 @@ def test_funnel_agrees_with_composed_stages(spark, sf_dir, funnel):
         kept = [
             d
             for d, s in split_of.items()
-            if s == sp and d in gate_keep and d not in not_keeper
+            if s == sp
+            and d in gate_keep
+            and d not in not_keeper
+            and media_ok[d]
         ]
         assert r["docs_kept"] == len(kept)
         assert r["dedup_dropped"] == sum(
             1 for d, s in split_of.items()
             if s == sp and d in gate_keep and d in not_keeper
+        )
+        assert r["media_dropped"] == sum(
+            1 for d, s in split_of.items()
+            if s == sp
+            and d in gate_keep
+            and d not in not_keeper
+            and not media_ok[d]
         )
         assert r["tokens_cut"] == sum(cut[d][1] for d in kept)
         assert r["tokens_kept"] == sum(cut[d][0] - cut[d][1] for d in kept)
@@ -112,6 +129,8 @@ def test_packing_counts_are_feasible(spark, sf_dir, funnel):
     )
     from go_map_reduce_spark.operators.textstats import PACK_BUDGET
 
+    from go_map_reduce_spark.operators.pipeline35 import media_keep_decision
+
     kept_tok = (
         leakage_safe_split(spark, sf_dir)
         .join(
@@ -126,6 +145,12 @@ def test_packing_counts_are_feasible(spark, sf_dir, funnel):
             .select("doc_id"),
             "doc_id",
             "left_anti",
+        )
+        .join(
+            media_keep_decision(spark, sf_dir)
+            .where("media_ok")
+            .select("doc_id"),
+            "doc_id",
         )
         .join(
             substring_dup_cut(spark, sf_dir).select(

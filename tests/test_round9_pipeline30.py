@@ -25,14 +25,16 @@ def test_against_duckdb_oracle(name, spark, sf_dir):
 
 
 def test_incremental_funnel_telescopes(spark, sf_dir):
-    """docs_in = gate_dropped + dedup_dropped + docs_kept per split,
-    and every count is within the batch's bounds."""
+    """docs_in = gate_dropped + dedup_dropped + media_dropped +
+    docs_kept per split, and every count is within the batch's
+    bounds."""
     rows = QUERIES["curation_incremental_admit"](spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert (
             r["docs_in"]
-            == r["gate_dropped"] + r["dedup_dropped"] + r["docs_kept"]
+            == r["gate_dropped"] + r["dedup_dropped"] + r["media_dropped"]
+            + r["docs_kept"]
         ), r
         assert 0 <= r["docs_cut"] <= r["docs_kept"]
         assert 0 <= r["index_matched"] <= r["docs_in"]
@@ -115,11 +117,17 @@ def test_standing_plus_admitted_reconciles_with_full_funnel(spark, sf_dir):
         r["doc_id"]: r for r in staged_decisions(spark, sf_dir).collect()
     }
     full_kept = {
-        d for d, r in full.items() if r["gate_ok"] and r["dedup_ok"]
+        d
+        for d, r in full.items()
+        if r["gate_ok"] and r["dedup_ok"] and r["media_ok"]
     }
     is_batch = lambda d: d % NEW_BATCH_MOD == NEW_BATCH_REM  # noqa: E731
     standing_kept = {d for d in full_kept if not is_batch(d)}
-    admitted = {d for d, r in dec.items() if r["gate_ok"] and r["admit_ok"]}
+    admitted = {
+        d
+        for d, r in dec.items()
+        if r["gate_ok"] and r["admit_ok"] and r["media_ok"]
+    }
     mixed_batch_keepers = {
         d for d in full_kept if is_batch(d) and dec[d]["has_index"]
     }
@@ -144,12 +152,12 @@ def staged_bucketed(spark, sf_dir):
 
     write_staged_bucketed(spark, sf_dir, prefix="t9staged")
     yield "t9staged"
-    for t in ("gate", "cut", "keep", "split"):
+    for t in ("gate", "cut", "keep", "split", "media"):
         spark.sql(f"DROP TABLE IF EXISTS t9staged_{t}")
 
 
 def test_bucketed_staged_joins_have_zero_exchange(spark, staged_bucketed):
-    """The r08 verdict's task-4 plan pin: with the four decision
+    """The r08 verdict's task-4 plan pin: with the five decision
     frames written doc_id-bucketed, recomposing staged_decisions is
     sort-merge joins with NO Exchange anywhere in the plan."""
     from go_map_reduce_spark.operators.pipeline30 import (
@@ -212,6 +220,7 @@ def test_drift_report_attribution_shape(spark, sf_dir):
             "docs_in",
             "gate_dropped",
             "dedup_dropped",
+            "media_dropped",
             "docs_kept",
             "docs_cut",
             "tokens_cut",
@@ -224,6 +233,7 @@ def test_drift_report_attribution_shape(spark, sf_dir):
         assert (
             m["gate_dropped"]["delta"]
             + m["dedup_dropped"]["delta"]
+            + m["media_dropped"]["delta"]
             + m["docs_kept"]["delta"]
             == 0
         ), s

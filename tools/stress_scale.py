@@ -237,8 +237,8 @@ def capstone_funnel(spark, sf_dir: str) -> tuple[list[list], float, int]:
     rows = [
         [
             r["split"], r["docs_in"], r["gate_dropped"], r["dedup_dropped"],
-            r["docs_kept"], r["docs_cut"], r["tokens_cut"], r["tokens_kept"],
-            r["n_sequences"],
+            r["media_dropped"], r["docs_kept"], r["docs_cut"],
+            r["tokens_cut"], r["tokens_kept"], r["n_sequences"],
         ]
         for r in funnel
     ]
@@ -347,8 +347,9 @@ def main() -> None:
             cap_rows.append([m] + fr + [straddle, t_e2e])
     print()
     cap_cols = (
-        "mult split docs_in gate_dropped dedup_dropped docs_kept "
-        "docs_cut tokens_cut tokens_kept n_sequences straddle_pairs t_e2e"
+        "mult split docs_in gate_dropped dedup_dropped media_dropped "
+        "docs_kept docs_cut tokens_cut tokens_kept n_sequences "
+        "straddle_pairs t_e2e"
     ).split()
     print("| " + " | ".join(cap_cols) + " |")
     print("|" + "|".join("---" for _ in cap_cols) + "|")
