@@ -712,3 +712,245 @@ def video_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("variant", "pref").alias("survivor_variant"),
         (F.count(F.lit(1)) - F.lit(1)).cast("long").alias("cut_count"),
     )
+
+
+# --------------------------------------------------------------------------
+# Erasure cascades into the derived stores
+# --------------------------------------------------------------------------
+
+
+def _erasure_oracle() -> str:
+    """Closed-form oracle for ``erasure_derived_stores``, composed from
+    the registered tier CTEs: the pipeline31 standing-Lloyd chain +
+    batch assign for the IVF occupancy deltas, the keep-best SQL for
+    the text re-election, and the pipeline33 closed forms + pipeline34
+    packed arg-min for both media tiers."""
+    from go_map_reduce_spark.operators.pipeline15 import ERASE_MOD
+    from go_map_reduce_spark.operators.pipeline20 import (
+        NEW_BATCH_MOD,
+        NEW_BATCH_REM,
+    )
+    from go_map_reduce_spark.operators.pipeline31 import (
+        _standing_chain_parts,
+    )
+    from go_map_reduce_spark.operators.kmeans import ITERATIONS, _sql_assign
+
+    gone = f"% {ERASE_MOD} = 0"
+    keep = f"% {ERASE_MOD} <> 0"
+    parts, cur = _standing_chain_parts()
+    parts.insert(
+        1,
+        f"""
+    eb AS (
+      SELECT vec_id, i AS d, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, range(1, 65) t(i)
+      WHERE vec_id % {NEW_BATCH_MOD} = {NEW_BATCH_REM}
+    )""",
+    )
+    parts.append(_sql_assign(cur, "ab", src="eb"))
+    chain = ",".join(parts)
+
+    def _media_store(
+        store: str, src: str, key: str, fmt: str, rank_sql: str
+    ) -> str:
+        pref = f"({rank_sql}) * {_PREF_BASE} + doc_id"
+        return f"""
+    SELECT '{store}' AS store, {key} AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN doc_id {gone} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_erased,
+           CAST(SUM(CASE WHEN doc_id {keep} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after,
+           CAST(arg_min(doc_id, {pref}) AS VARCHAR) AS keeper_before,
+           CAST(arg_min(CASE WHEN doc_id {keep} THEN doc_id END,
+                        CASE WHEN doc_id {keep} THEN {pref} END)
+                AS VARCHAR) AS keeper_after
+    FROM {src} GROUP BY {key}
+    HAVING SUM(CASE WHEN doc_id {gone} THEN 1 ELSE 0 END) > 0"""
+
+    return f"""
+    WITH {chain},
+    allasg AS (
+      SELECT vec_id, cid FROM a{ITERATIONS}
+      UNION ALL SELECT vec_id, cid FROM ab
+    ),
+    keepq AS ({ORACLES["dedup_keep_best_quality"]}),
+    txt_before AS (
+      SELECT cluster_id,
+             CAST(COUNT(*) AS BIGINT) AS n_before,
+             CAST(SUM(CASE WHEN doc_id {gone} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_erased,
+             MIN(kept_doc_id) AS keeper_before
+      FROM keepq GROUP BY cluster_id
+    ),
+    txt_after AS (
+      SELECT cluster_id, doc_id AS keeper_after FROM (
+        SELECT cluster_id, doc_id,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_tokens DESC, doc_id) AS rk
+        FROM keepq WHERE doc_id {keep}
+      ) WHERE rk = 1
+    ),
+    {CC_TAGGED_CTES},
+    {AUD_TAGGED_CTES}
+    SELECT 'ivf' AS store, CAST(cid AS VARCHAR) AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN vec_id {gone} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_erased,
+           CAST(SUM(CASE WHEN vec_id {keep} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after,
+           CAST(NULL AS VARCHAR) AS keeper_before,
+           CAST(NULL AS VARCHAR) AS keeper_after
+    FROM allasg GROUP BY cid
+    UNION ALL
+    SELECT 'text', CAST(b.cluster_id AS VARCHAR), b.n_before, b.n_erased,
+           b.n_before - b.n_erased,
+           CAST(b.keeper_before AS VARCHAR),
+           CAST(a.keeper_after AS VARCHAR)
+    FROM txt_before b LEFT JOIN txt_after a ON a.cluster_id = b.cluster_id
+    WHERE b.n_erased > 0
+    UNION ALL
+    {_media_store('image', 'tagged', 'ahash', 'codec', _IMG_RANK_SQL)}
+    UNION ALL
+    {_media_store('audio', 'aud_tagged', 'afp', 'layout', _AUD_RANK_SQL)}
+    """
+
+
+@query("erasure_derived_stores", oracle=_erasure_oracle())
+def erasure_derived_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a right-to-erasure request does to the DERIVED stores —
+    the follow-through ``gdpr_erasure_cascade`` (relational row
+    counts) stops short of: per affected store, the occupancy before,
+    the erased member count, the occupancy after, and — for stores
+    that elect a canonical keeper — the keeper before and the
+    RE-ELECTED keeper over the cluster minus the erased set.  The
+    erasure subject set reuses the registered {ERASE_MOD}-modulus
+    carve-out (pipeline15), applied to doc_id/vec_id.
+
+    Stores:
+
+    - 'ivf': every cell of the post-upsert index (the standing
+      assignment plus the batch assignment against the frozen
+      centroids — exactly the populations ``ivf_index_upsert``
+      counts): n_before / n_erased / n_after is the upsert report's
+      occupancy columns IN REVERSE, and n_before reconciles cell by
+      cell with the upsert's n_standing + n_new (pinned).
+    - 'text': every keep-best near-dup cluster containing an erased
+      member: keeper_before is the registered keep-best keeper;
+      keeper_after re-runs the same (n_tokens DESC, doc_id) arg-min
+      over the survivors (NULL when the cluster empties).
+    - 'image' / 'audio': every perceptual cluster
+      (``media_dedup_survivors``'s universe) containing an erased
+      member, re-elected under the same packed rank arg-min.
+
+    100 TB shape: the IVF delta is one short-key aggregate over the
+    already-memoized assignments (the frozen-centroid shared frame);
+    each dedup store is one groupBy over its cluster key with
+    map-side-combinable conditional counts and arg-mins — the erasure
+    audit costs the same cost class as the reports it reverses, and
+    nothing rescans payloads (the media frames are the session-
+    memoized decoded frames)."""
+    from go_map_reduce_spark.operators.kmeans import (
+        _spark_assign,
+        _spark_exploded,
+    )
+    from go_map_reduce_spark.operators.pipeline15 import ERASE_MOD
+    from go_map_reduce_spark.operators.pipeline20 import (
+        NEW_BATCH_MOD,
+        NEW_BATCH_REM,
+    )
+    from go_map_reduce_spark.operators.pipeline26 import (
+        dedup_keep_best_quality,
+    )
+    from go_map_reduce_spark.operators.pipeline31 import _standing_frozen
+    from go_map_reduce_spark.registry import track_cache
+
+    gone = lambda c: (F.col(c) % ERASE_MOD) == 0  # noqa: E731
+
+    # -- ivf occupancy delta over the post-upsert assignments ---------
+    ex = _spark_exploded(spark, sf_dir).persist().transform(track_cache)
+    is_new = (F.col("vec_id") % NEW_BATCH_MOD) == NEW_BATCH_REM
+    assign, c = _standing_frozen(spark, sf_dir, ex.where(~is_new))
+    ab = _spark_assign(ex.where(is_new), c)
+    allasg = assign.select("vec_id", "cid").union(ab.select("vec_id", "cid"))
+    ivf = allasg.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before"),
+        F.sum(gone("vec_id").cast("long")).cast("long").alias("n_erased"),
+        F.sum((~gone("vec_id")).cast("long")).cast("long").alias("n_after"),
+    ).select(
+        F.lit("ivf").alias("store"),
+        F.col("cid").cast("string").alias("key"),
+        "n_before",
+        "n_erased",
+        "n_after",
+        F.lit(None).cast("string").alias("keeper_before"),
+        F.lit(None).cast("string").alias("keeper_after"),
+    )
+
+    # -- text keep-best re-election ------------------------------------
+    keep = dedup_keep_best_quality(spark, sf_dir)
+    ordk = F.struct(
+        (-F.col("n_tokens")).alias("nq"), F.col("doc_id").alias("tie")
+    )
+    t_before = keep.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before"),
+        F.sum(gone("doc_id").cast("long")).cast("long").alias("n_erased"),
+        F.min("kept_doc_id").alias("keeper_before"),
+    )
+    t_after = (
+        keep.where(~gone("doc_id"))
+        .groupBy("cluster_id")
+        .agg(F.min_by("doc_id", ordk).alias("keeper_after"))
+    )
+    txt = (
+        t_before.where(F.col("n_erased") > 0)
+        .join(t_after, "cluster_id", "left")
+        .select(
+            F.lit("text").alias("store"),
+            F.col("cluster_id").cast("string").alias("key"),
+            "n_before",
+            "n_erased",
+            (F.col("n_before") - F.col("n_erased")).alias("n_after"),
+            F.col("keeper_before").cast("string"),
+            F.col("keeper_after").cast("string"),
+        )
+    )
+
+    # -- media perceptual re-election ----------------------------------
+    def media_store(
+        store: str, frame: DataFrame, key: str, fmt: str, ranks: dict
+    ) -> DataFrame:
+        pref = F.struct(
+            _rank_col(fmt, ranks).alias("r"), F.col("doc_id").alias("tie")
+        )
+        before = frame.groupBy(key).agg(
+            F.count(F.lit(1)).cast("long").alias("n_before"),
+            F.sum(gone("doc_id").cast("long")).cast("long").alias("n_erased"),
+            F.min_by("doc_id", pref).alias("keeper_before"),
+        )
+        after = (
+            frame.where(~gone("doc_id"))
+            .groupBy(key)
+            .agg(F.min_by("doc_id", pref).alias("keeper_after"))
+        )
+        return (
+            before.where(F.col("n_erased") > 0)
+            .join(after, key, "left")
+            .select(
+                F.lit(store).alias("store"),
+                F.col(key).cast("string").alias("key"),
+                "n_before",
+                "n_erased",
+                (F.col("n_before") - F.col("n_erased")).alias("n_after"),
+                F.col("keeper_before").cast("string"),
+                F.col("keeper_after").cast("string"),
+            )
+        )
+
+    img = media_store(
+        "image", cc_hashed_frame(spark, sf_dir), "ahash", "codec", IMG_RANK
+    )
+    aud = media_store(
+        "audio", audio_fp_frame(spark, sf_dir), "afp", "layout", AUD_RANK
+    )
+    return ivf.unionByName(txt).unionByName(img).unionByName(aud)

@@ -244,3 +244,100 @@ def test_video_survivor_act_reconciles(spark, sf_dir):
     # ordering; master-wins-wherever-present pins the rank table's
     # direction independently of the oracle's own packing.
     assert (out["n_variants"] >= 1).all()
+
+
+def test_erasure_against_duckdb_oracle(spark, sf_dir):
+    compare(
+        QUERIES["erasure_derived_stores"](spark, sf_dir),
+        ORACLES["erasure_derived_stores"],
+        sf_dir,
+    )
+
+
+def test_erasure_ivf_occupancy_reconciles_with_upsert(spark, sf_dir):
+    """The 'ivf' rows are the upsert report's occupancy columns in
+    reverse: n_before must equal the registered ivf_index_upsert's
+    n_standing + n_new cell by cell, and the erased totals must
+    account for every erased vector."""
+    from go_map_reduce_spark.operators.pipeline15 import ERASE_MOD
+
+    out = QUERIES["erasure_derived_stores"](spark, sf_dir).toPandas()
+    ivf = out[out["store"] == "ivf"].copy()
+    ivf["cell"] = ivf["key"].astype("int64")
+    ups = QUERIES["ivf_index_upsert"](spark, sf_dir).toPandas()
+    j = ivf.merge(ups, left_on="cell", right_on="cluster_id", how="outer")
+    assert j["cell"].notna().all() and j["cluster_id"].notna().all()
+    assert (j["n_before"] == j["n_standing"] + j["n_new"]).all()
+
+    from go_map_reduce_spark.catalog import load_table
+
+    n_vec_erased = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(f"vec_id % {ERASE_MOD} = 0")
+        .count()
+    )
+    assert int(ivf["n_erased"].sum()) == n_vec_erased
+    assert (out["n_after"] == out["n_before"] - out["n_erased"]).all()
+
+
+def test_erasure_media_stores_account_for_every_erased_doc(spark, sf_dir):
+    """Each doc lives in exactly one image and one audio perceptual
+    cluster, so each media store's n_erased must sum to the erased doc
+    count; text clusters cover only clustered docs, so its sum is
+    bounded by it."""
+    from go_map_reduce_spark.catalog import load_table
+    from go_map_reduce_spark.operators.pipeline15 import ERASE_MOD
+
+    out = QUERIES["erasure_derived_stores"](spark, sf_dir).toPandas()
+    n_erased_docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(f"doc_id % {ERASE_MOD} = 0")
+        .count()
+    )
+    for store in ("image", "audio"):
+        got = int(out[out["store"] == store]["n_erased"].sum())
+        assert got == n_erased_docs, (store, got, n_erased_docs)
+    assert (
+        int(out[out["store"] == "text"]["n_erased"].sum()) <= n_erased_docs
+    )
+
+
+def test_erased_keeper_cluster_elects_next_preference(spark, sf_dir):
+    """The verdict's edge pin: when a cluster's KEEPER is erased, the
+    report elects the next-preference member — recomputed
+    independently here from the cluster members minus the erased set —
+    and at least one such re-election actually occurs at this sf
+    (doc 0 is erased and is the mono lowest-id audio survivor)."""
+    from go_map_reduce_spark.operators.pipeline15 import ERASE_MOD
+    from go_map_reduce_spark.operators.pipeline33 import (
+        audio_fp_frame,
+        cc_hashed_frame,
+    )
+
+    out = QUERIES["erasure_derived_stores"](spark, sf_dir).toPandas()
+    media = out[out["store"].isin(["image", "audio"])].copy()
+    erased_keeper = media[
+        media["keeper_before"].astype("int64") % ERASE_MOD == 0
+    ]
+    assert len(erased_keeper) > 0, "no erased-keeper case at this sf"
+    assert (
+        erased_keeper["keeper_after"] != erased_keeper["keeper_before"]
+    ).all()
+
+    frames = {
+        "image": (cc_hashed_frame(spark, sf_dir).toPandas(), "ahash",
+                  "codec", IMG_RANK),
+        "audio": (audio_fp_frame(spark, sf_dir).toPandas(), "afp",
+                  "layout", AUD_RANK),
+    }
+    for _, row in media.iterrows():
+        pdf, key, fmt, ranks = frames[row["store"]]
+        members = pdf[pdf[key] == row["key"]].copy()
+        alive = members[members["doc_id"] % ERASE_MOD != 0]
+        if len(alive) == 0:
+            assert row["keeper_after"] is None
+            continue
+        alive = alive.assign(r=alive[fmt].map(ranks)).sort_values(
+            ["r", "doc_id"]
+        )
+        assert int(row["keeper_after"]) == int(alive.iloc[0]["doc_id"]), row
