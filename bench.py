@@ -203,8 +203,17 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
     # BENCH_DETAIL_PATH lets tests (and ad-hoc subset runs) redirect the
     # detail artifact so they can't clobber the committed full-suite one.
+    # noop-mode gets its OWN default artifact (BENCH_DETAIL_NOOP.json) so
+    # the honest-full-computation numbers are committed per round beside
+    # the count-mode map and the aggregate-final pruning gap is tracked
+    # mechanically (r11 verdict task 6), not re-derived from prose.
+    default_name = (
+        "BENCH_DETAIL_NOOP.json"
+        if os.environ.get("BENCH_ACTION") == "noop"
+        else "BENCH_DETAIL.json"
+    )
     detail_path = os.environ.get("BENCH_DETAIL_PATH") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), default_name
     )
     with open(detail_path, "w") as f:
         json.dump(
