@@ -132,6 +132,14 @@ NOISY = {
     # representatives from — same cold-JIT profile as the histogram
     "dedup_keep_best_quality",
     "leakage_safe_split",
+    # r12: crossmodal runs its own large-star contraction over the
+    # union graph and memoizes the labels (12.7 s cold / 0.9 s steady
+    # at sf0.1 — first-consumer attribution of the minhash + media
+    # frames + CC build); erasure's cold run bills the frozen-centroid
+    # Lloyd training and the keep-best cluster frame (25 s cold /
+    # ~3 s steady measured in isolation).
+    "crossmodal_dedup_survivors",
+    "erasure_derived_stores",
 }
 
 

@@ -236,7 +236,13 @@ def _crossmodal_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     the registered large-star operator — memoized per context
     (registry.shared_frame): the unified cluster assignment is the
     frame a cross-modal pipeline composes on, and its lineage contains
-    the LSH verify join plus both media decode tiers."""
+    the LSH verify join plus both media decode tiers.
+
+    First-consumer attribution note (the r09 convention): whichever
+    query touches this frame first in a session pays the minhash
+    pipeline, any not-yet-built media decode frames, and the CC
+    contraction (measured 12.7 s cold vs 0.9 s steady at sf0.1);
+    bench treats the consumer as NOISY (best-of-2) for this reason."""
 
     def _build() -> DataFrame:
         txt = minhash_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
@@ -849,7 +855,13 @@ def erasure_derived_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable conditional counts and arg-mins — the erasure
     audit costs the same cost class as the reports it reverses, and
     nothing rescans payloads (the media frames are the session-
-    memoized decoded frames)."""
+    memoized decoded frames).
+
+    First-consumer attribution note (the r09 convention): run in a
+    fresh session this query bills the frozen-centroid Lloyd
+    training, the keep-best cluster frame and any unbuilt media
+    frames (measured 25.4 s cold vs ~3 s steady at sf0.1); bench
+    treats it as NOISY (best-of-2) for this reason."""
     from go_map_reduce_spark.operators.kmeans import (
         _spark_assign,
         _spark_exploded,
