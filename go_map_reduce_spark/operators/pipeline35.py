@@ -739,7 +739,11 @@ def _erasure_oracle() -> str:
     from go_map_reduce_spark.operators.pipeline31 import (
         _standing_chain_parts,
     )
-    from go_map_reduce_spark.operators.kmeans import ITERATIONS, _sql_assign
+    from go_map_reduce_spark.operators.kmeans import (
+        DIMS,
+        ITERATIONS,
+        _sql_assign,
+    )
 
     gone = f"% {ERASE_MOD} = 0"
     keep = f"% {ERASE_MOD} <> 0"
@@ -749,7 +753,7 @@ def _erasure_oracle() -> str:
         f"""
     eb AS (
       SELECT vec_id, i AS d, CAST(embedding[i] AS DOUBLE) AS val
-      FROM embeddings, range(1, 65) t(i)
+      FROM embeddings, range(1, {DIMS + 1}) t(i)
       WHERE vec_id % {NEW_BATCH_MOD} = {NEW_BATCH_REM}
     )""",
     )
