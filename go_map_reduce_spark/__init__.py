@@ -75,6 +75,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline33,
     pipeline34,
     pipeline35,
+    pipeline36,
     sqlsurface,
     stats,
     quality_filters,
