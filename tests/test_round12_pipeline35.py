@@ -341,3 +341,51 @@ def test_erased_keeper_cluster_elects_next_preference(spark, sf_dir):
             ["r", "doc_id"]
         )
         assert int(row["keeper_after"]) == int(alive.iloc[0]["doc_id"]), row
+
+
+def test_video_sampler_never_decodes_unsampled_interior_frames(monkeypatch):
+    """The tier's scale contract, pinned mechanically: decode cost
+    scales with frames KEPT. For a padded clip (2 lead + 6 content +
+    1 trail) the stage may decode only the trim inspections (2 lead +
+    1 trail + the first/last content frames it touches to find the
+    bounds) plus the sampled content frames (indices 0, 2, 4) — the
+    interior unsampled frames (1, 3) and nothing else."""
+    import pandas as pd
+
+    import go_map_reduce_spark.operators.multimodal as mm
+    from go_map_reduce_spark.operators.pipeline35 import (
+        VPD_RESIDUES,
+        _vpd_fingerprint_batch,
+        _vpd_synth_batch,
+    )
+
+    padded_id = 7 + 2 * VPD_RESIDUES  # variant index 2 = 'padded'
+    synth = pd.concat(
+        list(_vpd_synth_batch(iter([pd.DataFrame({"doc_id": [padded_id]})])))
+    )
+    assert synth["variant"].iloc[0] == "padded"
+
+    calls = []
+    real = mm.decode_image
+
+    def counting(payload):
+        calls.append(len(payload))
+        return real(payload)
+
+    monkeypatch.setattr(mm, "decode_image", counting)
+    out = pd.concat(list(_vpd_fingerprint_batch(iter([synth]))))
+    monkeypatch.undo()
+
+    # 9 frames total; sampled content = 3 (t=0,2,4). Decodes: lead trim
+    # walks 2 pads + first content frame (3), trail trim walks 1 pad +
+    # last content frame (2), sampling decodes t=0,2,4 (3) — frames 0
+    # and 5 may be decoded once by the trim AND once by the sampler
+    # (t=0 is sampled; t=5 is not), so the ceiling is 8 < 9, and the
+    # interior unsampled frames account for the gap to the naive
+    # decode-everything 9 + sampled 3 = 12.
+    assert len(out) == 1 and out["vfp"].iloc[0].count("|") == 2
+    assert len(calls) == 8, (
+        f"decoded {len(calls)} frames — expected exactly the 3 lead-trim"
+        " + 2 trail-trim + 3 sampled decodes (and a zero count would"
+        " mean the monkeypatch missed the stage's import)"
+    )
