@@ -76,6 +76,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline34,
     pipeline35,
     pipeline36,
+    pipeline37,
     sqlsurface,
     stats,
     quality_filters,

@@ -145,13 +145,9 @@ def quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_sketch")  # sketch output: rows-only check by design
-def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct counts per returnflag (plus exact twin
-    columns for the accuracy tests). Sketches are THE 100 TB answer for
-    distinct-heavy dashboards: mergeable fixed-size state instead of a
-    distinct shuffle. No SQL oracle — HLL estimates are implementation-
-    defined; accuracy pinned to ≤2% vs exact in tests.
+def _approx_distinct_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch + exact twin frame (approx_* AND exact_* columns) —
+    the accuracy tests read the raw estimates from here.
 
     The sketch and exact sides are DELIBERATELY separate aggregations
     joined on the group key: mixing approx_count_distinct with exact
@@ -177,6 +173,45 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_orders",
         "approx_parts",
         "exact_parts",
+    )
+
+
+@query(
+    "approx_distinct_sketch",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS orders_within_2pct,
+           TRUE AS parts_within_2pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts per returnflag, gated by a
+    BOUNDED oracle (r12 verdict task 7): the HLL estimate itself is
+    implementation-defined (DuckDB cannot replay it), but the exact
+    side and the accuracy CONTRACT are oracle-expressible — the query
+    emits the exact counts plus within-2%-of-exact booleans computed
+    FROM the estimates, and the oracle asserts the exact counts and
+    TRUE for every bound.  A sketch regression past its published
+    error now fails the hash gate, not just pytest.  Sketches are THE
+    100 TB answer for distinct-heavy dashboards: mergeable fixed-size
+    state instead of a distinct shuffle.  Raw estimates remain
+    available via the _approx_distinct_full frame this composes
+    (accuracy tests read them there); plan shape notes live on that
+    helper (the Expand-pathology lesson, PERFORMANCE.md r09)."""
+    full = _approx_distinct_full(spark, sf_dir)
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e))
+        <= 0.02 * F.greatest(F.col(e), F.lit(1))
+    )
+    return full.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        within("approx_orders", "exact_orders").alias("orders_within_2pct"),
+        within("approx_parts", "exact_parts").alias("parts_within_2pct"),
     )
 
 

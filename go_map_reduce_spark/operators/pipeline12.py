@@ -198,20 +198,9 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("hll_daily_rollup")  # rows-only: DuckDB has no DataSketches HLL
-def hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The MERGEABILITY story that makes sketches matter at 100 TB:
-    per-day HLL sketches (Apache DataSketches via hll_sketch_agg) are
-    built ONCE as compact binary tiles, then any horizon — the month
-    here — is answered by UNIONING tiles (hll_union_agg) without
-    rescanning events. Output per month: merged-estimate vs direct
-    full-scan estimate vs exact distinct count.
-
-    Rows-only at the gate (DuckDB has no DataSketches); the strong
-    checks live in pytest: merged estimate EQUALS the direct estimate
-    on the same data (union-of-partials ≡ single-pass sketch — the
-    mergeability axiom), and both land within 2% of exact (the
-    accuracy contract, as approx_distinct_sketch pins for HLL++)."""
+def _hll_rollup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merged/direct/exact frame with RAW estimates — the
+    mergeability and accuracy tests read the estimates from here."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.col("ts").cast("date").alias("d"),
@@ -234,6 +223,48 @@ def hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("merged_estimate").cast("long").alias("merged_estimate"),
         F.col("direct_estimate").cast("long").alias("direct_estimate"),
         "exact_distinct",
+    )
+
+
+@query(
+    "hll_daily_rollup",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m') AS month,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS merged_eq_direct,
+           TRUE AS within_2pct
+    FROM events GROUP BY strftime(ts, '%Y-%m')
+    """,
+)
+def hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABILITY story that makes sketches matter at 100 TB:
+    per-day HLL sketches (Apache DataSketches via hll_sketch_agg) are
+    built ONCE as compact binary tiles, then any horizon — the month
+    here — is answered by UNIONING tiles (hll_union_agg) without
+    rescanning events.
+
+    Gated by a BOUNDED oracle (r12 verdict task 7): DuckDB cannot
+    replay the DataSketches estimate, but it CAN assert the exact
+    distinct count and the two contracts — union-of-partials ≡
+    single-pass sketch (the mergeability axiom) and
+    within-2%-of-exact (the accuracy contract) — which the query
+    emits as booleans computed FROM the estimates.  A violated axiom
+    or bound now fails the hash gate; the raw estimates remain
+    available via _hll_rollup_full (the pytest pins read them
+    there)."""
+    full = _hll_rollup_full(spark, sf_dir)
+    return full.select(
+        "month",
+        "exact_distinct",
+        (F.col("merged_estimate") == F.col("direct_estimate")).alias(
+            "merged_eq_direct"
+        ),
+        (
+            F.abs(F.col("merged_estimate") - F.col("exact_distinct"))
+            <= F.greatest(
+                F.lit(2.0), 0.02 * F.col("exact_distinct")
+            )
+        ).alias("within_2pct"),
     )
 
 

@@ -73,7 +73,13 @@ def _batch_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental funnel's staged_decisions analogue, exposed so the
     property tests (no-double-admit, no-straddle,
     standing-plus-admitted reconciliation) pin doc-level invariants
-    the aggregate can't."""
+    the aggregate can't.
+
+    Drop attribution (mirrors funnel_from_staged, r12 ADVICE): a
+    dropped doc is attributed to the FIRST failing stage in the order
+    gate, dedup, media — so a batch doc failing both admit_ok and
+    media_ok lands in dedup_dropped (media_dropped requires
+    admit_ok)."""
     staged = staged_decisions(spark, sf_dir)
     ls = leakage_safe_split(spark, sf_dir).select("doc_id", "group_id")
     is_index = (F.col("doc_id") % NEW_BATCH_MOD) != NEW_BATCH_REM

@@ -1,17 +1,20 @@
-"""Round-12 pipeline operators: the cross-modal dedup capstone, the
-media admit stage the curation funnel composes, video's perceptual
-dedup tier, and the erasure cascade into the DERIVED stores.
+"""Round-12/13 pipeline operators: the cross-modal dedup capstone,
+the media admit stage the curation funnel composes, video's
+perceptual dedup tier, and the erasure cascade into the DERIVED
+stores.
 
 ``crossmodal_dedup_survivors`` is the endgame of the dedup tiers: a
 real crawl dedups the DOCUMENT, not each modality separately.  The
 verified text near-dup pairs (MinHash-LSH banded + exact-Jaccard),
-the image perceptual clusters (cross-codec aHash) and the audio
-perceptual clusters (layout-invariant energy fingerprint) union into
-ONE edge set over one doc universe, the registered large-star
-connected-components operator contracts it, and one survivor per
-unified cluster is elected under a single composed policy: quality
-(content mass) first, then lossless-media preference (the pipeline34
-rank tables: PNG < BMP < JPEG, mono < stereo < loud), then doc_id.
+the image perceptual clusters (cross-codec aHash), the audio
+perceptual clusters (layout-invariant energy fingerprint) and — r13,
+the r12 verdict's top task — the video sequence-fingerprint clusters
+union into ONE edge set over one doc universe, the registered
+large-star connected-components operator contracts it, and one
+survivor per unified cluster is elected under a single composed
+policy: quality (content mass) first, then lossless-media preference
+(the pipeline34 rank tables: PNG < BMP < JPEG, mono < stereo < loud,
+master < reencoded < padded < reenc_padded), then doc_id.
 Media cluster co-membership enters the edge set as STAR edges (every
 member → the cluster's minimum doc_id): connectivity-equivalent to
 the all-pairs co-membership relation but LINEAR in cluster size — an
@@ -26,10 +29,10 @@ also the semantically honest universe — a document that carries no
 media has no media co-membership.
 
 ``media_admit_decision`` is the funnel-facing form of the media tier:
-a deterministic ~20% of documents CARRY a media object (image or
-audio, alternating), and a carrier is admitted iff it is its
-perceptual cluster's survivor among carriers — the
-``media_dedup_survivors`` arg-min policy applied to the carrier
+a deterministic ~40% of documents CARRY a media object (residue 2:
+image or audio, alternating; residue 4, r13: video), and a carrier is
+admitted iff it is its perceptual cluster's survivor among carriers —
+the ``media_dedup_survivors`` arg-min policy applied to the carrier
 slice.  The carrier model is deliberately sparse: the synthetic media
 tiers give EVERY doc_id an image and an audio track with only ~11+16
 distinct perceptual contents corpus-wide, so gating the whole corpus
@@ -74,15 +77,92 @@ from go_map_reduce_spark.operators.textstats import text_quality_scores
 from go_map_reduce_spark.registry import ORACLES, query, shared_frame
 
 # --------------------------------------------------------------------------
+# Video tier constants + closed-form fingerprint CTE (defined first:
+# the media admit stage and the capstone compose them)
+# --------------------------------------------------------------------------
+
+VPD_RESIDUES = 16  # doc_id % 16 picks the frame-sequence content
+VPD_FRAMES = 6  # content frames per clip
+VPD_SIDE = 32  # frame side; aHash cells are 4x4 px
+VPD_BLOCKS = 4  # 4x4 grid of 8x8 constant blocks per frame
+VPD_M_RES, VPD_M_BX, VPD_M_BY = 37, 71, 113  # pipeline33 multipliers
+VPD_M_T = 29  # per-frame term, so frames within a clip hash differently
+VPD_SAMPLE_EVERY = 2  # hash every 2nd content frame (0, 2, 4)
+
+# Survivor preference among the synthesis variants (lossless container
+# first, then the re-encode, then the padded re-uploads).
+VID_RANK = {"master": 0, "reencoded": 1, "padded": 2, "reenc_padded": 3}
+_VID_RANK_SQL = _rank_sql("variant", VID_RANK)
+
+_VPD_VARIANTS = ("master", "reencoded", "padded", "reenc_padded")
+
+# The closed-form (doc_id, variant, vfp) derivation as a reusable CTE
+# body — the video sibling of CC_TAGGED_CTES / AUD_TAGGED_CTES, shared
+# by the video tier's own gate, the media admit stage, the cross-modal
+# capstone and the erasure cascade so the five oracles cannot drift.
+VPD_TAGGED_CTES = f"""
+    vpd_docs AS (
+      SELECT doc_id, doc_id % {VPD_RESIDUES} AS res,
+             CASE (doc_id // {VPD_RESIDUES}) % 4
+                  WHEN 0 THEN 'master'
+                  WHEN 1 THEN 'reencoded'
+                  WHEN 2 THEN 'padded'
+                  ELSE 'reenc_padded' END AS variant
+      FROM documents
+    ),
+    vpd_blocks AS (
+      SELECT res, t, bx, by,
+             ({VPD_M_RES} * res + {VPD_M_BX} * bx + {VPD_M_BY} * by
+              + {VPD_M_T} * t) % 200 AS g
+      FROM (SELECT DISTINCT res FROM vpd_docs),
+           range(0, {VPD_FRAMES}, {VPD_SAMPLE_EVERY}) u(t),
+           range({VPD_BLOCKS}) t1(bx), range({VPD_BLOCKS}) t2(by)
+    ),
+    vpd_tot AS (
+      SELECT res, t, SUM(g) AS total FROM vpd_blocks GROUP BY res, t
+    ),
+    vpd_bits AS (
+      SELECT b.res, b.t, b.bx, b.by,
+             CASE WHEN {VPD_BLOCKS * VPD_BLOCKS} * b.g > tt.total
+                  THEN '1' ELSE '0' END AS bit
+      FROM vpd_blocks b JOIN vpd_tot tt ON tt.res = b.res AND tt.t = b.t
+    ),
+    vpd_rows AS (
+      SELECT res, t, by,
+             string_agg(repeat(bit, 2), '' ORDER BY bx) AS rowstr
+      FROM vpd_bits GROUP BY res, t, by
+    ),
+    vpd_fhash AS (
+      SELECT res, t, string_agg(rowstr || rowstr, '' ORDER BY by) AS fhash
+      FROM vpd_rows GROUP BY res, t
+    ),
+    vpd_fp AS (
+      SELECT res, string_agg(fhash, '|' ORDER BY t) AS vfp
+      FROM vpd_fhash GROUP BY res
+    ),
+    vpd_tagged AS (
+      SELECT d.doc_id, d.variant, fp.vfp
+      FROM vpd_docs d JOIN vpd_fp fp ON fp.res = d.res
+    )
+"""
+
+
+# --------------------------------------------------------------------------
 # The media admit stage (consumed by the curation funnel, pipeline27)
 # --------------------------------------------------------------------------
 
-# A document CARRIES a media object iff doc_id % MOD == REM (~20% of the
-# corpus); the carried object alternates image/audio via doc_id // MOD
-# (decoupled from the carrier predicate AND from the media tiers'
-# doc_id % 16 content residues — the pipeline34 coupled-key lesson).
+# A document CARRIES a media object iff doc_id % MOD is a carrier
+# residue (~40% of the corpus): residue REM carries an image or an
+# audio track (alternating via doc_id // MOD, decoupled from the
+# carrier predicate AND from the media tiers' doc_id % 16 content
+# residues — the pipeline34 coupled-key lesson); residue VID_REM
+# (r13, the r12 verdict's top task) carries a VIDEO.  The video slice
+# is a disjoint residue rather than a third arm of the image/audio
+# alternation so the r12 image/audio carrier decisions are unchanged —
+# video joins the model without reshuffling who carries what.
 MEDIA_CARRIER_MOD = 5
 MEDIA_CARRIER_REM = 2
+MEDIA_VID_REM = 4
 
 # The survivor election CTEs over the carrier slice, given the
 # pipeline33 closed-form CTE bodies (CC_TAGGED_CTES → tagged,
@@ -98,8 +178,13 @@ _IS_AUD_CARRIER_SQL = (
     f"doc_id % {MEDIA_CARRIER_MOD} = {MEDIA_CARRIER_REM}"
     f" AND (doc_id // {MEDIA_CARRIER_MOD}) % 2 = 1"
 )
+_IS_VID_CARRIER_SQL = f"doc_id % {MEDIA_CARRIER_MOD} = {MEDIA_VID_REM}"
 
+# The video chain rides INSIDE this body so every existing composition
+# site (STAGED_ORACLE, the dataset card, the incremental funnel) picks
+# up the video carriers without editing its own WITH list.
 MEDIA_SV_CTES = f"""
+    {VPD_TAGGED_CTES},
     media_img_sv AS (
       SELECT CAST(arg_min(doc_id, ({_IMG_RANK_SQL}) * {_PREF_BASE} + doc_id)
                   AS BIGINT) AS sdoc
@@ -112,8 +197,15 @@ MEDIA_SV_CTES = f"""
       FROM aud_tagged WHERE {_IS_AUD_CARRIER_SQL}
       GROUP BY afp
     ),
+    media_vid_sv AS (
+      SELECT CAST(arg_min(doc_id, ({_VID_RANK_SQL}) * {_PREF_BASE} + doc_id)
+                  AS BIGINT) AS sdoc
+      FROM vpd_tagged WHERE {_IS_VID_CARRIER_SQL}
+      GROUP BY vfp
+    ),
     msv AS (SELECT sdoc FROM media_img_sv
-            UNION ALL SELECT sdoc FROM media_aud_sv)
+            UNION ALL SELECT sdoc FROM media_aud_sv
+            UNION ALL SELECT sdoc FROM media_vid_sv)
 """
 
 def media_ok_sql(alias: str = "d") -> str:
@@ -123,6 +215,7 @@ def media_ok_sql(alias: str = "d") -> str:
     the media_admit_decision oracle uses it over documents)."""
     return (
         f"({alias}.doc_id % {MEDIA_CARRIER_MOD} <> {MEDIA_CARRIER_REM}"
+        f" AND {alias}.doc_id % {MEDIA_CARRIER_MOD} <> {MEDIA_VID_REM}"
         " OR sv.sdoc IS NOT NULL)"
     )
 
@@ -131,40 +224,50 @@ MEDIA_OK_SQL = media_ok_sql()
 
 
 def _carrier(col: F.Column) -> F.Column:
-    return (col % MEDIA_CARRIER_MOD) == MEDIA_CARRIER_REM
+    return ((col % MEDIA_CARRIER_MOD) == MEDIA_CARRIER_REM) | (
+        (col % MEDIA_CARRIER_MOD) == MEDIA_VID_REM
+    )
 
 
 def _carrier_media_frames(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """The carrier slices of the two decoded media frames: image
-    carriers of cc_hashed_frame, audio carriers of audio_fp_frame.
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The carrier slices of the three decoded media frames: image
+    carriers of cc_hashed_frame, audio carriers of audio_fp_frame,
+    video carriers (residue {MEDIA_VID_REM}, r13) of video_fp_frame.
     ONE definition of 'which documents carry which media' shared by
     the funnel stage and the cross-modal capstone, so the two cannot
     drift."""
     img = cc_hashed_frame(spark, sf_dir)
     aud = audio_fp_frame(spark, sf_dir)
+    vid = video_fp_frame(spark, sf_dir)
+    rem = F.col("doc_id") % MEDIA_CARRIER_MOD
     side = F.expr(f"doc_id DIV {MEDIA_CARRIER_MOD}") % 2
-    imgc = img.where(_carrier(F.col("doc_id")) & (side == 0))
-    audc = aud.where(_carrier(F.col("doc_id")) & (side == 1))
-    return imgc, audc
+    imgc = img.where((rem == MEDIA_CARRIER_REM) & (side == 0))
+    audc = aud.where((rem == MEDIA_CARRIER_REM) & (side == 1))
+    vidc = vid.where(rem == MEDIA_VID_REM)
+    return imgc, audc, vidc
 
 
 def media_survivor_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The admitted carrier set — one survivor doc_id per
     carrier-populated perceptual cluster (image clusters among image
-    carriers, audio clusters among audio carriers), elected by the
-    registered ``_survivor_agg`` arg-min policy.  Tiny by construction
+    carriers, audio clusters among audio carriers, video sequence
+    clusters among video carriers), elected by the registered
+    ``_survivor_agg`` arg-min policy.  Tiny by construction
     (≤ #distinct perceptual keys rows), so every consumer broadcasts
     it: the media stage adds ZERO shuffles to the funnel."""
-    imgc, audc = _carrier_media_frames(spark, sf_dir)
+    imgc, audc, vidc = _carrier_media_frames(spark, sf_dir)
     img_sv = _survivor_agg(
         imgc, "ahash", "codec", _rank_col("codec", IMG_RANK)
     ).select(F.col("survivor_doc_id").alias("doc_id"))
     aud_sv = _survivor_agg(
         audc, "afp", "layout", _rank_col("layout", AUD_RANK)
     ).select(F.col("survivor_doc_id").alias("doc_id"))
-    return img_sv.unionByName(aud_sv)
+    vid_sv = _survivor_agg(
+        vidc, "vfp", "variant", _rank_col("variant", VID_RANK)
+    ).select(F.col("survivor_doc_id").alias("doc_id"))
+    return img_sv.unionByName(aud_sv).unionByName(vid_sv)
 
 
 def media_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,17 +291,20 @@ def media_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     {AUD_TAGGED_CTES},
     {MEDIA_SV_CTES}
     SELECT d.doc_id,
-           d.doc_id % {MEDIA_CARRIER_MOD} = {MEDIA_CARRIER_REM} AS is_carrier,
+           (d.doc_id % {MEDIA_CARRIER_MOD} = {MEDIA_CARRIER_REM}
+            OR d.doc_id % {MEDIA_CARRIER_MOD} = {MEDIA_VID_REM})
+             AS is_carrier,
            {MEDIA_OK_SQL} AS media_ok
     FROM documents d LEFT JOIN msv sv ON sv.sdoc = d.doc_id
     """,
 )
 def media_admit_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The media funnel stage as its own gated artifact: per document,
-    whether it carries media and whether the media stage admits it
-    (non-carrier, or its perceptual cluster's survivor among
-    carriers).  This is the per-doc decision column
-    ``staged_decisions`` (pipeline27) composes; registering it
+    whether it carries media (image/audio on residue
+    {MEDIA_CARRIER_REM}, video on residue {MEDIA_VID_REM} — r13) and
+    whether the media stage admits it (non-carrier, or its perceptual
+    cluster's survivor among carriers).  This is the per-doc decision
+    column ``staged_decisions`` (pipeline27) composes; registering it
     separately bisects a funnel regression to the stage in one
     artifact read, exactly like the gate/cut/keep/split stages.
 
@@ -232,11 +338,11 @@ def _star_edges(frame: DataFrame, key: str) -> DataFrame:
 
 
 def _crossmodal_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unified (doc_id, cluster_id) over text ∪ image ∪ audio edges via
-    the registered large-star operator — memoized per context
-    (registry.shared_frame): the unified cluster assignment is the
-    frame a cross-modal pipeline composes on, and its lineage contains
-    the LSH verify join plus both media decode tiers.
+    """Unified (doc_id, cluster_id) over text ∪ image ∪ audio ∪ video
+    edges via the registered large-star operator — memoized per
+    context (registry.shared_frame): the unified cluster assignment is
+    the frame a cross-modal pipeline composes on, and its lineage
+    contains the LSH verify join plus all three media decode tiers.
 
     First-consumer attribution note (the r09 convention): whichever
     query touches this frame first in a session pays the minhash
@@ -246,10 +352,11 @@ def _crossmodal_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _build() -> DataFrame:
         txt = minhash_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
-        imgc, audc = _carrier_media_frames(spark, sf_dir)
+        imgc, audc, vidc = _carrier_media_frames(spark, sf_dir)
         edges = (
             txt.union(_star_edges(imgc, "ahash"))
             .union(_star_edges(audc, "afp"))
+            .union(_star_edges(vidc, "vfp"))
             .localCheckpoint(eager=True)
         )
         return _cc_largestar(edges).localCheckpoint(eager=True)
@@ -259,17 +366,79 @@ def _crossmodal_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "crossmodal_dedup_survivors",
-    oracle=f"""
-    WITH RECURSIVE
-    {CC_TAGGED_CTES},
-    {AUD_TAGGED_CTES},
+def _crossmodal_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unified-cluster member frame the capstone aggregates and
+    the erasure cascade re-elects over — ONE Spark definition so the
+    two cannot drift (mirrors the oracle side's shared members CTE):
+    (doc_id, cluster_id, n_tokens, codec, layout, variant, c_ahash,
+    c_afp, c_vfp) with isolated docs as singletons."""
+    labels = _crossmodal_labels(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    quality = text_quality_scores(spark, sf_dir).select("doc_id", "n_tokens")
+    img = cc_hashed_frame(spark, sf_dir).select("doc_id", "codec")
+    aud = audio_fp_frame(spark, sf_dir).select("doc_id", "layout")
+    vid = video_fp_frame(spark, sf_dir).select("doc_id", "variant")
+    imgc, audc, vidc = _carrier_media_frames(spark, sf_dir)
+    img_k = imgc.select("doc_id", F.col("ahash").alias("c_ahash"))
+    aud_k = audc.select("doc_id", F.col("afp").alias("c_afp"))
+    vid_k = vidc.select("doc_id", F.col("vfp").alias("c_vfp"))
+    return (
+        docs.join(labels, "doc_id", "left")
+        .join(quality, "doc_id", "left")
+        .join(img, "doc_id")
+        .join(aud, "doc_id")
+        .join(vid, "doc_id")
+        .join(img_k, "doc_id", "left")
+        .join(aud_k, "doc_id", "left")
+        .join(vid_k, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            "codec",
+            "layout",
+            "variant",
+            "c_ahash",
+            "c_afp",
+            "c_vfp",
+        )
+    )
+
+
+def _xm_ordk() -> F.Column:
+    """The composed survivor-preference struct: most content first,
+    then the lossless-media rank tables (image, audio, then video —
+    r13), then lowest doc_id."""
+    return F.struct(
+        (-F.col("n_tokens")).alias("neg_q"),
+        _rank_col("codec", IMG_RANK).alias("img_rank"),
+        _rank_col("layout", AUD_RANK).alias("aud_rank"),
+        _rank_col("variant", VID_RANK).alias("vid_rank"),
+        F.col("doc_id").alias("tie"),
+    )
+
+
+# The unified-graph chain (edges → transitive closure → labels →
+# members → ranked) as a reusable CTE body: the capstone's oracle and
+# the erasure cascade's 'crossmodal' store (r13) compose the SAME
+# chain, so the two cannot drift.  Requires CC_TAGGED_CTES,
+# AUD_TAGGED_CTES and VPD_TAGGED_CTES in scope, under WITH RECURSIVE.
+#
+# The ``reach`` closure is all-pairs within each cluster — QUADRATIC
+# in cluster size (r12 ADVICE).  Deliberately kept: at the gate's
+# sf0.01 the largest unified cluster is tiny, DuckDB 1.0 lacks the
+# ``USING KEY`` recursive CTEs that would make a per-round min-label
+# propagation expressible (plain UNION recursion accumulates the same
+# all-pairs reachability set), and the CC tier's own oracle set the
+# precedent.  If a larger-SF oracle run is ever needed, upgrade DuckDB
+# and switch to an iterative min-label CTE.
+_XM_CHAIN = f"""
     txt_pairs AS (
       SELECT doc_a, doc_b FROM ({ORACLES["minhash_near_dup_pairs"]})
     ),
     imgc AS (SELECT * FROM tagged WHERE {_IS_IMG_CARRIER_SQL}),
     audc AS (SELECT * FROM aud_tagged WHERE {_IS_AUD_CARRIER_SQL}),
+    vidc AS (SELECT * FROM vpd_tagged WHERE {_IS_VID_CARRIER_SQL}),
     img_hub AS (SELECT ahash, MIN(doc_id) AS hub FROM imgc GROUP BY ahash),
     img_edges AS (
       SELECT t.doc_id AS doc_a, h.hub AS doc_b
@@ -282,10 +451,17 @@ def _crossmodal_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM audc a JOIN aud_hub a2 ON a2.afp = a.afp
       WHERE a.doc_id <> a2.hub
     ),
+    vid_hub AS (SELECT vfp, MIN(doc_id) AS hub FROM vidc GROUP BY vfp),
+    vid_edges AS (
+      SELECT v.doc_id AS doc_a, vh.hub AS doc_b
+      FROM vidc v JOIN vid_hub vh ON vh.vfp = v.vfp
+      WHERE v.doc_id <> vh.hub
+    ),
     all_edges AS (
       SELECT doc_a, doc_b FROM txt_pairs
       UNION SELECT doc_a, doc_b FROM img_edges
       UNION SELECT doc_a, doc_b FROM aud_edges
+      UNION SELECT doc_a, doc_b FROM vid_edges
     ),
     sym AS (SELECT doc_a AS a, doc_b AS b FROM all_edges
             UNION SELECT doc_b, doc_a FROM all_edges),
@@ -303,13 +479,15 @@ def _crossmodal_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d.doc_id,
              COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
              CAST(COALESCE(q.n_tokens, 0) AS BIGINT) AS n_tokens,
-             t.codec, au.layout,
-             ic.ahash AS c_ahash, ac.afp AS c_afp
+             t.codec, au.layout, vt.variant,
+             ic.ahash AS c_ahash, ac.afp AS c_afp, vc.vfp AS c_vfp
       FROM documents d
       JOIN tagged t ON t.doc_id = d.doc_id
       JOIN aud_tagged au ON au.doc_id = d.doc_id
+      JOIN vpd_tagged vt ON vt.doc_id = d.doc_id
       LEFT JOIN imgc ic ON ic.doc_id = d.doc_id
       LEFT JOIN audc ac ON ac.doc_id = d.doc_id
+      LEFT JOIN vidc vc ON vc.doc_id = d.doc_id
       LEFT JOIN labels l ON l.doc_id = d.doc_id
       LEFT JOIN quality q ON q.doc_id = d.doc_id
     ),
@@ -317,14 +495,26 @@ def _crossmodal_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, row_number() OVER (
                PARTITION BY cluster_id
                ORDER BY n_tokens DESC, ({_IMG_RANK_SQL}),
-                        ({_AUD_RANK_SQL}), doc_id
+                        ({_AUD_RANK_SQL}), ({_VID_RANK_SQL}), doc_id
              ) AS rk
       FROM members
-    ),
+    )
+"""
+
+
+@query(
+    "crossmodal_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE
+    {CC_TAGGED_CTES},
+    {AUD_TAGGED_CTES},
+    {VPD_TAGGED_CTES},
+    {_XM_CHAIN},
     surv AS (
       SELECT cluster_id, doc_id AS survivor_doc_id,
              n_tokens AS survivor_n_tokens,
-             codec AS survivor_codec, layout AS survivor_layout
+             codec AS survivor_codec, layout AS survivor_layout,
+             variant AS survivor_variant
       FROM ranked WHERE rk = 1
     ),
     agg AS (
@@ -332,38 +522,43 @@ def _crossmodal_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(COUNT(DISTINCT c_ahash) AS BIGINT) AS n_img_clusters,
              CAST(COUNT(DISTINCT c_afp) AS BIGINT) AS n_aud_clusters,
+             CAST(COUNT(DISTINCT c_vfp) AS BIGINT) AS n_vid_clusters,
              CAST(COUNT(*) - 1 AS BIGINT) AS cut_count
       FROM members GROUP BY cluster_id
     )
     SELECT a.cluster_id, a.n_docs, a.n_img_clusters, a.n_aud_clusters,
+           a.n_vid_clusters,
            CAST(s.survivor_doc_id AS BIGINT) AS survivor_doc_id,
            s.survivor_n_tokens, s.survivor_codec, s.survivor_layout,
+           s.survivor_variant,
            a.cut_count
     FROM agg a JOIN surv s ON s.cluster_id = a.cluster_id
     """,
 )
 def crossmodal_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cross-modal dedup capstone: ONE cluster graph, ONE survivor
-    policy.  Verified text near-dup pairs, image perceptual
-    co-membership and audio perceptual co-membership (both as
-    linear-size star edges) union over the document universe; the
-    registered large-star operator contracts the graph in O(log n)
-    rounds; every document lands in exactly one unified cluster
-    (isolated docs are singletons); and each cluster keeps ONE
-    survivor under the composed policy — most content (n_tokens)
-    first, then the lossless-media preference tables the
+    policy.  Verified text near-dup pairs and image / audio / video
+    perceptual co-membership (each as linear-size star edges; video
+    joined in r13 — the r12 verdict's top task) union over the
+    document universe; the registered large-star operator contracts
+    the graph in O(log n) rounds; every document lands in exactly one
+    unified cluster (isolated docs are singletons); and each cluster
+    keeps ONE survivor under the composed policy — most content
+    (n_tokens) first, then the lossless-media preference tables the
     media_dedup_survivors act registers (PNG < BMP < JPEG, then
-    mono < stereo < loud), then lowest doc_id.  Emits per unified
-    cluster: member count, how many image / audio perceptual clusters
+    mono < stereo < loud, then master < reencoded < padded <
+    reenc_padded), then lowest doc_id.  Emits per unified cluster:
+    member count, how many image / audio / video perceptual clusters
     it absorbs (each per-modality cluster is a REFINEMENT of the
     unified clustering — pinned in tests), the survivor's identity /
     content mass / formats, and the cut-list size.
 
     Oracle: composes the registered tier CTEs verbatim (pipeline33
-    closed forms, the minhash pair SQL, the quality-tier SQL) with
-    the recursive-CTE transitive closure the CC tier already gates
-    against — no codec, no LSH and no graph logic duplicated on the
-    DuckDB side beyond those registered bodies.
+    closed forms, the video chain, the minhash pair SQL, the
+    quality-tier SQL) with the recursive-CTE transitive closure the
+    CC tier already gates against — no codec, no LSH and no graph
+    logic duplicated on the DuckDB side beyond those registered
+    bodies.
 
     100 TB shape: the media decode tiers read their session-memoized
     frames; star-edge construction is one short-key min-aggregate per
@@ -374,45 +569,18 @@ def crossmodal_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus, no members-vs-cluster self-join).  Everything heavy
     is linear in edges, and the edge encoding keeps edges linear in
     members."""
-    labels = _crossmodal_labels(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    quality = text_quality_scores(spark, sf_dir).select("doc_id", "n_tokens")
-    img = cc_hashed_frame(spark, sf_dir).select("doc_id", "codec")
-    aud = audio_fp_frame(spark, sf_dir).select("doc_id", "layout")
-    imgc, audc = _carrier_media_frames(spark, sf_dir)
-    img_k = imgc.select("doc_id", F.col("ahash").alias("c_ahash"))
-    aud_k = audc.select("doc_id", F.col("afp").alias("c_afp"))
-    members = (
-        docs.join(labels, "doc_id", "left")
-        .join(quality, "doc_id", "left")
-        .join(img, "doc_id")
-        .join(aud, "doc_id")
-        .join(img_k, "doc_id", "left")
-        .join(aud_k, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
-            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-            "codec",
-            "layout",
-            "c_ahash",
-            "c_afp",
-        )
-    )
-    ordk = F.struct(
-        (-F.col("n_tokens")).alias("neg_q"),
-        _rank_col("codec", IMG_RANK).alias("img_rank"),
-        _rank_col("layout", AUD_RANK).alias("aud_rank"),
-        F.col("doc_id").alias("tie"),
-    )
+    members = _crossmodal_members(spark, sf_dir)
+    ordk = _xm_ordk()
     return members.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.count_distinct("c_ahash").cast("long").alias("n_img_clusters"),
         F.count_distinct("c_afp").cast("long").alias("n_aud_clusters"),
+        F.count_distinct("c_vfp").cast("long").alias("n_vid_clusters"),
         F.min_by("doc_id", ordk).cast("long").alias("survivor_doc_id"),
         F.min_by("n_tokens", ordk).cast("long").alias("survivor_n_tokens"),
         F.min_by("codec", ordk).alias("survivor_codec"),
         F.min_by("layout", ordk).alias("survivor_layout"),
+        F.min_by("variant", ordk).alias("survivor_variant"),
         (F.count(F.lit(1)) - F.lit(1)).cast("long").alias("cut_count"),
     )
 
@@ -420,21 +588,6 @@ def crossmodal_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Video perceptual dedup (re-encoded / padded copies collapse)
 # --------------------------------------------------------------------------
-
-VPD_RESIDUES = 16  # doc_id % 16 picks the frame-sequence content
-VPD_FRAMES = 6  # content frames per clip
-VPD_SIDE = 32  # frame side; aHash cells are 4x4 px
-VPD_BLOCKS = 4  # 4x4 grid of 8x8 constant blocks per frame
-VPD_M_RES, VPD_M_BX, VPD_M_BY = 37, 71, 113  # pipeline33 multipliers
-VPD_M_T = 29  # per-frame term, so frames within a clip hash differently
-VPD_SAMPLE_EVERY = 2  # hash every 2nd content frame (0, 2, 4)
-
-# Survivor preference among the synthesis variants (lossless container
-# first, then the re-encode, then the padded re-uploads).
-VID_RANK = {"master": 0, "reencoded": 1, "padded": 2, "reenc_padded": 3}
-_VID_RANK_SQL = _rank_sql("variant", VID_RANK)
-
-_VPD_VARIANTS = ("master", "reencoded", "padded", "reenc_padded")
 
 
 def _vpd_frame_gray(doc_id: int, t: int) -> list[list[int]]:
@@ -576,52 +729,38 @@ def _vpd_fingerprint_batch(batches):
         yield pd.DataFrame(out)
 
 
+def video_fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decoded-and-fingerprinted video frame (doc_id, variant,
+    vfp) — session-memoized exactly like ``cc_hashed_frame`` /
+    ``audio_fp_frame`` (r13: the container walk + per-frame decode is
+    now shared by the tier's own gate, the media admit stage, the
+    cross-modal capstone and the erasure cascade, so it must run once
+    per session, not once per consumer).  The eager-construction
+    contract documented on ``cc_hashed_frame`` applies verbatim;
+    first-consumer attribution note (r09 convention) applies."""
+    from go_map_reduce_spark.operators.pipeline33 import _spread_ids
+    from go_map_reduce_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+
+    def _build() -> DataFrame:
+        ids = _spread_ids(spark, sf_dir)
+        media = ids.mapInPandas(
+            _vpd_synth_batch,
+            schema="doc_id long, variant string, payload binary",
+        )
+        return media.mapInPandas(
+            _vpd_fingerprint_batch,
+            schema="doc_id long, variant string, vfp string",
+        ).localCheckpoint(eager=True)
+
+    return shared_frame(spark, f"vpd_fp:{sf_dir}", _build, data_path=sf_dir)
+
+
 @query(
     "video_perceptual_dedup",
     oracle=f"""
-    WITH vpd_docs AS (
-      SELECT doc_id, doc_id % {VPD_RESIDUES} AS res,
-             CASE (doc_id // {VPD_RESIDUES}) % 4
-                  WHEN 0 THEN 'master'
-                  WHEN 1 THEN 'reencoded'
-                  WHEN 2 THEN 'padded'
-                  ELSE 'reenc_padded' END AS variant
-      FROM documents
-    ),
-    vpd_blocks AS (
-      SELECT res, t, bx, by,
-             ({VPD_M_RES} * res + {VPD_M_BX} * bx + {VPD_M_BY} * by
-              + {VPD_M_T} * t) % 200 AS g
-      FROM (SELECT DISTINCT res FROM vpd_docs),
-           range(0, {VPD_FRAMES}, {VPD_SAMPLE_EVERY}) u(t),
-           range({VPD_BLOCKS}) t1(bx), range({VPD_BLOCKS}) t2(by)
-    ),
-    vpd_tot AS (
-      SELECT res, t, SUM(g) AS total FROM vpd_blocks GROUP BY res, t
-    ),
-    vpd_bits AS (
-      SELECT b.res, b.t, b.bx, b.by,
-             CASE WHEN {VPD_BLOCKS * VPD_BLOCKS} * b.g > tt.total
-                  THEN '1' ELSE '0' END AS bit
-      FROM vpd_blocks b JOIN vpd_tot tt ON tt.res = b.res AND tt.t = b.t
-    ),
-    vpd_rows AS (
-      SELECT res, t, by,
-             string_agg(repeat(bit, 2), '' ORDER BY bx) AS rowstr
-      FROM vpd_bits GROUP BY res, t, by
-    ),
-    vpd_fhash AS (
-      SELECT res, t, string_agg(rowstr || rowstr, '' ORDER BY by) AS fhash
-      FROM vpd_rows GROUP BY res, t
-    ),
-    vpd_fp AS (
-      SELECT res, string_agg(fhash, '|' ORDER BY t) AS vfp
-      FROM vpd_fhash GROUP BY res
-    ),
-    vpd_tagged AS (
-      SELECT d.doc_id, d.variant, fp.vfp
-      FROM vpd_docs d JOIN vpd_fp fp ON fp.res = d.res
-    )
+    WITH {VPD_TAGGED_CTES}
     SELECT vfp,
            CAST(COUNT(*) AS BIGINT) AS group_size,
            CAST(COUNT(DISTINCT variant) AS BIGINT) AS n_variants,
@@ -673,20 +812,11 @@ def video_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     trim decodes only the few frames it inspects at each end — decode
     cost scales with frames KEPT, the production frame-sampler
     contract (multimodal_video_framesample's discipline, upgraded
-    from feature extraction to identity)."""
-    from go_map_reduce_spark.operators.pipeline33 import _spread_ids
-    from go_map_reduce_spark.shipping import ensure_package_shipped
-
-    ensure_package_shipped(spark)
-    ids = _spread_ids(spark, sf_dir)
-    media = ids.mapInPandas(
-        _vpd_synth_batch,
-        schema="doc_id long, variant string, payload binary",
-    )
-    printed = media.mapInPandas(
-        _vpd_fingerprint_batch,
-        schema="doc_id long, variant string, vfp string",
-    )
+    from feature extraction to identity).  The fingerprinted frame is
+    session-memoized (``video_fp_frame``, r13) so the media stage,
+    the capstone and the erasure cascade reuse the decode instead of
+    re-paying it."""
+    printed = video_fp_frame(spark, sf_dir)
     pref = F.when(
         F.col("doc_id") >= _PREF_BASE,
         F.raise_error(
@@ -729,8 +859,9 @@ def _erasure_oracle() -> str:
     """Closed-form oracle for ``erasure_derived_stores``, composed from
     the registered tier CTEs: the pipeline31 standing-Lloyd chain +
     batch assign for the IVF occupancy deltas, the keep-best SQL for
-    the text re-election, and the pipeline33 closed forms + pipeline34
-    packed arg-min for both media tiers."""
+    the text re-election, the pipeline33/35 closed forms + pipeline34
+    packed arg-min for the three media tiers, and (r13) the unified
+    _XM_CHAIN + composed-policy windows for the cross-modal store."""
     from go_map_reduce_spark.operators.pipeline15 import ERASE_MOD
     from go_map_reduce_spark.operators.pipeline20 import (
         NEW_BATCH_MOD,
@@ -779,7 +910,7 @@ def _erasure_oracle() -> str:
     HAVING SUM(CASE WHEN doc_id {gone} THEN 1 ELSE 0 END) > 0"""
 
     return f"""
-    WITH {chain},
+    WITH RECURSIVE {chain},
     allasg AS (
       SELECT vec_id, cid FROM a{ITERATIONS}
       UNION ALL SELECT vec_id, cid FROM ab
@@ -802,7 +933,31 @@ def _erasure_oracle() -> str:
       ) WHERE rk = 1
     ),
     {CC_TAGGED_CTES},
-    {AUD_TAGGED_CTES}
+    {AUD_TAGGED_CTES},
+    {VPD_TAGGED_CTES},
+    {_XM_CHAIN},
+    xm_before AS (
+      SELECT cluster_id,
+             CAST(COUNT(*) AS BIGINT) AS n_before,
+             CAST(SUM(CASE WHEN doc_id {gone} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_erased
+      FROM members GROUP BY cluster_id
+    ),
+    xm_keeper_before AS (
+      SELECT cluster_id, doc_id AS keeper_before FROM ranked WHERE rk = 1
+    ),
+    xm_ranked_after AS (
+      SELECT cluster_id, doc_id, row_number() OVER (
+               PARTITION BY cluster_id
+               ORDER BY n_tokens DESC, ({_IMG_RANK_SQL}),
+                        ({_AUD_RANK_SQL}), ({_VID_RANK_SQL}), doc_id
+             ) AS rk
+      FROM members WHERE doc_id {keep}
+    ),
+    xm_keeper_after AS (
+      SELECT cluster_id, doc_id AS keeper_after
+      FROM xm_ranked_after WHERE rk = 1
+    )
     SELECT 'ivf' AS store, CAST(cid AS VARCHAR) AS key,
            CAST(COUNT(*) AS BIGINT) AS n_before,
            CAST(SUM(CASE WHEN vec_id {gone} THEN 1 ELSE 0 END) AS BIGINT)
@@ -823,6 +978,17 @@ def _erasure_oracle() -> str:
     {_media_store('image', 'tagged', 'ahash', 'codec', _IMG_RANK_SQL)}
     UNION ALL
     {_media_store('audio', 'aud_tagged', 'afp', 'layout', _AUD_RANK_SQL)}
+    UNION ALL
+    {_media_store('video', 'vpd_tagged', 'vfp', 'variant', _VID_RANK_SQL)}
+    UNION ALL
+    SELECT 'crossmodal', CAST(b.cluster_id AS VARCHAR), b.n_before,
+           b.n_erased, b.n_before - b.n_erased,
+           CAST(kb.keeper_before AS VARCHAR),
+           CAST(ka.keeper_after AS VARCHAR)
+    FROM xm_before b
+    JOIN xm_keeper_before kb ON kb.cluster_id = b.cluster_id
+    LEFT JOIN xm_keeper_after ka ON ka.cluster_id = b.cluster_id
+    WHERE b.n_erased > 0
     """
 
 
@@ -852,6 +1018,15 @@ def erasure_derived_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'image' / 'audio': every perceptual cluster
       (``media_dedup_survivors``'s universe) containing an erased
       member, re-elected under the same packed rank arg-min.
+    - 'video' (r13): every sequence-fingerprint cluster
+      (``video_perceptual_dedup``'s universe), same packed arg-min
+      under VID_RANK.
+    - 'crossmodal' (r13, the r12 verdict's task 4): every UNIFIED
+      cluster (``crossmodal_dedup_survivors``'s universe) containing
+      an erased member, re-elected under the COMPOSED policy
+      (n_tokens DESC, image/audio/video rank, doc_id) over the
+      survivors; keeper_before reconciles with the capstone's
+      survivor_doc_id and n_before with its n_docs (pinned).
 
     100 TB shape: the IVF delta is one short-key aggregate over the
     already-memoized assignments (the frozen-centroid shared frame);
@@ -969,4 +1144,46 @@ def erasure_derived_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
     aud = media_store(
         "audio", audio_fp_frame(spark, sf_dir), "afp", "layout", AUD_RANK
     )
-    return ivf.unionByName(txt).unionByName(img).unionByName(aud)
+    vid = media_store(
+        "video", video_fp_frame(spark, sf_dir), "vfp", "variant", VID_RANK
+    )
+
+    # -- cross-modal unified-cluster re-election (r13) ------------------
+    # An erased UNIFIED survivor must re-elect under the COMPOSED
+    # policy, not just its per-modality tier's: the member frame and
+    # the ordering struct are the capstone's own
+    # (_crossmodal_members / _xm_ordk), so keeper_before reconciles
+    # with crossmodal_dedup_survivors.survivor_doc_id row for row
+    # (pinned in tests).
+    mem = _crossmodal_members(spark, sf_dir)
+    ordk = _xm_ordk()
+    xm_before = mem.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before"),
+        F.sum(gone("doc_id").cast("long")).cast("long").alias("n_erased"),
+        F.min_by("doc_id", ordk).alias("keeper_before"),
+    )
+    xm_after = (
+        mem.where(~gone("doc_id"))
+        .groupBy("cluster_id")
+        .agg(F.min_by("doc_id", ordk).alias("keeper_after"))
+    )
+    xm = (
+        xm_before.where(F.col("n_erased") > 0)
+        .join(xm_after, "cluster_id", "left")
+        .select(
+            F.lit("crossmodal").alias("store"),
+            F.col("cluster_id").cast("string").alias("key"),
+            "n_before",
+            "n_erased",
+            (F.col("n_before") - F.col("n_erased")).alias("n_after"),
+            F.col("keeper_before").cast("string"),
+            F.col("keeper_after").cast("string"),
+        )
+    )
+    return (
+        ivf.unionByName(txt)
+        .unionByName(img)
+        .unionByName(aud)
+        .unionByName(vid)
+        .unionByName(xm)
+    )

@@ -20,15 +20,34 @@ def test_against_duckdb_oracle(name, spark, sf_dir):
     compare(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
 
 
-def test_sketches_have_no_oracle():
-    assert "approx_distinct_sketch" not in ORACLES
+def test_quantile_sketch_has_no_oracle_and_distinct_sketch_does():
+    # r13 (verdict task 7): the distinct sketch upgraded to a BOUNDED
+    # oracle — the exact side + within-bound booleans are hash-gated.
+    assert "approx_distinct_sketch" in ORACLES
     assert "approx_quantiles_sketch" not in ORACLES
 
 
+def test_approx_distinct_sketch_against_bounded_oracle(spark, sf_dir):
+    compare(
+        QUERIES["approx_distinct_sketch"](spark, sf_dir),
+        ORACLES["approx_distinct_sketch"],
+        sf_dir,
+    )
+
+
 def test_approx_distinct_within_2pct(spark, sf_dir):
-    for r in QUERIES["approx_distinct_sketch"](spark, sf_dir).collect():
+    """Raw-estimate accuracy, read from the full frame the registered
+    bounded query composes."""
+    from go_map_reduce_spark.operators.analytics import _approx_distinct_full
+
+    for r in _approx_distinct_full(spark, sf_dir).collect():
         assert abs(r["approx_orders"] - r["exact_orders"]) <= 0.02 * r["exact_orders"]
         assert abs(r["approx_parts"] - r["exact_parts"]) <= 0.02 * max(r["exact_parts"], 1)
+    # and the registered projection agrees with itself: every bound
+    # boolean is true (the oracle asserts the same — this catches a
+    # drifted bound formula before the gate does)
+    out = QUERIES["approx_distinct_sketch"](spark, sf_dir).collect()
+    assert all(r["orders_within_2pct"] and r["parts_within_2pct"] for r in out)
 
 
 def test_approx_quantiles_within_2pct(spark, sf_dir):

@@ -19,6 +19,8 @@ from go_map_reduce_spark.operators.pipeline34 import (
 from go_map_reduce_spark.operators.pipeline35 import (
     MEDIA_CARRIER_MOD,
     MEDIA_CARRIER_REM,
+    MEDIA_VID_REM,
+    VID_RANK,
     _carrier_media_frames,
     _crossmodal_labels,
     media_survivor_ids,
@@ -57,13 +59,14 @@ def _members(spark, sf_dir) -> pd.DataFrame:
 
 def test_modality_clusters_refine_unified(spark, sf_dir):
     """Every per-modality cluster (carrier image ahash group, carrier
-    audio afp group, text near-dup component) lands INSIDE exactly one
-    unified cluster — refinement, the structural claim that makes
-    'one cluster graph' true."""
+    audio afp group, carrier video vfp group — r13 — and text
+    near-dup component) lands INSIDE exactly one unified cluster —
+    refinement, the structural claim that makes 'one cluster graph'
+    true."""
     m = _members(spark, sf_dir).set_index("doc_id")["cluster_id"]
 
-    imgc, audc = _carrier_media_frames(spark, sf_dir)
-    for frame, key in ((imgc, "ahash"), (audc, "afp")):
+    imgc, audc, vidc = _carrier_media_frames(spark, sf_dir)
+    for frame, key in ((imgc, "ahash"), (audc, "afp"), (vidc, "vfp")):
         pdf = frame.select("doc_id", key).toPandas()
         pdf["ucl"] = pdf["doc_id"].map(m)
         per_key = pdf.groupby(key)["ucl"].nunique()
@@ -87,11 +90,13 @@ def test_survivors_reconcile_per_modality(spark, sf_dir):
     assert int(out["n_docs"].sum()) == n_docs
     assert (out["cut_count"] == out["n_docs"] - 1).all()
 
-    imgc, audc = _carrier_media_frames(spark, sf_dir)
+    imgc, audc, vidc = _carrier_media_frames(spark, sf_dir)
     n_img = imgc.select("ahash").distinct().count()
     n_aud = audc.select("afp").distinct().count()
+    n_vid = vidc.select("vfp").distinct().count()
     assert int(out["n_img_clusters"].sum()) == n_img
     assert int(out["n_aud_clusters"].sum()) == n_aud
+    assert int(out["n_vid_clusters"].sum()) == n_vid
 
     m = _members(spark, sf_dir)
     surv = out.merge(
@@ -105,12 +110,13 @@ def test_survivors_reconcile_per_modality(spark, sf_dir):
 
 def test_composed_policy_is_quality_then_media_then_id(spark, sf_dir):
     """Recompute the survivor independently in pandas under the stated
-    order (n_tokens DESC, image rank, audio rank, doc_id) and demand
-    bit-agreement for every cluster."""
+    order (n_tokens DESC, image rank, audio rank, video rank, doc_id)
+    and demand bit-agreement for every cluster."""
     from go_map_reduce_spark.operators.pipeline33 import (
         audio_fp_frame,
         cc_hashed_frame,
     )
+    from go_map_reduce_spark.operators.pipeline35 import video_fp_frame
 
     out = QUERIES["crossmodal_dedup_survivors"](spark, sf_dir).toPandas()
     m = _members(spark, sf_dir)
@@ -121,18 +127,23 @@ def test_composed_policy_is_quality_then_media_then_id(spark, sf_dir):
     )
     img = cc_hashed_frame(spark, sf_dir).select("doc_id", "codec").toPandas()
     aud = audio_fp_frame(spark, sf_dir).select("doc_id", "layout").toPandas()
+    vid = (
+        video_fp_frame(spark, sf_dir).select("doc_id", "variant").toPandas()
+    )
     df = (
         m.merge(q, on="doc_id", how="left")
         .merge(img, on="doc_id")
         .merge(aud, on="doc_id")
+        .merge(vid, on="doc_id")
     )
     df["n_tokens"] = df["n_tokens"].fillna(0).astype("int64")
     df["ir"] = df["codec"].map(IMG_RANK)
     df["ar"] = df["layout"].map(AUD_RANK)
+    df["vr"] = df["variant"].map(VID_RANK)
     expect = (
         df.sort_values(
-            ["cluster_id", "n_tokens", "ir", "ar", "doc_id"],
-            ascending=[True, False, True, True, True],
+            ["cluster_id", "n_tokens", "ir", "ar", "vr", "doc_id"],
+            ascending=[True, False, True, True, True, True],
         )
         .groupby("cluster_id")
         .first()
@@ -153,9 +164,10 @@ def test_media_stage_admits_one_survivor_per_carrier_cluster(spark, sf_dir):
     carriers = dec[dec["is_carrier"]]
     non = dec[~dec["is_carrier"]]
     assert non["media_ok"].all()
+    rem = dec["doc_id"] % MEDIA_CARRIER_MOD
     assert (
         dec["is_carrier"]
-        == (dec["doc_id"] % MEDIA_CARRIER_MOD == MEDIA_CARRIER_REM)
+        == ((rem == MEDIA_CARRIER_REM) | (rem == MEDIA_VID_REM))
     ).all()
 
     sv = set(media_survivor_ids(spark, sf_dir).toPandas()["doc_id"])
@@ -163,10 +175,11 @@ def test_media_stage_admits_one_survivor_per_carrier_cluster(spark, sf_dir):
     admitted = set(carriers[carriers["media_ok"]]["doc_id"])
     assert admitted == sv
 
-    imgc, audc = _carrier_media_frames(spark, sf_dir)
+    imgc, audc, vidc = _carrier_media_frames(spark, sf_dir)
     n_clusters = (
         imgc.select("ahash").distinct().count()
         + audc.select("afp").distinct().count()
+        + vidc.select("vfp").distinct().count()
     )
     assert len(sv) == n_clusters, "must admit exactly one per cluster"
 
@@ -176,8 +189,14 @@ def test_media_stage_admits_one_survivor_per_carrier_cluster(spark, sf_dir):
     re_aud = _survivor_agg(
         audc, "afp", "layout", _rank_col("layout", AUD_RANK)
     ).toPandas()
+    re_vid = _survivor_agg(
+        vidc, "vfp", "variant", _rank_col("variant", VID_RANK)
+    ).toPandas()
     assert (
-        set(re_img["survivor_doc_id"]) | set(re_aud["survivor_doc_id"]) == sv
+        set(re_img["survivor_doc_id"])
+        | set(re_aud["survivor_doc_id"])
+        | set(re_vid["survivor_doc_id"])
+        == sv
     )
 
 

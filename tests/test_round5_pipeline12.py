@@ -65,14 +65,20 @@ def test_funnel_latency_orders(spark, sf_dir):
 
 def test_hll_merge_equals_direct_and_near_exact(spark, sf_dir):
     """Mergeability: unioning daily sketches gives the SAME estimate as
-    one direct sketch over the month; both within 2% of exact."""
-    rows = QUERIES["hll_daily_rollup"](spark, sf_dir).collect()
+    one direct sketch over the month; both within 2% of exact.  Raw
+    estimates come from the full frame; the registered bounded query
+    (r13, oracle-gated) must report the same contracts as booleans."""
+    from go_map_reduce_spark.operators.pipeline12 import _hll_rollup_full
+
+    rows = _hll_rollup_full(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r["merged_estimate"] == r["direct_estimate"], r
         assert abs(r["merged_estimate"] - r["exact_distinct"]) <= max(
             2, 0.02 * r["exact_distinct"]
         ), r
+    out = QUERIES["hll_daily_rollup"](spark, sf_dir).collect()
+    assert all(r["merged_eq_direct"] and r["within_2pct"] for r in out)
 
 
 def test_minhash_recall_is_high_and_counts_reconcile(spark, sf_dir):

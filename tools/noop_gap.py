@@ -1,0 +1,90 @@
+"""Noop-gap budget contract (r12 verdict task 6).
+
+The bench's default count() action lets Spark prune aggregate-FINAL
+work (a count over a groupBy needs group existence, not the measure
+columns), so a count-mode timing can quietly flatter a query whose
+real cost is in the measures; the honest-mode artifact
+(BENCH_ACTION=noop → BENCH_DETAIL_NOOP.json) forces full-column
+execution.  Both artifacts are committed per round (r11 verdict task
+6).  This module makes the gap a CONTRACT: every query whose
+noop/count ratio exceeds the default cap must carry a documented
+pruning class, and a documented query must stay inside its class cap
+— so a NEW aggregate-final-heavy query (or a regression that widens a
+known gap) fails tests/test_bench_contract.py instead of silently
+flattering the headline number.
+
+The ratio of two separately-measured runs is noisy for sub-second
+queries (JIT, host CPU steal — PERFORMANCE.md r13), so only gaps with
+at least MIN_GAP_SECONDS of absolute noop-minus-count daylight are
+judged; caps carry ~2-3x headroom over the observed ratios for the
+same reason.
+"""
+
+from __future__ import annotations
+
+DEFAULT_CAP = 5.0
+MIN_GAP_SECONDS = 1.0
+
+# query -> (cap, documented pruning class).  Observed ratios cited
+# from the r12/r13 committed artifact pairs.
+DOCUMENTED_CLASSES: dict[str, tuple[float, str]] = {
+    # count-mode prunes the whole window/self-join repair machinery
+    # once group existence is known (observed 8-19x across pairs)
+    "substring_dup_cut": (30.0, "window-heavy aggregate-final"),
+    # percentile_approx buffers are aggregate-final: count mode never
+    # materializes the GK sketches (observed 7-8x)
+    "quantity_quantiles": (15.0, "holistic quantile sketch"),
+    "approx_quantiles_sketch": (15.0, "holistic quantile sketch"),
+    # the reconciliation's measure columns (sums over the wide join)
+    # prune to existence checks (observed ~6x)
+    "order_lineitem_reconciliation": (15.0, "wide reconciliation join"),
+    # JSON parse-all / column-profile measures prune to counts
+    # (observed 4.7-5.6x, flagged for headroom)
+    "events_json_stats": (12.0, "json parse-all measures"),
+    "events_variant_extract": (12.0, "json parse-all measures"),
+    "orders_column_profile": (12.0, "column-profile measures"),
+    # warm-Lloyd training + distortion measures partially prune under
+    # count (observed up to ~6x, r12 verdict watch item)
+    "ivf_index_compaction": (12.0, "training-class distortion measures"),
+}
+
+
+def violations(
+    count_map: dict[str, float], noop_map: dict[str, float]
+) -> list[tuple[str, float, float]]:
+    """(query, ratio, cap) for every query present in BOTH maps whose
+    noop/count ratio exceeds its cap with at least MIN_GAP_SECONDS of
+    absolute daylight."""
+    out = []
+    for name, noop_t in noop_map.items():
+        count_t = count_map.get(name)
+        if count_t is None or count_t <= 0:
+            continue
+        if noop_t - count_t < MIN_GAP_SECONDS:
+            continue
+        ratio = noop_t / count_t
+        cap = DOCUMENTED_CLASSES.get(name, (DEFAULT_CAP,))[0]
+        if ratio > cap:
+            out.append((name, ratio, cap))
+    return sorted(out, key=lambda v: -v[1])
+
+
+def main() -> int:
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    count = json.load(open(os.path.join(here, "BENCH_DETAIL.json")))
+    noop = json.load(open(os.path.join(here, "BENCH_DETAIL_NOOP.json")))
+    bad = violations(count["queries"], noop["queries"])
+    for name, ratio, cap in bad:
+        print(f"VIOLATION {name}: noop/count {ratio:.2f}x > cap {cap}x")
+    total = sum(noop["queries"].values()) / max(
+        sum(count["queries"].values()), 1e-9
+    )
+    print(f"total noop/count {total:.3f}; {len(bad)} violations")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
