@@ -77,6 +77,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline35,
     pipeline36,
     pipeline37,
+    pipeline38,
     sqlsurface,
     stats,
     quality_filters,
