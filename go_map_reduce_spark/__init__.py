@@ -78,6 +78,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline36,
     pipeline37,
     pipeline38,
+    pipeline39,
     sqlsurface,
     stats,
     quality_filters,
