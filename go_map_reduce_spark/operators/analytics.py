@@ -215,14 +215,44 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_quantiles_sketch")  # sketch output: rows-only check by design
-def approx_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greenwald-Khanna approximate percentiles (mergeable sketch, no
-    per-group sort). Accuracy pinned vs exact percentile in tests."""
+def _approx_quantiles_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GK-sketch + exact-percentile twin frame (raw estimate AND
+    exact median) — the accuracy tests read the raw estimate here."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
+    )
+
+
+@query(
+    "approx_quantiles_sketch",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6)
+             AS exact_median_price,
+           TRUE AS median_within_2pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def approx_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles (mergeable sketch, no
+    per-group sort), gated by a BOUNDED oracle (the r12 verdict's
+    task-7 pattern, extended here to the last quantile rows-only row):
+    the GK estimate is implementation-defined, but the exact median
+    (the linear-interpolation definition both engines share) and the
+    within-2%-of-exact CONTRACT are oracle-expressible.  A sketch
+    regression past its published error now fails the hash gate; the
+    raw estimate stays available via _approx_quantiles_full (the
+    pytest accuracy pin reads it there)."""
+    full = _approx_quantiles_full(spark, sf_dir)
+    return full.select(
+        "l_returnflag",
+        F.round("exact_median_price", 6).alias("exact_median_price"),
+        (
+            F.abs(F.col("approx_median_price") - F.col("exact_median_price"))
+            <= 0.02 * F.col("exact_median_price")
+        ).alias("median_within_2pct"),
     )
 
 

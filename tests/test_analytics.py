@@ -20,11 +20,11 @@ def test_against_duckdb_oracle(name, spark, sf_dir):
     compare(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
 
 
-def test_quantile_sketch_has_no_oracle_and_distinct_sketch_does():
-    # r13 (verdict task 7): the distinct sketch upgraded to a BOUNDED
-    # oracle — the exact side + within-bound booleans are hash-gated.
+def test_sketch_rows_are_bounded_oracled():
+    # r13 (verdict task 7): both sketch rows upgraded to BOUNDED
+    # oracles — the exact side + within-bound booleans are hash-gated.
     assert "approx_distinct_sketch" in ORACLES
-    assert "approx_quantiles_sketch" not in ORACLES
+    assert "approx_quantiles_sketch" in ORACLES
 
 
 def test_approx_distinct_sketch_against_bounded_oracle(spark, sf_dir):
@@ -51,11 +51,23 @@ def test_approx_distinct_within_2pct(spark, sf_dir):
 
 
 def test_approx_quantiles_within_2pct(spark, sf_dir):
-    for r in QUERIES["approx_quantiles_sketch"](spark, sf_dir).collect():
+    from go_map_reduce_spark.operators.analytics import _approx_quantiles_full
+
+    for r in _approx_quantiles_full(spark, sf_dir).collect():
         assert (
             abs(r["approx_median_price"] - r["exact_median_price"])
             <= 0.02 * r["exact_median_price"]
         )
+    out = QUERIES["approx_quantiles_sketch"](spark, sf_dir).collect()
+    assert all(r["median_within_2pct"] for r in out)
+
+
+def test_approx_quantiles_against_bounded_oracle(spark, sf_dir):
+    compare(
+        QUERIES["approx_quantiles_sketch"](spark, sf_dir),
+        ORACLES["approx_quantiles_sketch"],
+        sf_dir,
+    )
 
 
 @pytest.mark.parametrize("name", ["daily_orders_gapfilled", "rolling_7day_revenue"])
