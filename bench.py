@@ -140,6 +140,13 @@ NOISY = {
     # ~3 s steady measured in isolation).
     "crossmodal_dedup_survivors",
     "erasure_derived_stores",
+    # r13: media_admit_decision is the marathon's FIRST consumer of
+    # all three media decode frames once video joined the carrier
+    # model (5.2 s first-consumer vs ~0.7 s steady at sf0.1);
+    # crossmodal_incremental_admit re-runs the shingle/signature
+    # pipeline (the minhash cold-JIT profile).
+    "media_admit_decision",
+    "crossmodal_incremental_admit",
 }
 
 
