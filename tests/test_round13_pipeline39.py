@@ -59,3 +59,41 @@ def test_epoch_accounting_recomputed(spark, sf_dir):
         assert bool(r["over_cap"]) == (epochs > EPOCH_CAP)
     replayed = (out["planned_epochs"] * out["tokens_kept"]).sum()
     assert abs(replayed - TARGET_MULT * total) <= total * 1e-4
+
+
+def test_cut_provenance_against_duckdb_oracle(spark, sf_dir):
+    compare(
+        QUERIES["crossmodal_cut_provenance"](spark, sf_dir),
+        ORACLES["crossmodal_cut_provenance"],
+        sf_dir,
+    )
+
+
+def test_every_cut_doc_has_an_edge_and_reconciles(spark, sf_dir):
+    """Membership implies evidence: every cut doc has >= 1 tier
+    linked (isolated docs are singletons by construction); the rows
+    reconcile with the capstone — per cluster, cut rows == n_docs - 1
+    and the survivor column matches; all four tiers appear as the
+    sole link for SOME doc (each evidence type is load-bearing)."""
+    out = QUERIES["crossmodal_cut_provenance"](spark, sf_dir).toPandas()
+    flags = out[["text_linked", "img_linked", "aud_linked", "vid_linked"]]
+    assert flags.any(axis=1).all(), "cut doc with no attaching evidence"
+
+    cap = QUERIES["crossmodal_dedup_survivors"](spark, sf_dir).toPandas()
+    multi = cap[cap["n_docs"] > 1]
+    per_cluster = out.groupby("cluster_id").size()
+    assert per_cluster.sum() == int((multi["n_docs"] - 1).sum())
+    j = out.merge(
+        cap[["cluster_id", "survivor_doc_id"]],
+        on="cluster_id",
+        suffixes=("", "_cap"),
+    )
+    assert (j["survivor_doc_id"] == j["survivor_doc_id_cap"]).all()
+    assert not out.merge(
+        cap[["survivor_doc_id"]], left_on="doc_id",
+        right_on="survivor_doc_id", how="inner",
+    ).shape[0], "a survivor appears as a cut doc"
+
+    only = flags.sum(axis=1) == 1
+    for col in flags.columns:
+        assert (flags[only][col]).any(), f"{col} never the sole evidence"
