@@ -50,3 +50,12 @@ def test_wrapper_passthrough_and_line():
         timeout=60,
     ).returncode
     assert rc == 3
+
+
+def test_vs_demand_suppressed_on_idle_guest():
+    """On an idle guest (demand under 2% of capacity) the vs-demand
+    ratio is noise (steal ~= demand ~= a few ticks reads ~100%) and
+    must report 0 — the absolute steal_pct stays."""
+    s = summarize((0,) * 8, (1, 0, 0, 1000, 0, 0, 0, 1))
+    assert s["steal_vs_demand_pct"] == 0.0
+    assert s["steal_pct"] > 0.0

@@ -38,12 +38,17 @@ def summarize(before: tuple[int, ...], after: tuple[int, ...]) -> dict:
     total = sum(d[:8])
     busy = user + nice + system + irq + softirq
     demand = busy + steal  # what the guest wanted
+    # steal-vs-demand is only meaningful UNDER LOAD: on an idle guest
+    # demand ~= steal ~= a few ticks and the ratio reads ~100% while
+    # the box is fine.  Report 0 when demand is under 2% of capacity;
+    # the absolute steal_pct column is always meaningful.
+    meaningful = total and demand >= 0.02 * total
     return {
         "user_pct": 100.0 * user / total if total else 0.0,
         "system_pct": 100.0 * system / total if total else 0.0,
         "idle_pct": 100.0 * idle / total if total else 0.0,
         "steal_pct": 100.0 * steal / total if total else 0.0,
-        "steal_vs_demand_pct": 100.0 * steal / demand if demand else 0.0,
+        "steal_vs_demand_pct": 100.0 * steal / demand if meaningful else 0.0,
     }
 
 
