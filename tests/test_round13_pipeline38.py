@@ -144,3 +144,43 @@ def test_rank_table_directions():
     assert IMG_RANK["png"] < IMG_RANK["jpeg"]
     assert AUD_RANK["mono"] < AUD_RANK["loud"]
     assert VID_RANK["master"] < VID_RANK["padded"]
+
+
+def test_media_decision_law_on_arbitrary_frames(spark):
+    """The election LAW on arbitrary generated frames (not just the
+    fixed cases): for every (modality, fp) group — any sizes, any rank
+    multisets, any standing overlap — standing-known groups reject all
+    members as standing-dups and elect nobody; novel groups reject all
+    but exactly one, and the keeper is the (rank, doc_id) lexicographic
+    minimum. Deterministic sweep over a seeded grid (hypothesis-style
+    law, enumerated so the Spark session isn't re-entered per example)."""
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    batch_rows, standing_rows, expect_keeper = [], [], {}
+    doc = 100
+    for i, (mod, n, standing) in enumerate(
+        itertools.product(["image", "audio", "video"], [1, 2, 4], [0, 1])
+    ):
+        fp = f"fp{i}"
+        members = []
+        for _ in range(n):
+            members.append((doc, mod, fp, rng.randint(0, 3)))
+            doc += 1
+        rng.shuffle(members)
+        batch_rows.extend(members)
+        if standing:
+            standing_rows.append((mod, fp))
+        else:
+            expect_keeper[(mod, fp)] = min(
+                (r, d) for d, _, _, r in members
+            )[1]
+    out = _decisions(spark, batch_rows, standing_rows)
+    for d, mod, fp, _ in batch_rows:
+        row = out.loc[d]
+        if (mod, fp) not in expect_keeper:
+            assert row["media_dup_standing"] and not row["media_dup_batch"]
+        else:
+            assert not row["media_dup_standing"]
+            assert row["media_dup_batch"] == (d != expect_keeper[(mod, fp)])
