@@ -15,9 +15,16 @@ computation in disguise.  Per arriving batch:
   kept or gate-dropped;
 - among the batch's arrivals of an UNSEEN cluster, the keep-best
   keeper (n_tokens desc, doc_id — the dedup_keep_best_quality
-  ordering) is admitted iff it passes the composite quality gate;
+  ordering) is admitted iff it passes the composite quality gate AND
+  the media stage (non-carrier, or its perceptual media cluster's
+  survivor — the pipeline35 media_keep_decision term, r13);
 - every arriving cluster is then marked seen, gate outcome
   notwithstanding.
+
+Drop attribution follows the funnel's first-failing-stage order —
+gate, dedup, media (pipeline30's documented discipline): a doc that
+fails both the dedup election and the media stage lands in
+dedup_dropped; media_dropped requires winning the dedup election.
 
 The DuckDB oracle is the sequential recurrence COLLAPSED in closed
 form: first-seen-wins means a cluster admits only in its minimal
@@ -69,6 +76,10 @@ from go_map_reduce_spark.operators.pipeline23 import (
     doc_quality_composite_gate,
 )
 from go_map_reduce_spark.operators.pipeline26 import leakage_safe_split
+from go_map_reduce_spark.operators.pipeline35 import (
+    _carrier,
+    media_survivor_ids,
+)
 from go_map_reduce_spark.operators.textstats import text_quality_scores
 from go_map_reduce_spark.registry import ORACLES, query
 from go_map_reduce_spark.session import ensure_session_confs
@@ -79,10 +90,20 @@ N_STREAM_BATCHES = 4  # micro-batches; batch_id = doc_id % N (one file each)
 
 def _admit_side(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc static verdict frame the stream joins each micro-batch
-    against: (doc_id, group_id, gate_ok, n_tokens) from the registered
-    stage operators — one definition of 'the pipeline's decisions',
-    materialized once per run (eager localCheckpoint: four micro-
-    batches re-read blocks instead of re-running the stages)."""
+    against: (doc_id, group_id, gate_ok, n_tokens, media_ok) from the
+    registered stage operators — one definition of 'the pipeline's
+    decisions', materialized once per run (eager localCheckpoint: four
+    micro-batches re-read blocks instead of re-running the stages).
+
+    media_ok (r13) is the pipeline35 media stage as a BROADCAST term:
+    left-join the tiny admitted-carrier survivor set
+    (``media_survivor_ids`` — ≤ #perceptual clusters rows) and pass
+    non-carriers vacuously — the identical two units
+    ``media_keep_decision`` composes, minus its extra documents scan
+    (the side frame already carries every doc_id), so the stream's
+    media verdict cannot drift from the batch funnel's and adds ZERO
+    shuffles to the side build."""
+    sv = media_survivor_ids(spark, sf_dir).withColumn("is_sv", F.lit(True))
     return (
         leakage_safe_split(spark, sf_dir)
         .select("doc_id", "group_id")
@@ -98,6 +119,12 @@ def _admit_side(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0)).cast("long"))
+        .join(F.broadcast(sv), "doc_id", "left")
+        .withColumn(
+            "media_ok",
+            ~_carrier(F.col("doc_id")) | F.coalesce("is_sv", F.lit(False)),
+        )
+        .drop("is_sv")
         .localCheckpoint(eager=True)
     )
 
@@ -164,16 +191,24 @@ def _decide_batch(
     else:
         b = b.withColumn("is_seen", F.lit(False))
     w = W.partitionBy("group_id").orderBy(F.desc("n_tokens"), "doc_id")
-    return b.withColumn("rk", F.row_number().over(w)).select(
-        "doc_id",
-        "batch_id",
-        "group_id",
-        "gate_ok",
-        "n_tokens",
-        "is_seen",
-        (F.col("gate_ok") & ~F.col("is_seen") & (F.col("rk") == 1)).alias(
-            "admitted"
-        ),
+    return (
+        b.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "dedup_ok", ~F.col("is_seen") & (F.col("rk") == 1)
+        )
+        .select(
+            "doc_id",
+            "batch_id",
+            "group_id",
+            "gate_ok",
+            "n_tokens",
+            "is_seen",
+            "dedup_ok",
+            "media_ok",
+            (
+                F.col("gate_ok") & F.col("dedup_ok") & F.col("media_ok")
+            ).alias("admitted"),
+        )
     )
 
 
@@ -188,12 +223,17 @@ def _next_seen(marked_groups: DataFrame, prev: DataFrame | None) -> DataFrame:
 def _funnel_agg(dec: DataFrame) -> DataFrame:
     """Per-batch funnel aggregate over UNIQUE (batch_id, doc_id)
     decisions (shared by both sinks; the append sink dedups first,
-    the transactional sink's protocol guarantees uniqueness)."""
+    the transactional sink's protocol guarantees uniqueness).  Drops
+    attribute to the FIRST failing stage — gate, dedup, media — so the
+    funnel telescopes: docs_in = gate_dropped + dedup_dropped +
+    media_dropped + admitted (the pipeline30 attribution order)."""
+    gate, ddp, med = F.col("gate_ok"), F.col("dedup_ok"), F.col("media_ok")
     adm = F.col("admitted")
     return dec.groupBy("batch_id").agg(
         F.count(F.lit(1)).alias("docs_in"),
-        F.sum((~F.col("gate_ok")).cast("long")).alias("gate_dropped"),
-        F.sum((F.col("gate_ok") & ~adm).cast("long")).alias("dedup_dropped"),
+        F.sum((~gate).cast("long")).alias("gate_dropped"),
+        F.sum((gate & ~ddp).cast("long")).alias("dedup_dropped"),
+        F.sum((gate & ddp & ~med).cast("long")).alias("media_dropped"),
         F.sum(adm.cast("long")).alias("admitted"),
         F.sum(F.when(adm, F.col("n_tokens")).otherwise(0))
         .cast("long")
@@ -294,13 +334,16 @@ def _admit_funnel(spark: SparkSession, dec_dir: str) -> DataFrame:
     WITH splitq AS ({ORACLES["leakage_safe_split"]}),
     gateq AS ({ORACLES["doc_quality_composite_gate"]}),
     qual AS ({ORACLES["text_quality_scores"]}),
+    mediaq AS ({ORACLES["media_admit_decision"]}),
     b AS (
       SELECT s.doc_id, s.doc_id % {N_STREAM_BATCHES} AS batch_id,
              s.group_id, (g.verdict = 'keep') AS gate_ok,
-             CAST(COALESCE(q.n_tokens, 0) AS BIGINT) AS n_tokens
+             CAST(COALESCE(q.n_tokens, 0) AS BIGINT) AS n_tokens,
+             m.media_ok
       FROM splitq s
       JOIN gateq g ON g.doc_id = s.doc_id
       LEFT JOIN qual q ON q.doc_id = s.doc_id
+      JOIN mediaq m ON m.doc_id = s.doc_id
     ),
     fb AS (SELECT group_id, MIN(batch_id) AS first_b FROM b GROUP BY group_id),
     k AS (
@@ -311,9 +354,8 @@ def _admit_funnel(spark: SparkSession, dec_dir: str) -> DataFrame:
         ON f.group_id = b.group_id AND b.batch_id = f.first_b
     ),
     d AS (
-      SELECT b.batch_id, b.gate_ok, b.n_tokens,
-             (b.gate_ok AND b.batch_id = f.first_b
-              AND COALESCE(k.rk, 0) = 1) AS admitted
+      SELECT b.batch_id, b.gate_ok, b.n_tokens, b.media_ok,
+             (b.batch_id = f.first_b AND COALESCE(k.rk, 0) = 1) AS dedup_ok
       FROM b
       JOIN fb f ON f.group_id = b.group_id
       LEFT JOIN k ON k.doc_id = b.doc_id
@@ -322,11 +364,14 @@ def _admit_funnel(spark: SparkSession, dec_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS docs_in,
            CAST(SUM(CASE WHEN NOT gate_ok THEN 1 ELSE 0 END) AS BIGINT)
              AS gate_dropped,
-           CAST(SUM(CASE WHEN gate_ok AND NOT admitted THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN gate_ok AND NOT dedup_ok THEN 1 ELSE 0 END)
                 AS BIGINT) AS dedup_dropped,
-           CAST(SUM(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
-             AS admitted,
-           CAST(SUM(CASE WHEN admitted THEN n_tokens ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN gate_ok AND dedup_ok AND NOT media_ok
+                         THEN 1 ELSE 0 END) AS BIGINT) AS media_dropped,
+           CAST(SUM(CASE WHEN gate_ok AND dedup_ok AND media_ok
+                         THEN 1 ELSE 0 END) AS BIGINT) AS admitted,
+           CAST(SUM(CASE WHEN gate_ok AND dedup_ok AND media_ok
+                         THEN n_tokens ELSE 0 END) AS BIGINT)
              AS tokens_admitted
     FROM d GROUP BY batch_id
     """,
@@ -336,11 +381,13 @@ def streaming_curation_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 mtime-ordered micro-batches (batch_id = doc_id % 4, one file
     per trigger); each batch is
     admitted against the seen-cluster state of the previous batches
-    (module docstring has the full state machine).  Returns the
-    per-batch funnel — docs_in, gate_dropped, dedup_dropped,
+    (module docstring has the full state machine), with the media
+    stage applied to the dedup winner (r13).  Returns the per-batch
+    funnel — docs_in, gate_dropped, dedup_dropped, media_dropped,
     admitted, tokens_admitted — and the oracle replays the sequential
-    recurrence in closed form (min-batch per cluster + keeper rank),
-    so the gate pins streaming state = batch semantics."""
+    recurrence in closed form (min-batch per cluster + keeper rank +
+    the media_admit_decision CTE), so the gate pins streaming state =
+    batch semantics."""
     ensure_session_confs(spark)
     tmp = tempfile.mkdtemp(prefix="gmrs_stream_admit_")
     try:

@@ -81,14 +81,19 @@ def crosspin(spark, sf_dir):
 
 def test_stream_side_matches_its_closed_form(spark, sf_dir, crosspin):
     """On this slicing the stream's admitted set has a closed form:
-    gate-ok batch docs whose cluster has NO standing member (the batch
-    form's has_index, derived from the same leakage_safe_split groups)
-    and that are their cluster's batch keeper."""
+    gate-ok, media-ok batch docs whose cluster has NO standing member
+    (the batch form's has_index, derived from the same
+    leakage_safe_split groups) and that are their cluster's batch
+    keeper.  (Both policies read the same pipeline35 media stage —
+    r13.)"""
     stream_admitted, batch_rows, _, keepers = crosspin
     expected = {
         d
         for d, r in batch_rows.items()
-        if r["gate_ok"] and not r["has_index"] and d in keepers
+        if r["gate_ok"]
+        and r["media_ok"]
+        and not r["has_index"]
+        and d in keepers
     }
     assert stream_admitted == expected
 
@@ -111,17 +116,19 @@ def test_divergence_is_exactly_keeper_identity(spark, sf_dir, crosspin):
     batch_admitted = {
         d
         for d, r in batch_rows.items()
-        if r["gate_ok"] and r["admit_ok"]
+        if r["gate_ok"] and r["admit_ok"] and r["media_ok"]
     }
     only_stream = stream_admitted - batch_admitted
     only_batch = batch_admitted - stream_admitted
     for d in only_stream:
         r = batch_rows[d]
-        assert r["gate_ok"] and not r["has_index"] and d in keepers, d
+        assert r["gate_ok"] and r["media_ok"], d
+        assert not r["has_index"] and d in keepers, d
         assert not dedup_ok[d] or r["direct_match"], d
     for d in only_batch:
         r = batch_rows[d]
-        assert r["gate_ok"] and not r["has_index"], d
+        assert r["gate_ok"] and r["media_ok"], d
+        assert not r["has_index"], d
         assert dedup_ok[d] and not r["direct_match"], d
         assert d not in keepers, d  # outranked by the stream keeper
     # and the agreement is the normal case, not vacuous

@@ -48,11 +48,16 @@ def test_funnel_telescopes_and_single_admit_per_cluster(spark, sf_dir):
     rows = QUERIES["streaming_curation_admit"](spark, sf_dir).collect()
     assert len(rows) == N_STREAM_BATCHES
     for r in rows:
-        assert (
-            r["docs_in"]
-            == r["gate_dropped"] + r["dedup_dropped"] + r["admitted"]
+        assert r["docs_in"] == (
+            r["gate_dropped"]
+            + r["dedup_dropped"]
+            + r["media_dropped"]
+            + r["admitted"]
         ), r
         assert r["tokens_admitted"] >= r["admitted"] >= 0, r
+    # the media stage really drops carrier non-survivors in the stream
+    # (r13) — non-vacuous, not a column of zeros
+    assert sum(r["media_dropped"] for r in rows) > 0
     # the whole corpus arrived exactly once
     import pyspark.sql.functions as F  # noqa: F811
 
@@ -123,7 +128,8 @@ def test_collapse_law_holds_for_arbitrary_slicing(spark, sf_dir):
     doc_id % 4: slice into 3 batches by the engine's md5-permille
     draw, run the real stream, and compare the per-doc admitted set
     against the collapsed replay (min batch per cluster + keeper rank
-    among minimal-batch members + gate) computed directly in Spark."""
+    among minimal-batch members + gate + media) computed directly in
+    Spark."""
     from pyspark.sql import Window as W
 
     from go_map_reduce_spark.operators.pipeline26 import permille_draw_col
@@ -158,7 +164,7 @@ def test_collapse_law_holds_for_arbitrary_slicing(spark, sf_dir):
     expected = {
         r["doc_id"]
         for r in first.withColumn("rk", F.row_number().over(w))
-        .where(F.col("gate_ok") & (F.col("rk") == 1))
+        .where(F.col("gate_ok") & (F.col("rk") == 1) & F.col("media_ok"))
         .collect()
     }
     assert got == expected
