@@ -79,6 +79,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline37,
     pipeline38,
     pipeline39,
+    pipeline40,
     sqlsurface,
     stats,
     quality_filters,

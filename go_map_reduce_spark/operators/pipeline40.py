@@ -1,0 +1,497 @@
+"""Round-13 extension batch: per-source funnel attribution, the capped
+mixture (water-filling), and k-anonymity cohort release.
+
+Three operators a production training-data pipeline reads right after
+the ones this repo already ships:
+
+- ``curation_funnel_by_source``: the staged funnel re-attributed per
+  SOURCE instead of per split — "which crawl is dedup eating" is the
+  first question after the per-split funnel says something shrank.
+  Same first-failing-stage discipline (gate → dedup → media), same
+  one staged decision frame.
+
+- ``mixture_cap_waterfill``: ``source_mixture_plan`` (pipeline39)
+  FLAGS sources whose temperature share replays them past the
+  memorization cap; this operator FIXES the plan — clamp every
+  flagged source at the cap and redistribute the freed token budget
+  among the uncapped sources in proportion to their temperature
+  weights, repeated to the fixed point.  That fixed point is
+  water-filling and has a closed form: allocation_s =
+  min(λ·w_s, cap·tok_s) with the unique λ making the allocations sum
+  to the budget.  Since w_s = sqrt(tok_s), the capping order is
+  simply ascending token mass, so λ falls out of ONE pass over the
+  source list sorted by (tokens, source): prefix-sum the capped mass
+  and the remaining weight, and pick the smallest prefix k whose
+  candidate λ_k = (budget − capped_k) / weight_left_k is consistent
+  (every capped source's waterline r_s = cap·sqrt(tok_s) ≤ λ_k ≤ the
+  next source's).  No iteration, no driver loop.
+
+  Float discipline: token masses, the budget, and the capped-mass
+  prefix are exact BIGINT arithmetic; sqrt is per-row IEEE
+  (correctly rounded, hence bit-identical across engines); the weight
+  total and its prefix ride the decimal detour
+  (functions/numeric.dsum's cast — summation-order-free), so every
+  λ candidate is one IEEE divide of two exactly-determined doubles
+  and the engines' comparisons agree bit-for-bit.  Outputs rounded
+  6dp (the match_jaccard precedent).
+
+- ``kanonymity_cohort_release``: before user interaction data feeds a
+  training pipeline, the release table must not isolate individuals:
+  generalize each user to a quasi-identifier cohort (activity volume
+  band × modal event type) and release only cohorts with ≥ K users;
+  smaller cohorts are suppressed into a single sentinel audit row
+  (vol_band −1 / top_type '*') that reports suppression VOLUME, not a
+  cohort.  This is the k-anonymity discipline (Sweeney 2002) as one
+  groupBy cascade — the data-minimization step GDPR erasure
+  (gdpr_erasure_cascade) and PII redaction (pii_redaction) don't
+  cover: those remove identifiers, this bounds re-identification by
+  cohort size.
+
+100 TB shape: the funnel-by-source is one map-side-combinable
+aggregate over the memoized staged frame joined to the narrow
+(doc_id, source) projection; the waterfill runs entirely on the
+#sources-row planning table (the single-partition window is over a
+frame that is tiny BY CONSTRUCTION — per-source aggregates — not a
+corpus sort); the k-anonymity cascade is two map-side-combinable
+aggregates on the natural user keys and one tiny cohort aggregate —
+no window over the corpus, no skew (user activity is bounded).
+
+Reference anchor: the wc/indexer per-key aggregation
+(mrapps/wc.go:21-44, mrapps/indexer.go:21-26) is the execution shape
+of all three; the funnel/mixture semantics extend the repo's own
+pipeline27/39 capstones.
+
+Composition queries import tier functions directly (package
+convention: the staleness closure must see the edges)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from go_map_reduce_spark.catalog import load_table
+from go_map_reduce_spark.operators.pipeline27 import (
+    STAGED_ORACLE,
+    staged_decisions,
+)
+from go_map_reduce_spark.operators.pipeline39 import EPOCH_CAP, TARGET_MULT
+from go_map_reduce_spark.registry import query
+
+# The waterfill clamps at pipeline39's flag threshold so "flagged by
+# the plan" and "capped by the fix" are the same set; integer so the
+# capped mass prefix stays exact BIGINT.
+CAP = int(EPOCH_CAP)
+assert float(CAP) == EPOCH_CAP, "cap must be integral for exact prefixes"
+
+K_ANON = 5  # minimum cohort size a released row may have
+VOL_BAND_DIV = 8  # events-per-user band width (n_events // 8)
+
+
+# --------------------------------------------------------------------------
+# Per-source funnel attribution
+# --------------------------------------------------------------------------
+
+
+@query(
+    "curation_funnel_by_source",
+    oracle=f"""
+    WITH staged AS ({STAGED_ORACLE}),
+    j AS (
+      SELECT d.source, st.gate_ok, st.dedup_ok, st.media_ok,
+             st.n_tokens - st.n_removed AS tok
+      FROM staged st JOIN documents d ON d.doc_id = st.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs_in,
+           CAST(SUM(CASE WHEN NOT gate_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS gate_dropped,
+           CAST(SUM(CASE WHEN gate_ok AND NOT dedup_ok THEN 1 ELSE 0 END)
+                AS BIGINT) AS dedup_dropped,
+           CAST(SUM(CASE WHEN gate_ok AND dedup_ok AND NOT media_ok
+                         THEN 1 ELSE 0 END) AS BIGINT) AS media_dropped,
+           CAST(SUM(CASE WHEN gate_ok AND dedup_ok AND media_ok
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+           CAST(SUM(CASE WHEN gate_ok AND dedup_ok AND media_ok
+                         THEN tok ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM j GROUP BY source
+    """,
+)
+def curation_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel attributed per SOURCE: docs in, drops per
+    first-failing stage (gate → dedup → media — the pipeline27/30
+    attribution order), docs and post-cut tokens kept.  The per-split
+    funnel (curation_pipeline_e2e) answers "is the pipeline healthy";
+    this answers the follow-up — WHICH corpus a stage is eating, the
+    view that catches a single crawl full of boilerplate or
+    re-uploaded media before it skews the mixture.
+
+    100 TB shape: one aggregate over the memoized staged decision
+    frame joined to the narrow (doc_id, source) projection —
+    map-side-combinable counts, no window, the same plan class as the
+    dataset card's per-split slice."""
+    staged = staged_decisions(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    gate, ddp, med = F.col("gate_ok"), F.col("dedup_ok"), F.col("media_ok")
+    kept = gate & ddp & med
+    return (
+        staged.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_in"),
+            F.sum((~gate).cast("long")).alias("gate_dropped"),
+            F.sum((gate & ~ddp).cast("long")).alias("dedup_dropped"),
+            F.sum((gate & ddp & ~med).cast("long")).alias("media_dropped"),
+            F.sum(kept.cast("long")).alias("docs_kept"),
+            F.sum(
+                F.when(kept, F.col("n_tokens") - F.col("n_removed")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Capped mixture: water-filling redistribution
+# --------------------------------------------------------------------------
+
+# The kept-mass CTE shared with pipeline39's plan — re-stated (not
+# imported as SQL) because this oracle additionally needs the windowed
+# prefixes; the Spark side reuses staged_decisions, the one decision
+# frame, so the two queries cannot disagree about WHAT was kept.
+_WF_PER_SRC = f"""
+    staged AS ({STAGED_ORACLE}),
+    kept AS (
+      SELECT d.source, st.n_tokens - st.n_removed AS tok
+      FROM staged st JOIN documents d ON d.doc_id = st.doc_id
+      WHERE st.gate_ok AND st.dedup_ok AND st.media_ok
+    ),
+    per_src AS (
+      SELECT source, CAST(SUM(tok) AS BIGINT) AS tokens_kept
+      FROM kept GROUP BY source
+    )
+"""
+
+
+@query(
+    "mixture_cap_waterfill",
+    oracle=f"""
+    WITH {_WF_PER_SRC},
+    tot AS (
+      SELECT CAST(SUM(tokens_kept) AS BIGINT) AS total,
+             SUM(CAST(sqrt(CAST(tokens_kept AS DOUBLE)) AS DECIMAL(38,6)))
+               AS wdec,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM per_src
+    ),
+    ordered AS (
+      SELECT source, tokens_kept,
+             sqrt(CAST(tokens_kept AS DOUBLE)) AS w,
+             {CAP}.0 * sqrt(CAST(tokens_kept AS DOUBLE)) AS r,
+             row_number() OVER
+               (ORDER BY tokens_kept, source) AS rk,
+             SUM({CAP} * tokens_kept) OVER
+               (ORDER BY tokens_kept, source
+                ROWS UNBOUNDED PRECEDING) AS p,
+             SUM(CAST(sqrt(CAST(tokens_kept AS DOUBLE)) AS DECIMAL(38,6)))
+               OVER (ORDER BY tokens_kept, source
+                     ROWS UNBOUNDED PRECEDING) AS sw,
+             lead({CAP}.0 * sqrt(CAST(tokens_kept AS DOUBLE))) OVER
+               (ORDER BY tokens_kept, source) AS lead_r
+      FROM per_src
+    ),
+    cand AS (
+      SELECT o.rk,
+             CAST({TARGET_MULT} * t.total - o.p AS DOUBLE)
+               / CAST(t.wdec - o.sw AS DOUBLE) AS lam,
+             o.r, o.lead_r
+      FROM ordered o, tot t WHERE o.rk < t.n
+    ),
+    valid AS (
+      SELECT rk, lam FROM cand
+      WHERE r <= lam AND (lead_r IS NULL OR lam <= lead_r)
+    ),
+    chosen AS (
+      SELECT t.n, t.total, CAST(t.wdec AS DOUBLE) AS wtot,
+             CASE WHEN CAST({TARGET_MULT} * t.total AS DOUBLE)
+                       / CAST(t.wdec AS DOUBLE)
+                       <= (SELECT MIN(r) FROM ordered)
+                  THEN 0
+                  ELSE COALESCE((SELECT MIN(rk) FROM valid), t.n)
+             END AS kstar,
+             CASE WHEN CAST({TARGET_MULT} * t.total AS DOUBLE)
+                       / CAST(t.wdec AS DOUBLE)
+                       <= (SELECT MIN(r) FROM ordered)
+                  THEN CAST({TARGET_MULT} * t.total AS DOUBLE)
+                       / CAST(t.wdec AS DOUBLE)
+                  ELSE COALESCE(
+                       (SELECT lam FROM valid
+                        WHERE rk = (SELECT MIN(rk) FROM valid)), 0.0)
+             END AS lam
+      FROM tot t
+    )
+    SELECT o.source, o.tokens_kept,
+           round({TARGET_MULT}.0 * c.total * (o.w / c.wtot)
+                 / o.tokens_kept, 6) AS uncapped_epochs,
+           o.rk <= c.kstar AS capped,
+           round(CASE WHEN o.rk <= c.kstar
+                      THEN CAST({CAP} * o.tokens_kept AS DOUBLE)
+                      ELSE c.lam * o.w END, 6) AS alloc_tokens,
+           round(CASE WHEN o.rk <= c.kstar
+                      THEN CAST({CAP} * o.tokens_kept AS DOUBLE)
+                      ELSE c.lam * o.w END
+                 / CAST(o.tokens_kept AS DOUBLE), 6) AS epochs_final
+    FROM ordered o, chosen c
+    """,
+)
+def mixture_cap_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPPED training mixture: clamp every source whose
+    temperature allocation would replay it past {CAP} epochs and
+    water-fill the freed budget across the uncapped sources in
+    proportion to their sqrt-temperature weights (module docstring
+    derives the closed form).  Per source: kept token mass, the
+    uncapped plan's epochs (= pipeline39's planned_epochs), whether
+    the cap binds, and the final allocation/epochs.  Invariants the
+    tests pin: allocations sum to the {TARGET_MULT}x-total budget,
+    capped sources sit exactly at {CAP} epochs, uncapped sources
+    below it, and capped ⇔ the uncapped plan's over_cap flag whenever
+    a single redistribution round suffices (synthetic frames pin the
+    cascade case where it doesn't).
+
+    100 TB shape: everything past the per-source aggregate runs on
+    the #sources-row planning table — the single-partition window is
+    over a deliberately tiny frame (per-source totals), not corpus
+    rows; the corpus-side cost is the one map-side-combinable
+    aggregate the mixture plan already pays."""
+    staged = staged_decisions(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per_src = (
+        staged.where("gate_ok AND dedup_ok AND media_ok")
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("n_tokens") - F.col("n_removed"))
+            .cast("long")
+            .alias("tokens_kept")
+        )
+    )
+    return waterfill_alloc(per_src)
+
+
+def waterfill_alloc(
+    per_src: DataFrame, target_mult: int = TARGET_MULT, cap: int = CAP
+) -> DataFrame:
+    """The closed-form water-fill over a (source, tokens_kept) frame —
+    factored out of the registered query so synthetic frames can pin
+    the algorithm (cascade capping, the all-capped infeasible edge,
+    equality at the waterline) against an iterative reference.  When
+    the budget exceeds cap·total (infeasible), every source caps and
+    the shortfall is visible as Σ alloc < budget."""
+    w = F.sqrt(F.col("tokens_kept").cast("double"))
+    wdec = w.cast("decimal(38,6)")
+    tot = per_src.agg(
+        F.sum("tokens_kept").cast("long").alias("total"),
+        F.sum(wdec).alias("wdec"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    ow = W.orderBy("tokens_kept", "source")
+    pre = ow.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ordered = per_src.select(
+        "source",
+        "tokens_kept",
+        w.alias("w"),
+        (F.lit(float(cap)) * w).alias("r"),
+        F.row_number().over(ow).alias("rk"),
+        F.sum(F.lit(cap) * F.col("tokens_kept")).over(pre).alias("p"),
+        F.sum(wdec).over(pre).alias("sw"),
+        F.lead(F.lit(float(cap)) * w).over(ow).alias("lead_r"),
+    ).crossJoin(F.broadcast(tot))
+    budget = F.lit(target_mult) * F.col("total")
+    lam_k = (budget - F.col("p")).cast("double") / (
+        F.col("wdec") - F.col("sw")
+    ).cast("double")
+    cand = ordered.where(F.col("rk") < F.col("n")).select(
+        "rk",
+        lam_k.alias("lam"),
+        "r",
+        "lead_r",
+    )
+    valid = cand.where(
+        (F.col("r") <= F.col("lam"))
+        & (F.col("lead_r").isNull() | (F.col("lam") <= F.col("lead_r")))
+    ).agg(
+        F.min("rk").alias("vrk"), F.min_by("lam", "rk").alias("vlam")
+    )
+    lam0 = budget.cast("double") / F.col("wdec").cast("double")
+    chosen = (
+        tot.crossJoin(
+            F.broadcast(per_src.agg(F.min(F.lit(float(cap)) * w).alias("rmin")))
+        )
+        .crossJoin(F.broadcast(valid))
+        .select(
+            F.when(lam0 <= F.col("rmin"), F.lit(0))
+            .otherwise(F.coalesce("vrk", F.col("n")))
+            .cast("long")
+            .alias("kstar"),
+            F.when(lam0 <= F.col("rmin"), lam0)
+            .otherwise(F.coalesce("vlam", F.lit(0.0)))
+            .alias("lam"),
+        )
+    )
+    # ordered already carries total/wdec from its own totals cross join,
+    # so chosen ships only the waterline (kstar, lam) — no dup columns.
+    out = ordered.crossJoin(F.broadcast(chosen))
+    capped = F.col("rk") <= F.col("kstar")
+    alloc = F.when(
+        capped, (F.lit(cap) * F.col("tokens_kept")).cast("double")
+    ).otherwise(F.col("lam") * F.col("w"))
+    uncapped_epochs = (
+        F.lit(float(target_mult))
+        * F.col("total").cast("double")
+        * (F.col("w") / F.col("wdec").cast("double"))
+        / F.col("tokens_kept")
+    )
+    return out.select(
+        "source",
+        "tokens_kept",
+        F.round(uncapped_epochs, 6).alias("uncapped_epochs"),
+        capped.alias("capped"),
+        F.round(alloc, 6).alias("alloc_tokens"),
+        F.round(alloc / F.col("tokens_kept").cast("double"), 6).alias(
+            "epochs_final"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity cohort release
+# --------------------------------------------------------------------------
+
+
+@query(
+    "kanonymity_cohort_release",
+    oracle=f"""
+    WITH tc AS (
+      SELECT user_id, event_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt_t,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_t
+      FROM events GROUP BY user_id, event_type
+    ),
+    top AS (
+      SELECT user_id, event_type AS top_type FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY cnt_t DESC, event_type) AS trk
+        FROM tc
+      ) WHERE trk = 1
+    ),
+    prof AS (
+      SELECT t.user_id,
+             CAST(SUM(t.cnt_t) AS BIGINT) AS n_ev,
+             CAST(SUM(t.cents_t) AS BIGINT) AS cents,
+             MIN(p.top_type) AS top_type
+      FROM tc t JOIN top p ON p.user_id = t.user_id
+      GROUP BY t.user_id
+    ),
+    cohort AS (
+      SELECT n_ev // {VOL_BAND_DIV} AS vol_band, top_type,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(n_ev) AS BIGINT) AS n_events,
+             CAST(SUM(cents) AS BIGINT) AS value_cents
+      FROM prof GROUP BY 1, 2
+    )
+    SELECT vol_band, top_type, TRUE AS released,
+           n_users, n_events, value_cents
+    FROM cohort WHERE n_users >= {K_ANON}
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), '*', FALSE,
+           CAST(SUM(n_users) AS BIGINT),
+           CAST(SUM(n_events) AS BIGINT),
+           CAST(SUM(value_cents) AS BIGINT)
+    FROM cohort WHERE n_users < {K_ANON}
+    HAVING COUNT(*) > 0
+    """,
+)
+def kanonymity_cohort_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymous release of per-user activity: generalize each user
+    to the quasi-identifier cohort (volume band = events //
+    {VOL_BAND_DIV}, modal event type — ties broken deterministically
+    by count desc then type asc), release only cohorts holding ≥
+    {K_ANON} users, and fold every smaller cohort into one sentinel
+    audit row (vol_band −1, top_type '*', released FALSE) so the
+    suppression volume is visible without re-identifying anyone.
+    Event values are released as exact integer cents (the
+    price_quantity_correlation integer-factor discipline — no float
+    aggregate anywhere).
+
+    100 TB shape: two map-side-combinable aggregates on the natural
+    (user_id, event_type) / user_id keys — the modal type is a packed
+    struct arg-min inside the second, NOT a corpus window — then a
+    #cohorts-row aggregate.  User activity is bounded, so no skew
+    handling is needed on the user key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return kanon_release(kanon_cohorts(ev))
+
+
+def kanon_cohorts(ev: DataFrame) -> DataFrame:
+    """QI-cohort aggregate of an (user_id, event_type, cents) frame —
+    factored out so synthetic frames can pin the modal tie-break and
+    the band arithmetic through the exact production cascade."""
+    tc = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_t"),
+        F.sum("cents").cast("long").alias("cents_t"),
+    )
+    prof = tc.groupBy("user_id").agg(
+        F.sum("cnt_t").cast("long").alias("n_ev"),
+        F.sum("cents_t").cast("long").alias("cents"),
+        F.min_by(
+            "event_type",
+            F.struct((-F.col("cnt_t")).alias("a"), F.col("event_type").alias("b")),
+        ).alias("top_type"),
+    )
+    return prof.groupBy(
+        (F.col("n_ev") / VOL_BAND_DIV).cast("long").alias("vol_band"),
+        "top_type",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_ev").cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("value_cents"),
+    )
+
+
+def kanon_release(cohort: DataFrame) -> DataFrame:
+    """Split a cohort frame into released rows (≥ K_ANON users) plus
+    the single suppressed sentinel (absent when nothing suppresses)."""
+    released = cohort.where(F.col("n_users") >= K_ANON).select(
+        "vol_band",
+        "top_type",
+        F.lit(True).alias("released"),
+        "n_users",
+        "n_events",
+        "value_cents",
+    )
+    suppressed = (
+        cohort.where(F.col("n_users") < K_ANON)
+        .agg(
+            F.sum("n_users").cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("value_cents").cast("long").alias("value_cents"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+        .where(F.col("n_cells") > 0)
+        .select(
+            F.lit(-1).cast("long").alias("vol_band"),
+            F.lit("*").alias("top_type"),
+            F.lit(False).alias("released"),
+            "n_users",
+            "n_events",
+            "value_cents",
+        )
+    )
+    return released.unionByName(suppressed)

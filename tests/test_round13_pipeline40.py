@@ -1,0 +1,256 @@
+"""Round-13 extension batch: per-source funnel, capped-mixture
+water-filling, k-anonymity release — oracle differentials plus the
+semantics the oracle can't express (closed form == iterative fixed
+point, conservation, reconciliation with the e2e funnel, suppression
+accounting, tie-break determinism)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_map_reduce_spark.operators.pipeline40 import (
+    CAP,
+    K_ANON,
+    VOL_BAND_DIV,
+    kanon_cohorts,
+    kanon_release,
+    waterfill_alloc,
+)
+from go_map_reduce_spark.registry import ORACLES, QUERIES
+
+from tests.oracle_util import compare
+
+
+def test_funnel_by_source_against_duckdb_oracle(spark, sf_dir):
+    compare(
+        QUERIES["curation_funnel_by_source"](spark, sf_dir),
+        ORACLES["curation_funnel_by_source"],
+        sf_dir,
+    )
+
+
+def test_waterfill_against_duckdb_oracle(spark, sf_dir):
+    compare(
+        QUERIES["mixture_cap_waterfill"](spark, sf_dir),
+        ORACLES["mixture_cap_waterfill"],
+        sf_dir,
+    )
+
+
+def test_kanonymity_against_duckdb_oracle(spark, sf_dir):
+    compare(
+        QUERIES["kanonymity_cohort_release"](spark, sf_dir),
+        ORACLES["kanonymity_cohort_release"],
+        sf_dir,
+    )
+
+
+def test_funnel_by_source_telescopes_and_reconciles(spark, sf_dir):
+    """Per source: docs_in = gate + dedup + media + kept (the
+    first-failing-stage attribution telescopes); summed over sources
+    every stage count equals the e2e funnel's sum over splits — both
+    aggregate the SAME staged decision frame, so the two views cannot
+    disagree about what the pipeline did."""
+    by_src = QUERIES["curation_funnel_by_source"](spark, sf_dir).toPandas()
+    assert len(by_src) > 1
+    lhs = by_src["docs_in"]
+    rhs = (
+        by_src["gate_dropped"]
+        + by_src["dedup_dropped"]
+        + by_src["media_dropped"]
+        + by_src["docs_kept"]
+    )
+    assert (lhs == rhs).all()
+
+    e2e = QUERIES["curation_pipeline_e2e"](spark, sf_dir).toPandas()
+    for col in (
+        "docs_in",
+        "gate_dropped",
+        "dedup_dropped",
+        "media_dropped",
+        "tokens_kept",
+    ):
+        if col in e2e.columns:
+            assert int(by_src[col].sum()) == int(e2e[col].sum()), col
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert int(by_src["docs_in"].sum()) == n_docs
+
+
+def _iterative_waterfill(toks: dict, target_mult: int, cap: int):
+    """Reference implementation: clamp over-cap sources and
+    redistribute until the fixed point.  Returns (alloc dict, rounds,
+    capped set)."""
+    budget = target_mult * sum(toks.values())
+    capped: set = set()
+    rounds = 0
+    while True:
+        free = {s: t for s, t in toks.items() if s not in capped}
+        left = budget - cap * sum(toks[s] for s in capped)
+        wsum = sum(math.sqrt(t) for t in free.values())
+        if not free:
+            break
+        lam = left / wsum
+        newly = [s for s, t in free.items() if lam * math.sqrt(t) > cap * t]
+        if not newly:
+            break
+        capped.update(newly)
+        rounds += 1
+    alloc = {
+        s: (cap * t if s in capped else lam * math.sqrt(t))
+        for s, t in toks.items()
+    }
+    return alloc, rounds, capped
+
+
+def _run_waterfill(spark, toks: dict, target_mult: int, cap: int):
+    per_src = spark.createDataFrame(
+        [(s, int(t)) for s, t in toks.items()], "source string, tokens_kept long"
+    )
+    return {
+        r["source"]: r.asDict()
+        for r in waterfill_alloc(per_src, target_mult, cap).collect()
+    }
+
+
+@pytest.mark.parametrize(
+    "toks,target_mult,cap,want_rounds",
+    [
+        # no cap binds: everything fits under a generous cap
+        ({"a": 100, "b": 400, "c": 900}, 3, 100, 0),
+        # single round: tiny sources cap, the big one absorbs
+        ({"a": 16, "b": 10_000}, 3, 4, 1),
+        # CASCADE: capping a frees enough budget to push the waterline
+        # past b's cap in the SECOND round (derivation in-line: lam0 ~
+        # 23574 < r_b ~ 25298 < lam1 ~ 25483)
+        ({"a": 4_000_000, "b": 40_000_000, "c": 100_000_000}, 3, 4, 2),
+    ],
+)
+def test_waterfill_equals_iterative_fixed_point(
+    spark, toks, target_mult, cap, want_rounds
+):
+    """The closed form must equal the clamp-and-redistribute fixed
+    point on synthetic frames covering zero/one/two redistribution
+    rounds — the cascade case is the one a single-pass clamp gets
+    wrong."""
+    ref, rounds, capped = _iterative_waterfill(toks, target_mult, cap)
+    assert rounds == want_rounds  # the case really exercises its shape
+    got = _run_waterfill(spark, toks, target_mult, cap)
+    assert set(got) == set(toks)
+    for s, row in got.items():
+        assert row["capped"] == (s in capped), s
+        assert row["alloc_tokens"] == pytest.approx(ref[s], rel=1e-9), s
+    budget = target_mult * sum(toks.values())
+    assert sum(r["alloc_tokens"] for r in got.values()) == pytest.approx(
+        budget, rel=1e-9
+    )
+
+
+def test_waterfill_infeasible_all_cap(spark):
+    """Budget beyond cap * total: every source caps and the shortfall
+    is visible as sum(alloc) < budget — no division blow-up, no
+    negative waterline."""
+    toks = {"a": 100, "b": 900}
+    got = _run_waterfill(spark, toks, target_mult=6, cap=4)
+    assert all(r["capped"] for r in got.values())
+    assert all(r["epochs_final"] == pytest.approx(4.0) for r in got.values())
+    assert sum(r["alloc_tokens"] for r in got.values()) == pytest.approx(
+        4 * 1000
+    )
+
+
+def test_waterfill_registered_invariants(spark, sf_dir):
+    """On the real corpus: allocations conserve the budget, capped
+    rows sit exactly at the cap, uncapped strictly below, the capped
+    set is a token-mass prefix, every over_cap source of the uncapped
+    plan is capped here, and uncapped sources only GAIN epochs from
+    the redistribution."""
+    out = QUERIES["mixture_cap_waterfill"](spark, sf_dir).toPandas()
+    assert len(out) > 1
+    assert out["capped"].any() and (~out["capped"]).any()
+
+    budget = 3 * int(out["tokens_kept"].sum())
+    assert out["alloc_tokens"].sum() == pytest.approx(budget, rel=1e-6)
+    capped = out[out["capped"]]
+    uncapped = out[~out["capped"]]
+    assert capped["epochs_final"].tolist() == pytest.approx(
+        [float(CAP)] * len(capped)
+    )
+    assert (uncapped["epochs_final"] < CAP).all()
+    assert capped["tokens_kept"].max() <= uncapped["tokens_kept"].min()
+    assert (uncapped["epochs_final"] >= uncapped["uncapped_epochs"] - 1e-9).all()
+
+    plan = QUERIES["source_mixture_plan"](spark, sf_dir).toPandas()
+    j = out.merge(plan[["source", "over_cap", "planned_epochs"]], on="source")
+    assert len(j) == len(out)
+    assert (j[j["over_cap"]]["capped"]).all(), "an over_cap source escaped"
+    # the two queries' uncapped-plan columns are the same number
+    assert j["uncapped_epochs"].tolist() == pytest.approx(
+        j["planned_epochs"].tolist(), abs=2e-6
+    )
+
+
+def test_kanonymity_release_accounting(spark, sf_dir):
+    """Every released cohort holds >= K users; released + suppressed
+    account for every user and every event exactly once; the
+    suppressed sentinel is present iff something was suppressed."""
+    out = QUERIES["kanonymity_cohort_release"](spark, sf_dir).toPandas()
+    rel = out[out["released"]]
+    sup = out[~out["released"]]
+    assert (rel["n_users"] >= K_ANON).all()
+    assert len(sup) <= 1
+    if len(sup):
+        assert sup.iloc[0]["vol_band"] == -1
+        assert sup.iloc[0]["top_type"] == "*"
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert int(out["n_users"].sum()) == n_users
+    assert int(out["n_events"].sum()) == n_events
+
+
+def test_kanonymity_tiebreak_and_bands(spark):
+    """Through the production cascade on a synthetic frame: modal-type
+    ties break (count desc, type asc); the volume band is
+    floor(n_events / div); a singleton cohort suppresses while a
+    K-sized cohort releases."""
+    rows = []
+    # users 0..4: identical profile (8 events, modal 'b') -> released
+    for u in range(5):
+        rows += [(u, "b", 10)] * 5 + [(u, "a", 10)] * 3
+    # user 9: tie 2x'z' vs 2x'c' -> modal 'c' (count desc, type asc);
+    # 4 events -> band 0; singleton cohort -> suppressed
+    rows += [(9, "z", 1), (9, "z", 1), (9, "c", 1), (9, "c", 1)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, cents long"
+    )
+    cohorts = {
+        (r["vol_band"], r["top_type"]): r.asDict()
+        for r in kanon_cohorts(ev).collect()
+    }
+    assert set(cohorts) == {(8 // VOL_BAND_DIV, "b"), (4 // VOL_BAND_DIV, "c")}
+    assert cohorts[(1, "b")]["n_users"] == 5
+    assert cohorts[(0, "c")]["n_users"] == 1
+
+    out = kanon_release(kanon_cohorts(ev)).collect()
+    rel = [r for r in out if r["released"]]
+    sup = [r for r in out if not r["released"]]
+    assert len(rel) == 1 and rel[0]["top_type"] == "b"
+    assert rel[0]["n_users"] == 5 and rel[0]["n_events"] == 40
+    assert len(sup) == 1 and sup[0]["n_users"] == 1
+    assert sup[0]["vol_band"] == -1 and sup[0]["top_type"] == "*"
+    assert sup[0]["value_cents"] == 4
+
+
+def test_kanonymity_no_suppression_row_when_nothing_suppressed(spark):
+    """The sentinel row is evidence of suppression, not a fixture: a
+    corpus where every cohort clears K emits no sentinel."""
+    rows = [(u, "a", 1) for u in range(K_ANON) for _ in range(3)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, cents long"
+    )
+    out = kanon_release(kanon_cohorts(ev)).collect()
+    assert len(out) == 1 and out[0]["released"]
+    assert out[0]["n_users"] == K_ANON
