@@ -69,12 +69,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from go_map_reduce_spark.catalog import load_table
+from go_map_reduce_spark.operators.events import user_sessions
 from go_map_reduce_spark.operators.pipeline27 import (
     STAGED_ORACLE,
     staged_decisions,
 )
 from go_map_reduce_spark.operators.pipeline39 import EPOCH_CAP, TARGET_MULT
-from go_map_reduce_spark.registry import query
+from go_map_reduce_spark.registry import ORACLES, query
 
 # The waterfill clamps at pipeline39's flag threshold so "flagged by
 # the plan" and "capped by the fix" are the same set; integer so the
@@ -495,3 +496,218 @@ def kanon_release(cohort: DataFrame) -> DataFrame:
         )
     )
     return released.unionByName(suppressed)
+
+
+# --------------------------------------------------------------------------
+# Events → training documents: the sessionized dialog corpus
+# --------------------------------------------------------------------------
+
+
+@query(
+    "session_dialog_corpus",
+    oracle=f"""
+    WITH s AS ({ORACLES["user_sessions"]}),
+    j AS (
+      SELECT e.user_id, s.session_id, e.ts, e.event_id,
+             e.event_type || '@'
+               || CAST(CAST(round(e.value * 100) AS BIGINT) AS VARCHAR)
+               AS turn
+      FROM events e
+      JOIN s ON s.user_id = e.user_id
+            AND e.ts >= s.session_start AND e.ts <= s.session_end
+    )
+    SELECT user_id, session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           string_agg(turn, ' | ' ORDER BY ts, event_id) AS text,
+           CAST(LENGTH(string_agg(turn, ' | ' ORDER BY ts, event_id))
+                AS BIGINT) AS n_chars
+    FROM j GROUP BY user_id, session_id
+    """,
+)
+def session_dialog_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interaction logs turned into training documents: one document
+    per user session (the registered 30-min-gap sessionization),
+    its text the time-ordered transcript of ``type@cents`` turns —
+    the events→documents bridge a chat-style training corpus is built
+    over before it enters the same gate/dedup/packing funnel as
+    crawled text.  Event values ride as exact integer cents so the
+    serialization is bit-stable across engines.
+
+    Session assignment REUSES the registered user_sessions operator:
+    a user's sessions are disjoint-by-construction (>30-min gaps), so
+    joining events into [session_start, session_end] on the user key
+    recovers the per-event assignment without duplicating the
+    lag/running-sum machinery.  Ordering inside a document is pinned
+    by (ts, event_id) — the sessionization's own total order.
+
+    100 TB shape: one equality join on user_id (the range predicate
+    is a post-join filter on the co-partitioned pair) and one
+    aggregate on (user_id, session_id) — the transcript assembly is a
+    sorted-struct fold inside the aggregate, no second corpus
+    shuffle; per-user data is bounded, so no skew handling."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.concat(
+            F.col("event_type"),
+            F.lit("@"),
+            F.round(F.col("value") * 100).cast("long").cast("string"),
+        ).alias("turn"),
+    )
+    sess = user_sessions(spark, sf_dir).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    j = ev.join(sess, "user_id").where(
+        (F.col("ts") >= F.col("session_start"))
+        & (F.col("ts") <= F.col("session_end"))
+    )
+    text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "turn"))
+            ),
+            lambda x: x["turn"],
+        ),
+        " | ",
+    )
+    return j.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        text.alias("text"),
+        F.length(text).cast("long").alias("n_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mixture plan → executable per-epoch schedule
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mixture_epoch_schedule",
+    oracle=f"""
+    WITH {_WF_PER_SRC},
+    tot AS (
+      SELECT CAST(SUM(tokens_kept) AS BIGINT) AS total,
+             SUM(CAST(sqrt(CAST(tokens_kept AS DOUBLE)) AS DECIMAL(38,6)))
+               AS wdec,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM per_src
+    ),
+    ordered AS (
+      SELECT source, tokens_kept,
+             sqrt(CAST(tokens_kept AS DOUBLE)) AS w,
+             {CAP}.0 * sqrt(CAST(tokens_kept AS DOUBLE)) AS r,
+             row_number() OVER
+               (ORDER BY tokens_kept, source) AS rk,
+             SUM({CAP} * tokens_kept) OVER
+               (ORDER BY tokens_kept, source
+                ROWS UNBOUNDED PRECEDING) AS p,
+             SUM(CAST(sqrt(CAST(tokens_kept AS DOUBLE)) AS DECIMAL(38,6)))
+               OVER (ORDER BY tokens_kept, source
+                     ROWS UNBOUNDED PRECEDING) AS sw,
+             lead({CAP}.0 * sqrt(CAST(tokens_kept AS DOUBLE))) OVER
+               (ORDER BY tokens_kept, source) AS lead_r
+      FROM per_src
+    ),
+    cand AS (
+      SELECT o.rk,
+             CAST({TARGET_MULT} * t.total - o.p AS DOUBLE)
+               / CAST(t.wdec - o.sw AS DOUBLE) AS lam,
+             o.r, o.lead_r
+      FROM ordered o, tot t WHERE o.rk < t.n
+    ),
+    valid AS (
+      SELECT rk, lam FROM cand
+      WHERE r <= lam AND (lead_r IS NULL OR lam <= lead_r)
+    ),
+    chosen AS (
+      SELECT CASE WHEN CAST({TARGET_MULT} * t.total AS DOUBLE)
+                       / CAST(t.wdec AS DOUBLE)
+                       <= (SELECT MIN(r) FROM ordered)
+                  THEN 0
+                  ELSE COALESCE((SELECT MIN(rk) FROM valid), t.n)
+             END AS kstar,
+             CASE WHEN CAST({TARGET_MULT} * t.total AS DOUBLE)
+                       / CAST(t.wdec AS DOUBLE)
+                       <= (SELECT MIN(r) FROM ordered)
+                  THEN CAST({TARGET_MULT} * t.total AS DOUBLE)
+                       / CAST(t.wdec AS DOUBLE)
+                  ELSE COALESCE(
+                       (SELECT lam FROM valid
+                        WHERE rk = (SELECT MIN(rk) FROM valid)), 0.0)
+             END AS lam
+      FROM tot t
+    ),
+    final AS (
+      SELECT o.source, o.tokens_kept,
+             round(CASE WHEN o.rk <= c.kstar
+                        THEN CAST({CAP} * o.tokens_kept AS DOUBLE)
+                        ELSE c.lam * o.w END
+                   / CAST(o.tokens_kept AS DOUBLE), 6) AS epochs_final
+      FROM ordered o, chosen c
+    )
+    SELECT f.source, CAST(g.epoch_idx AS BIGINT) AS epoch_idx,
+           round(CASE WHEN g.epoch_idx <= CAST(floor(f.epochs_final) AS BIGINT)
+                      THEN 1.0
+                      ELSE f.epochs_final - floor(f.epochs_final) END,
+                 6) AS pass_fraction,
+           CAST(round((CASE WHEN g.epoch_idx
+                                 <= CAST(floor(f.epochs_final) AS BIGINT)
+                            THEN 1.0
+                            ELSE f.epochs_final - floor(f.epochs_final) END)
+                      * f.tokens_kept) AS BIGINT) AS tokens_this_pass
+    FROM final f,
+         LATERAL (SELECT unnest(generate_series(1,
+                    CAST(ceil(f.epochs_final) AS BIGINT))) AS epoch_idx) g
+    """,
+)
+def mixture_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capped mixture made EXECUTABLE: per source, one row per
+    training epoch — full passes (pass_fraction 1.0) for
+    floor(epochs_final) epochs and one final partial pass carrying
+    the fractional remainder, each with its token quota.  This is the
+    table a training-loop data loader actually consumes; summing
+    pass_fraction per source recovers epochs_final exactly (pinned),
+    so the schedule and the plan cannot drift.
+
+    Built on the same closed-form waterline as mixture_cap_waterfill
+    (one definition each side: the Spark side calls waterfill_alloc,
+    the oracle re-states the CTE chain); the explode is
+    F.sequence/generate_series over ceil(epochs) — a #sources·cap row
+    frame, driver-scale."""
+    staged = staged_decisions(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per_src = (
+        staged.where("gate_ok AND dedup_ok AND media_ok")
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("n_tokens") - F.col("n_removed"))
+            .cast("long")
+            .alias("tokens_kept")
+        )
+    )
+    alloc = waterfill_alloc(per_src).select(
+        "source", "tokens_kept", "epochs_final"
+    )
+    full = F.floor("epochs_final").cast("long")
+    sched = alloc.select(
+        "source",
+        "tokens_kept",
+        "epochs_final",
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.ceil("epochs_final").cast("long"))
+        ).alias("epoch_idx"),
+    )
+    frac = F.when(
+        F.col("epoch_idx") <= full, F.lit(1.0)
+    ).otherwise(F.col("epochs_final") - F.floor("epochs_final"))
+    return sched.select(
+        "source",
+        "epoch_idx",
+        F.round(frac, 6).alias("pass_fraction"),
+        F.round(frac * F.col("tokens_kept"))
+        .cast("long")
+        .alias("tokens_this_pass"),
+    )

@@ -254,3 +254,67 @@ def test_kanonymity_no_suppression_row_when_nothing_suppressed(spark):
     out = kanon_release(kanon_cohorts(ev)).collect()
     assert len(out) == 1 and out[0]["released"]
     assert out[0]["n_users"] == K_ANON
+
+
+def test_dialog_corpus_against_duckdb_oracle(spark, sf_dir):
+    compare(
+        QUERIES["session_dialog_corpus"](spark, sf_dir),
+        ORACLES["session_dialog_corpus"],
+        sf_dir,
+    )
+
+
+def test_dialog_corpus_partitions_events(spark, sf_dir):
+    """Every event lands in exactly one document (sessions are
+    disjoint per user), the documents are exactly the registered
+    sessionization's sessions, and the serialized transcript carries
+    exactly n_turns turns."""
+    out = QUERIES["session_dialog_corpus"](spark, sf_dir).toPandas()
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert int(out["n_turns"].sum()) == n_events
+
+    sessions = QUERIES["user_sessions"](spark, sf_dir).toPandas()
+    assert len(out) == len(sessions)
+    got = set(zip(out["user_id"], out["session_id"]))
+    want = set(zip(sessions["user_id"], sessions["session_id"]))
+    assert got == want
+    j = out.merge(sessions, on=["user_id", "session_id"])
+    assert (j["n_turns"] == j["n_events"]).all()
+
+    assert (out["text"].str.count(r" \| ") + 1 == out["n_turns"]).all()
+    assert (out["text"].str.len() == out["n_chars"]).all()
+
+
+def test_epoch_schedule_against_duckdb_oracle(spark, sf_dir):
+    compare(
+        QUERIES["mixture_epoch_schedule"](spark, sf_dir),
+        ORACLES["mixture_epoch_schedule"],
+        sf_dir,
+    )
+
+
+def test_epoch_schedule_realizes_the_waterfill(spark, sf_dir):
+    """The schedule is the plan made executable: per source the pass
+    fractions sum to epochs_final, epochs are contiguous from 1, all
+    but at most the last pass are full, and the per-pass token quotas
+    re-sum to the source's allocation (row-rounding tolerance)."""
+    sched = QUERIES["mixture_epoch_schedule"](spark, sf_dir).toPandas()
+    plan = QUERIES["mixture_cap_waterfill"](spark, sf_dir).toPandas()
+    assert set(sched["source"]) == set(plan["source"])
+    by_src = sched.groupby("source")
+    for src, g in by_src:
+        row = plan[plan["source"] == src].iloc[0]
+        g = g.sort_values("epoch_idx")
+        assert g["epoch_idx"].tolist() == list(range(1, len(g) + 1)), src
+        assert g["pass_fraction"].sum() == pytest.approx(
+            row["epochs_final"], abs=len(g) * 1e-6
+        ), src
+        assert (g["pass_fraction"].iloc[:-1] == 1.0).all(), src
+        assert 0 < g["pass_fraction"].iloc[-1] <= 1.0, src
+        assert g["tokens_this_pass"].sum() == pytest.approx(
+            row["alloc_tokens"], abs=len(g)
+        ), src
+    # capped sources run exactly CAP full epochs, no partial pass
+    for src in plan[plan["capped"]]["source"]:
+        g = by_src.get_group(src)
+        assert len(g) == CAP and (g["pass_fraction"] == 1.0).all(), src
