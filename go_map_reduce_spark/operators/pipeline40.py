@@ -403,16 +403,15 @@ def waterfill_alloc(
              CAST(SUM(cents) AS BIGINT) AS value_cents
       FROM prof GROUP BY 1, 2
     )
-    SELECT vol_band, top_type, TRUE AS released,
-           n_users, n_events, value_cents
-    FROM cohort WHERE n_users >= {K_ANON}
-    UNION ALL
-    SELECT CAST(-1 AS BIGINT), '*', FALSE,
-           CAST(SUM(n_users) AS BIGINT),
-           CAST(SUM(n_events) AS BIGINT),
-           CAST(SUM(value_cents) AS BIGINT)
-    FROM cohort WHERE n_users < {K_ANON}
-    HAVING COUNT(*) > 0
+    SELECT CASE WHEN n_users >= {K_ANON} THEN vol_band
+                ELSE CAST(-1 AS BIGINT) END AS vol_band,
+           CASE WHEN n_users >= {K_ANON} THEN top_type ELSE '*' END
+             AS top_type,
+           n_users >= {K_ANON} AS released,
+           CAST(SUM(n_users) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(value_cents) AS BIGINT) AS value_cents
+    FROM cohort GROUP BY 1, 2, 3
     """,
 )
 def kanonymity_cohort_release(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,35 +466,27 @@ def kanon_cohorts(ev: DataFrame) -> DataFrame:
 
 
 def kanon_release(cohort: DataFrame) -> DataFrame:
-    """Split a cohort frame into released rows (≥ K_ANON users) plus
-    the single suppressed sentinel (absent when nothing suppresses)."""
-    released = cohort.where(F.col("n_users") >= K_ANON).select(
-        "vol_band",
-        "top_type",
-        F.lit(True).alias("released"),
-        "n_users",
-        "n_events",
-        "value_cents",
+    """Release/suppress as ONE re-aggregation over the tiny cohort
+    frame with MASKED quasi-identifiers: a released cohort's masked
+    key is itself (the sums are identity), every sub-K cohort maps to
+    the (-1, '*') sentinel and merges.  A single pass — the earlier
+    union-of-two-filters shape recomputed the corpus cascade once per
+    branch — and the sentinel row exists exactly when something
+    suppressed, with no HAVING special case.  Released vol_bands are
+    ≥ 0 by construction, so the sentinel key cannot collide."""
+    rel = F.col("n_users") >= K_ANON
+    return cohort.groupBy(
+        F.when(rel, F.col("vol_band"))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("vol_band"),
+        F.when(rel, F.col("top_type")).otherwise(F.lit("*")).alias("top_type"),
+        rel.alias("released"),
+    ).agg(
+        F.sum("n_users").cast("long").alias("n_users"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("value_cents").cast("long").alias("value_cents"),
     )
-    suppressed = (
-        cohort.where(F.col("n_users") < K_ANON)
-        .agg(
-            F.sum("n_users").cast("long").alias("n_users"),
-            F.sum("n_events").cast("long").alias("n_events"),
-            F.sum("value_cents").cast("long").alias("value_cents"),
-            F.count(F.lit(1)).alias("n_cells"),
-        )
-        .where(F.col("n_cells") > 0)
-        .select(
-            F.lit(-1).cast("long").alias("vol_band"),
-            F.lit("*").alias("top_type"),
-            F.lit(False).alias("released"),
-            "n_users",
-            "n_events",
-            "value_cents",
-        )
-    )
-    return released.unionByName(suppressed)
 
 
 # --------------------------------------------------------------------------
