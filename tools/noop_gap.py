@@ -46,6 +46,25 @@ DOCUMENTED_CLASSES: dict[str, tuple[float, str]] = {
     # warm-Lloyd training + distortion measures partially prune under
     # count (observed up to ~6x, r12 verdict watch item)
     "ivf_index_compaction": (12.0, "training-class distortion measures"),
+    # -- surfaced by the r13-extension 0.5%-steal count run (the
+    # cleanest count artifact yet; earlier contended count sides hid
+    # these gaps under the 1 s daylight floor) -------------------------
+    # count prunes the sorted-struct transcript assembly (collect_list
+    # + transform + array_join) once group existence is known
+    # (observed 7.6x)
+    "session_dialog_corpus": (15.0, "transcript-assembly aggregate-final"),
+    # the as-of matched value columns prune to existence after the
+    # range-condition join (observed 8.2x)
+    "asof_join_forward": (16.0, "asof matched-value final projection"),
+    # the bounded-oracle shape computes estimate + exact NDV; count
+    # never materializes the HLL buffers (observed 5.7x)
+    "approx_distinct_sketch": (12.0, "holistic distinct sketch"),
+    # mask-array construction (spans, spm ids) prunes to span counts
+    # (observed 5.7x)
+    "span_corruption_masks": (12.0, "mask-array construction"),
+    # the release's summed measures (events, cents) prune; the masked
+    # grouping keys alone drive count mode (observed 5.6x)
+    "kanonymity_cohort_release": (12.0, "masked-QI release measures"),
 }
 
 
