@@ -318,3 +318,36 @@ def test_epoch_schedule_realizes_the_waterfill(spark, sf_dir):
     for src in plan[plan["capped"]]["source"]:
         g = by_src.get_group(src)
         assert len(g) == CAP and (g["pass_fraction"] == 1.0).all(), src
+
+
+def test_waterfill_random_frames_match_iterative(spark):
+    """Seeded-random differential: eight arbitrary source-mass frames
+    (skewed magnitudes, near-boundary cap pressure) through the Spark
+    closed form vs the python iterative fixed point — the property
+    pin that the three hand-built cases generalize."""
+    import random
+
+    rng = random.Random(13)
+    for case in range(8):
+        n = rng.randint(1, 12)
+        toks = {
+            f"s{i:02d}": rng.choice(
+                [rng.randint(1, 50), rng.randint(100, 5000),
+                 rng.randint(10_000, 5_000_000)]
+            )
+            for i in range(n)
+        }
+        cap = rng.choice([2, 4, 8])
+        mult = rng.randint(1, cap - 1) if cap > 1 else 1
+        ref, _rounds, capped = _iterative_waterfill(toks, mult, cap)
+        got = _run_waterfill(spark, toks, mult, cap)
+        assert set(got) == set(toks), case
+        for s, row in got.items():
+            assert row["capped"] == (s in capped), (case, s, toks)
+            assert row["alloc_tokens"] == pytest.approx(
+                ref[s], rel=1e-6, abs=1e-6
+            ), (case, s, toks)
+        budget = mult * sum(toks.values())
+        assert sum(r["alloc_tokens"] for r in got.values()) == pytest.approx(
+            budget, rel=1e-6
+        ), (case, toks)
