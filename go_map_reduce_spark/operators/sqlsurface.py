@@ -223,3 +223,87 @@ def sql_session_variable_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_totalprice > price_floor
         GROUP BY o_orderpriority
     """)
+
+
+_SCRIPTING_ORACLE = f"""
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_above
+FROM customer,
+     (SELECT {sql_dsum('c_acctbal')} / COUNT(*) AS cutoff FROM customer) t
+WHERE c_acctbal > t.cutoff
+GROUP BY c_mktsegment
+"""
+
+
+@query("sql_scripting_segment_above_avg", oracle=_SCRIPTING_ORACLE)
+def sql_scripting_segment_above_avg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SQL scripting (Spark 4, SPARK-48338: BEGIN ... END with DECLARE
+    / SET / statement sequences) — the stored-procedure-shaped surface
+    a SQL-first user reaches for instead of driver-side Python: a
+    local variable is computed FROM the data (the decimal-detour mean
+    balance, so the threshold is bit-identical to the oracle's), then
+    the final statement's result set is the script's result.  Control
+    flow (WHILE/IF) is exercised by the pytest twin, which pins a
+    loop against a python-computed expectation; this gated form pins
+    the variable-sequencing semantics the oracle can express.
+
+    100 TB shape: the script is driver-side orchestration of ordinary
+    Catalyst statements — the SET's scalar subquery is one
+    map-side-combinable aggregate, and the folded variable lets the
+    final filter evaluate as a per-row comparison; nothing about the
+    scripting layer touches the data path."""
+    register_views(spark, sf_dir)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql("""
+        BEGIN
+          DECLARE cutoff DOUBLE;
+          SET cutoff = (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6)))
+                                    AS DOUBLE) / COUNT(*)
+                        FROM customer);
+          SELECT c_mktsegment AS segment,
+                 CAST(COUNT(*) AS BIGINT) AS n_above
+          FROM customer WHERE c_acctbal > cutoff
+          GROUP BY c_mktsegment;
+        END
+    """)
+
+
+_COLLATED_ORACLE = """
+WITH m(name) AS (
+  VALUES ('nation_0'), ('Nation_7'), ('NATION_19'), ('nAtIoN_23'),
+         ('unmatched land')
+)
+SELECT n.n_name, CAST(COUNT(c.c_custkey) AS BIGINT) AS n_customers
+FROM nation n
+JOIN m ON lower(n.n_name) = lower(m.name)
+LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@query("collated_nation_customers", oracle=_COLLATED_ORACLE)
+def collated_nation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4, SPARK-46830): a case-insensitive
+    equality join expressed as COLLATE UTF8_LCASE on the join key
+    instead of wrapping both sides in lower() — the collation-aware
+    comparison keeps the original cased value flowing through the
+    plan (the output n_name is the table's casing, untouched), and
+    Catalyst hashes under the collation so the join stays a plain
+    broadcast hash join of the 5-row matcher dim.  The deliberately
+    unmatched row pins that collation changes comparison, not
+    membership.  The oracle lowers both sides — the pre-collation
+    idiom the feature replaces."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH m AS (
+          SELECT * FROM VALUES ('nation_0'), ('Nation_7'), ('NATION_19'),
+                               ('nAtIoN_23'), ('unmatched land') AS t(name)
+        )
+        SELECT n.n_name, CAST(COUNT(c.c_custkey) AS BIGINT) AS n_customers
+        FROM nation n
+        JOIN m ON n.n_name COLLATE UTF8_LCASE = m.name
+        LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """)

@@ -13,6 +13,9 @@ NAMES = [
     "listagg_nations",
     "dynamic_partition_pruning",
     "sql_session_variable_revenue",
+    # r13 extension: the remaining Spark-4 SQL surfaces
+    "sql_scripting_segment_above_avg",
+    "collated_nation_customers",
 ]
 
 
@@ -123,3 +126,50 @@ def test_listagg_matches_collect_sort(spark, sf_dir):
         for r in QUERIES["listagg_nations"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_sql_scripting_control_flow(spark, sf_dir):
+    """The scripting surface beyond DECLARE/SET: a WHILE loop that
+    doubles a threshold until fewer than 10 customers exceed it must
+    terminate with exactly the python-computed fixed point (the
+    oracle can't express a loop; this pin covers it)."""
+    from go_map_reduce_spark.catalog import load_table, register_views
+
+    register_views(spark, sf_dir)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    got = spark.sql("""
+        BEGIN
+          DECLARE thr DOUBLE DEFAULT 100.0;
+          WHILE (SELECT COUNT(*) FROM customer WHERE c_acctbal > thr) >= 10 DO
+            SET thr = thr * 2.0;
+          END WHILE;
+          SELECT thr AS threshold,
+                 CAST((SELECT COUNT(*) FROM customer WHERE c_acctbal > thr)
+                      AS BIGINT) AS n_above;
+        END
+    """).collect()
+    assert len(got) == 1
+    bals = [
+        r["c_acctbal"]
+        for r in load_table(spark, sf_dir, "customer")
+        .select("c_acctbal")
+        .collect()
+    ]
+    thr = 100.0
+    while sum(1 for b in bals if b > thr) >= 10:
+        thr *= 2.0
+    assert got[0]["threshold"] == thr
+    assert got[0]["n_above"] == sum(1 for b in bals if b > thr)
+    assert got[0]["n_above"] < 10
+
+
+def test_collation_join_preserves_casing_and_excludes_unmatched(
+    spark, sf_dir
+):
+    """The collated join must return the TABLE's casing (no lower()
+    mangling in the output) and must not match the deliberately
+    unmatched dim row."""
+    rows = QUERIES["collated_nation_customers"](spark, sf_dir).collect()
+    names = {r["n_name"] for r in rows}
+    assert names == {"NATION_0", "NATION_7", "NATION_19", "NATION_23"}
+    assert all(r["n_customers"] >= 0 for r in rows)
