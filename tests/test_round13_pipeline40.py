@@ -125,6 +125,9 @@ def _run_waterfill(spark, toks: dict, target_mult: int, cap: int):
         # past b's cap in the SECOND round (derivation in-line: lam0 ~
         # 23574 < r_b ~ 25298 < lam1 ~ 25483)
         ({"a": 4_000_000, "b": 40_000_000, "c": 100_000_000}, 3, 4, 2),
+        # TIED token masses: the (tokens, source) ordering tie-breaks
+        # deterministically and the tied pair caps (or not) together
+        ({"a": 100, "b": 100, "c": 10_000}, 3, 4, 1),
     ],
 )
 def test_waterfill_equals_iterative_fixed_point(
@@ -351,3 +354,52 @@ def test_waterfill_random_frames_match_iterative(spark):
         assert sum(r["alloc_tokens"] for r in got.values()) == pytest.approx(
             budget, rel=1e-6
         ), (case, toks)
+
+
+def test_kanon_cascade_random_frame_matches_python(spark):
+    """Seeded-random differential for the whole QI cascade: 150 users
+    with 1-12 events each (ties in per-type counts are frequent at
+    this density) through kanon_cohorts vs a python reference of the
+    registered semantics — modal type by (count desc, type asc), band
+    = n_events // div, exact cohort sums."""
+    import random
+    from collections import Counter, defaultdict
+
+    rng = random.Random(40)
+    rows = []
+    for u in range(150):
+        for _ in range(rng.randint(1, 12)):
+            rows.append(
+                (u, rng.choice(["a", "b", "c", "d", "e"]), rng.randint(-50, 500))
+            )
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, cents long"
+    )
+    got = {
+        (r["vol_band"], r["top_type"]): (
+            r["n_users"],
+            r["n_events"],
+            r["value_cents"],
+        )
+        for r in kanon_cohorts(ev).collect()
+    }
+
+    per_user_types: dict = defaultdict(Counter)
+    per_user_cents: dict = defaultdict(int)
+    for u, t, c in rows:
+        per_user_types[u][t] += 1
+        per_user_cents[u] += c
+    want: dict = defaultdict(lambda: [0, 0, 0])
+    for u, counts in per_user_types.items():
+        n_ev = sum(counts.values())
+        top = min(counts, key=lambda t: (-counts[t], t))
+        key = (n_ev // VOL_BAND_DIV, top)
+        want[key][0] += 1
+        want[key][1] += n_ev
+        want[key][2] += per_user_cents[u]
+    assert got == {k: tuple(v) for k, v in want.items()}
+    # ties really occurred (the draw would be vacuous otherwise)
+    assert any(
+        len({c for c in counts.values()}) < len(counts)
+        for counts in per_user_types.values()
+    )
