@@ -65,6 +65,24 @@ DOCUMENTED_CLASSES: dict[str, tuple[float, str]] = {
     # the release's summed measures (events, cents) prune; the masked
     # grouping keys alone drive count mode (observed 5.6x)
     "kanonymity_cohort_release": (12.0, "masked-QI release measures"),
+    # -- surfaced by the second clean pair (count @0.9%, noop @0.6%):
+    # the cleaner the count side, the more sub-2s aggregate-final
+    # queries clear the 1 s daylight floor --------------------------
+    # per-dimension moments over the exploded embedding array prune
+    # to dimension existence (observed 14.1x)
+    "embedding_dim_stats": (28.0, "exploded-array moment measures"),
+    # the audit's span/token measure columns prune to verdict counts
+    # (observed 7.2x)
+    "leakage_audit": (15.0, "audit measure columns"),
+    # one revenue sum over a GROUP BY ALL — the canonical
+    # aggregate-final shape (observed 5.8x)
+    "group_by_all_revenue": (12.0, "aggregate-final revenue sum"),
+    # week-over-week growth ratios prune to week existence
+    # (observed 5.4x)
+    "weekly_revenue_growth": (12.0, "window growth measures"),
+    # the exact integer-product regression sums prune to group counts
+    # (observed 5.3x)
+    "regression_price_on_quantity": (12.0, "regression moment sums"),
 }
 
 
