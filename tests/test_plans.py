@@ -256,3 +256,57 @@ def test_media_survivors_is_two_partial_aggs_no_window(spark, sf_dir):
     assert "partial_min_by" in plan or "partial_minby" in plan.lower()
     assert "Window" not in plan
     assert "Join" not in plan  # no cluster-vs-members self-join
+
+
+def test_kanonymity_single_scan_no_window(spark, sf_dir):
+    """The k-anonymity cascade must be aggregates only — no corpus
+    window — and the masked-QI release must not re-run the cascade
+    per branch: exactly ONE events scan in the whole plan (the r13
+    union shape had two)."""
+    plan = _plan(spark, "kanonymity_cohort_release", sf_dir)
+    assert "Window" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_funnel_by_source_no_window_no_sort(spark, sf_dir):
+    """Per-source attribution is one aggregate over the memoized
+    staged frame joined to the narrow (doc_id, source) projection —
+    no window, and the documents scan reads only the join columns."""
+    plan = _plan(spark, "curation_funnel_by_source", sf_dir)
+    assert "Window" not in plan
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert any(
+        "doc_id:bigint,source:string" in l and "text" not in l for l in reads
+    ), reads
+
+
+def test_dialog_corpus_one_aggregate_after_user_join(spark, sf_dir):
+    """The transcript assembly is a sorted-struct fold INSIDE the
+    (user, session) aggregate — no second corpus shuffle beyond the
+    session join, no per-document window on the assembly side (the
+    only Window is the sessionization's own lag/running-sum pair)."""
+    plan = _plan(spark, "session_dialog_corpus", sf_dir)
+    assert "collect_list" in plan
+    # sessionization runs exactly one window chain on user_id
+    assert plan.count("Window") <= 2
+    # events scan for the transcript side reads no props column
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert all("props" not in l for l in reads), reads
+
+
+def test_waterfill_windows_only_on_planning_rows(spark, sf_dir):
+    """The waterfill's single-partition window is over the per-source
+    planning table, AFTER the corpus aggregate — the plan shows the
+    Window above a HashAggregate on source, never directly over the
+    staged frame's doc-level rows."""
+    plan = _plan(spark, "mixture_cap_waterfill", sf_dir, mode="formatted")
+    assert "Window" in plan
+    # every window sits above the per-source aggregate: the window's
+    # input columns are (source, tokens_kept)-derived, not doc_id
+    import re
+
+    win_sections = [
+        s for s in plan.split("\n\n") if s.lstrip().startswith("(")
+        and "Window" in s
+    ]
+    assert "doc_id" not in "".join(win_sections)
