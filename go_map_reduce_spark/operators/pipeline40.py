@@ -682,13 +682,27 @@ def mixture_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     alloc = waterfill_alloc(per_src).select(
         "source", "tokens_kept", "epochs_final"
     )
+    return epoch_rows(alloc)
+
+
+def epoch_rows(alloc: DataFrame) -> DataFrame:
+    """Explode a (source, tokens_kept, epochs_final) allocation into
+    per-epoch pass rows — factored out so the degenerate edge is
+    pinnable: when epochs_final rounds to 0.0, Spark's bare
+    sequence(1, 0) would INFER step -1 and emit [1, 0] while DuckDB's
+    generate_series(1, 0) is empty — a cross-engine row-count
+    divergence.  Guarding with an empty array when ceil < 1 makes the
+    explode drop the row, matching the oracle exactly."""
     full = F.floor("epochs_final").cast("long")
+    n_passes = F.ceil("epochs_final").cast("long")
     sched = alloc.select(
         "source",
         "tokens_kept",
         "epochs_final",
         F.explode(
-            F.sequence(F.lit(1).cast("long"), F.ceil("epochs_final").cast("long"))
+            F.when(
+                n_passes >= 1, F.sequence(F.lit(1).cast("long"), n_passes)
+            ).otherwise(F.array().cast("array<long>"))
         ).alias("epoch_idx"),
     )
     frac = F.when(

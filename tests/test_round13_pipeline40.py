@@ -403,3 +403,22 @@ def test_kanon_cascade_random_frame_matches_python(spark):
         len({c for c in counts.values()}) < len(counts)
         for counts in per_user_types.values()
     )
+
+
+def test_epoch_rows_zero_epoch_source_emits_nothing(spark):
+    """The degenerate edge the oracle twin forces: a source whose
+    epochs_final rounds to 0.0 must emit NO pass rows (DuckDB's
+    generate_series(1,0) is empty; a bare Spark sequence(1,0) would
+    infer step -1 and emit two rows — the guarded explode must not)."""
+    from go_map_reduce_spark.operators.pipeline40 import epoch_rows
+
+    alloc = spark.createDataFrame(
+        [("dead", 10_000_000, 0.0), ("live", 100, 2.5)],
+        "source string, tokens_kept long, epochs_final double",
+    )
+    rows = epoch_rows(alloc).collect()
+    assert {r["source"] for r in rows} == {"live"}
+    live = sorted(
+        (r["epoch_idx"], r["pass_fraction"]) for r in rows
+    )
+    assert live == [(1, 1.0), (2, 1.0), (3, 0.5)]
