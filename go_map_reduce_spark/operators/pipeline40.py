@@ -174,11 +174,13 @@ _WF_PER_SRC = f"""
     )
 """
 
-
-@query(
-    "mixture_cap_waterfill",
-    oracle=f"""
-    WITH {_WF_PER_SRC},
+# The waterline chain shared VERBATIM by the waterfill and the epoch
+# schedule oracles (one SQL definition of the closed form, exactly as
+# waterfill_alloc is its one Spark definition); the per-row allocation
+# expression likewise.  ``chosen`` carries n/total/wtot for the
+# waterfill's uncapped-epochs column — unused but harmless when the
+# schedule composes the same chain.
+_WF_WATERLINE_CTES = f"""
     tot AS (
       SELECT CAST(SUM(tokens_kept) AS BIGINT) AS total,
              SUM(CAST(sqrt(CAST(tokens_kept AS DOUBLE)) AS DECIMAL(38,6)))
@@ -232,16 +234,24 @@ _WF_PER_SRC = f"""
              END AS lam
       FROM tot t
     )
+"""
+
+_WF_ALLOC_SQL = f"""CASE WHEN o.rk <= c.kstar
+                      THEN CAST({CAP} * o.tokens_kept AS DOUBLE)
+                      ELSE c.lam * o.w END"""
+
+
+@query(
+    "mixture_cap_waterfill",
+    oracle=f"""
+    WITH {_WF_PER_SRC},
+    {_WF_WATERLINE_CTES}
     SELECT o.source, o.tokens_kept,
            round({TARGET_MULT}.0 * c.total * (o.w / c.wtot)
                  / o.tokens_kept, 6) AS uncapped_epochs,
            o.rk <= c.kstar AS capped,
-           round(CASE WHEN o.rk <= c.kstar
-                      THEN CAST({CAP} * o.tokens_kept AS DOUBLE)
-                      ELSE c.lam * o.w END, 6) AS alloc_tokens,
-           round(CASE WHEN o.rk <= c.kstar
-                      THEN CAST({CAP} * o.tokens_kept AS DOUBLE)
-                      ELSE c.lam * o.w END
+           round({_WF_ALLOC_SQL}, 6) AS alloc_tokens,
+           round({_WF_ALLOC_SQL}
                  / CAST(o.tokens_kept AS DOUBLE), 6) AS epochs_final
     FROM ordered o, chosen c
     """,
@@ -265,9 +275,17 @@ def mixture_cap_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a deliberately tiny frame (per-source totals), not corpus
     rows; the corpus-side cost is the one map-side-combinable
     aggregate the mixture plan already pays."""
+    return waterfill_alloc(kept_tokens_by_source(spark, sf_dir))
+
+
+def kept_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, tokens_kept) over the funnel's kept documents — the
+    ONE Spark definition of the waterfill/schedule input frame (its
+    SQL twin is _WF_PER_SRC), so the two mixture queries cannot
+    diverge on what was kept."""
     staged = staged_decisions(spark, sf_dir)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    per_src = (
+    return (
         staged.where("gate_ok AND dedup_ok AND media_ok")
         .join(src, "doc_id")
         .groupBy("source")
@@ -277,7 +295,6 @@ def mixture_cap_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tokens_kept")
         )
     )
-    return waterfill_alloc(per_src)
 
 
 def waterfill_alloc(
@@ -578,63 +595,10 @@ def session_dialog_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mixture_epoch_schedule",
     oracle=f"""
     WITH {_WF_PER_SRC},
-    tot AS (
-      SELECT CAST(SUM(tokens_kept) AS BIGINT) AS total,
-             SUM(CAST(sqrt(CAST(tokens_kept AS DOUBLE)) AS DECIMAL(38,6)))
-               AS wdec,
-             CAST(COUNT(*) AS BIGINT) AS n
-      FROM per_src
-    ),
-    ordered AS (
-      SELECT source, tokens_kept,
-             sqrt(CAST(tokens_kept AS DOUBLE)) AS w,
-             {CAP}.0 * sqrt(CAST(tokens_kept AS DOUBLE)) AS r,
-             row_number() OVER
-               (ORDER BY tokens_kept, source) AS rk,
-             SUM({CAP} * tokens_kept) OVER
-               (ORDER BY tokens_kept, source
-                ROWS UNBOUNDED PRECEDING) AS p,
-             SUM(CAST(sqrt(CAST(tokens_kept AS DOUBLE)) AS DECIMAL(38,6)))
-               OVER (ORDER BY tokens_kept, source
-                     ROWS UNBOUNDED PRECEDING) AS sw,
-             lead({CAP}.0 * sqrt(CAST(tokens_kept AS DOUBLE))) OVER
-               (ORDER BY tokens_kept, source) AS lead_r
-      FROM per_src
-    ),
-    cand AS (
-      SELECT o.rk,
-             CAST({TARGET_MULT} * t.total - o.p AS DOUBLE)
-               / CAST(t.wdec - o.sw AS DOUBLE) AS lam,
-             o.r, o.lead_r
-      FROM ordered o, tot t WHERE o.rk < t.n
-    ),
-    valid AS (
-      SELECT rk, lam FROM cand
-      WHERE r <= lam AND (lead_r IS NULL OR lam <= lead_r)
-    ),
-    chosen AS (
-      SELECT CASE WHEN CAST({TARGET_MULT} * t.total AS DOUBLE)
-                       / CAST(t.wdec AS DOUBLE)
-                       <= (SELECT MIN(r) FROM ordered)
-                  THEN 0
-                  ELSE COALESCE((SELECT MIN(rk) FROM valid), t.n)
-             END AS kstar,
-             CASE WHEN CAST({TARGET_MULT} * t.total AS DOUBLE)
-                       / CAST(t.wdec AS DOUBLE)
-                       <= (SELECT MIN(r) FROM ordered)
-                  THEN CAST({TARGET_MULT} * t.total AS DOUBLE)
-                       / CAST(t.wdec AS DOUBLE)
-                  ELSE COALESCE(
-                       (SELECT lam FROM valid
-                        WHERE rk = (SELECT MIN(rk) FROM valid)), 0.0)
-             END AS lam
-      FROM tot t
-    ),
+    {_WF_WATERLINE_CTES},
     final AS (
       SELECT o.source, o.tokens_kept,
-             round(CASE WHEN o.rk <= c.kstar
-                        THEN CAST({CAP} * o.tokens_kept AS DOUBLE)
-                        ELSE c.lam * o.w END
+             round({_WF_ALLOC_SQL}
                    / CAST(o.tokens_kept AS DOUBLE), 6) AS epochs_final
       FROM ordered o, chosen c
     )
@@ -667,19 +631,7 @@ def mixture_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle re-states the CTE chain); the explode is
     F.sequence/generate_series over ceil(epochs) — a #sources·cap row
     frame, driver-scale."""
-    staged = staged_decisions(spark, sf_dir)
-    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    per_src = (
-        staged.where("gate_ok AND dedup_ok AND media_ok")
-        .join(src, "doc_id")
-        .groupBy("source")
-        .agg(
-            F.sum(F.col("n_tokens") - F.col("n_removed"))
-            .cast("long")
-            .alias("tokens_kept")
-        )
-    )
-    alloc = waterfill_alloc(per_src).select(
+    alloc = waterfill_alloc(kept_tokens_by_source(spark, sf_dir)).select(
         "source", "tokens_kept", "epochs_final"
     )
     return epoch_rows(alloc)

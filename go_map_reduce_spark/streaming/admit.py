@@ -267,8 +267,14 @@ def _run_admit_stream(
             if v > 0
             else None
         )
-        d = _decide_batch(side, batch_df, seen).withColumn(
-            "epoch", F.lit(epoch_id).cast("long")
+        # Materialize the decision frame ONCE: it feeds two actions
+        # (the decisions append, then the seen-set advance), and an
+        # unmaterialized plan would re-run the batch x side x seen
+        # joins for each — doubling per-trigger latency for nothing.
+        d = (
+            _decide_batch(side, batch_df, seen)
+            .withColumn("epoch", F.lit(epoch_id).cast("long"))
+            .localCheckpoint(eager=True)
         )
         d.write.mode("append").parquet(dec_dir)
         _next_seen(d.select("group_id"), seen).write.mode(
