@@ -13,7 +13,10 @@ Env:
   BENCH_QUERIES       comma-separated subset (default: all registered)
   BENCH_REPEAT        timed repetitions per query, best-of (default 1)
   BENCH_DETAIL_PATH   where to write the full timing map
-                      (default: BENCH_DETAIL.json next to this file)
+                      (default: BENCH_DETAIL.local.json next to this
+                      file — git-ignored; pass --commit or
+                      BENCH_COMMIT=1 to write the committed
+                      BENCH_DETAIL.json artifact name instead)
   BENCH_ACTION        "count" (default) or "noop".  count() is the
                       historical per-round metric, but Catalyst prunes
                       final-projection columns a count doesn't need —
@@ -222,11 +225,19 @@ def main() -> None:
     # the honest-full-computation numbers are committed per round beside
     # the count-mode map and the aggregate-final pruning gap is tracked
     # mechanically (r11 verdict task 6), not re-derived from prose.
+    # Ad-hoc runs must not clobber the committed best-window artifacts
+    # (r13 verdict task 7: every driver/smoke run used to dirty the
+    # tree): the in-repo BENCH_DETAIL*.json names are only written when
+    # explicitly asked for via --commit / BENCH_COMMIT=1; a plain
+    # `python bench.py` writes the git-ignored *.local.json twin.
+    commit_artifact = "--commit" in sys.argv[1:] or os.environ.get(
+        "BENCH_COMMIT"
+    ) in ("1", "true")
+    suffix = ".json" if commit_artifact else ".local.json"
     default_name = (
-        "BENCH_DETAIL_NOOP.json"
-        if os.environ.get("BENCH_ACTION") == "noop"
-        else "BENCH_DETAIL.json"
-    )
+        "BENCH_DETAIL_NOOP" if os.environ.get("BENCH_ACTION") == "noop"
+        else "BENCH_DETAIL"
+    ) + suffix
     detail_path = os.environ.get("BENCH_DETAIL_PATH") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), default_name
     )

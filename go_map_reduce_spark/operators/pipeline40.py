@@ -171,6 +171,7 @@ _WF_PER_SRC = f"""
     per_src AS (
       SELECT source, CAST(SUM(tok) AS BIGINT) AS tokens_kept
       FROM kept GROUP BY source
+      HAVING SUM(tok) > 0
     )
 """
 
@@ -213,7 +214,9 @@ _WF_WATERLINE_CTES = f"""
     ),
     valid AS (
       SELECT rk, lam FROM cand
-      WHERE r <= lam AND (lead_r IS NULL OR lam <= lead_r)
+      WHERE r <= lam + 1e-9 * (abs(r) + abs(lam) + 1.0)
+        AND (lead_r IS NULL
+             OR lam <= lead_r + 1e-9 * (abs(lead_r) + abs(lam) + 1.0))
     ),
     chosen AS (
       SELECT t.n, t.total, CAST(t.wdec AS DOUBLE) AS wtot,
@@ -294,6 +297,11 @@ def kept_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("tokens_kept")
         )
+        # A source whose kept docs net to zero tokens has nothing to
+        # allocate and would divide-by-zero the epochs columns under
+        # ANSI mode (sqrt(0) also degenerates the waterline weights) —
+        # drop it here, mirrored by HAVING in _WF_PER_SRC (r13 ADVICE).
+        .where(F.col("tokens_kept") > 0)
     )
 
 
@@ -306,6 +314,11 @@ def waterfill_alloc(
     equality at the waterline) against an iterative reference.  When
     the budget exceeds cap·total (infeasible), every source caps and
     the shortfall is visible as Σ alloc < budget."""
+    # Zero-mass sources cannot receive epochs (and would zero-divide
+    # the per-epoch columns / degenerate the sqrt weights): exclude
+    # them up front so synthetic frames get the same guard as the
+    # registered input (kept_tokens_by_source filters identically).
+    per_src = per_src.where(F.col("tokens_kept") > 0)
     w = F.sqrt(F.col("tokens_kept").cast("double"))
     wdec = w.cast("decimal(38,6)")
     tot = per_src.agg(
@@ -335,9 +348,22 @@ def waterfill_alloc(
         "r",
         "lead_r",
     )
+    # Interval membership is epsilon-tolerant (r13 ADVICE): when the
+    # true waterline coincides with a cap boundary, FP rounding can
+    # push lam a few ulps outside BOTH adjacent half-open intervals,
+    # leaving `valid` empty and silently taking the all-capped
+    # fallback (kstar=n, lam=0) — under-allocating a feasible budget.
+    # A relative 1e-9 slack readmits the boundary candidate; if the
+    # slack admits both neighbours, MIN(rk) picks deterministically
+    # and at an exact boundary their allocations agree anyway.  The
+    # oracle's WHERE mirrors this expression verbatim.
+    tol_lo = F.lit(1e-9) * (F.abs(F.col("r")) + F.abs(F.col("lam")) + F.lit(1.0))
+    tol_hi = F.lit(1e-9) * (
+        F.abs(F.col("lead_r")) + F.abs(F.col("lam")) + F.lit(1.0)
+    )
     valid = cand.where(
-        (F.col("r") <= F.col("lam"))
-        & (F.col("lead_r").isNull() | (F.col("lam") <= F.col("lead_r")))
+        (F.col("r") <= F.col("lam") + tol_lo)
+        & (F.col("lead_r").isNull() | (F.col("lam") <= F.col("lead_r") + tol_hi))
     ).agg(
         F.min("rk").alias("vrk"), F.min_by("lam", "rk").alias("vlam")
     )

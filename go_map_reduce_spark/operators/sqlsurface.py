@@ -255,19 +255,31 @@ def sql_scripting_segment_above_avg(
     final filter evaluate as a per-row comparison; nothing about the
     scripting layer touches the data path."""
     register_views(spark, sf_dir)
+    # The scripting flag is only needed while the script is PARSED and
+    # executed inside this spark.sql call (the returned frame is the
+    # final statement's already-resolved plan) — restore the previous
+    # value so a shared session doesn't carry the flag into every
+    # later query/bench run (r13 ADVICE: conf-state leak).
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
     spark.conf.set("spark.sql.scripting.enabled", "true")
-    return spark.sql("""
-        BEGIN
-          DECLARE cutoff DOUBLE;
-          SET cutoff = (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6)))
-                                    AS DOUBLE) / COUNT(*)
-                        FROM customer);
-          SELECT c_mktsegment AS segment,
-                 CAST(COUNT(*) AS BIGINT) AS n_above
-          FROM customer WHERE c_acctbal > cutoff
-          GROUP BY c_mktsegment;
-        END
-    """)
+    try:
+        return spark.sql("""
+            BEGIN
+              DECLARE cutoff DOUBLE;
+              SET cutoff = (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6)))
+                                        AS DOUBLE) / COUNT(*)
+                            FROM customer);
+              SELECT c_mktsegment AS segment,
+                     CAST(COUNT(*) AS BIGINT) AS n_above
+              FROM customer WHERE c_acctbal > cutoff
+              GROUP BY c_mktsegment;
+            END
+        """)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
 
 
 _COLLATED_ORACLE = """

@@ -134,8 +134,25 @@ def _data_fingerprint(path: Optional[str]) -> str:
         for n in sorted(filenames):
             try:
                 st = os.stat(os.path.join(dirpath, n))
-            except FileNotFoundError:
-                continue  # concurrent delete — the stable digest skips it
+            except FileNotFoundError as ex:
+                # Disambiguate "entry truly gone" (concurrent delete —
+                # a stable state the digest converges past) from "a
+                # DANGLING SYMLINK still occupies the name" (r12
+                # ADVICE): os.stat follows links, so a data file
+                # replaced by a broken symlink raises
+                # FileNotFoundError on every call and would otherwise
+                # become permanently invisible to the digest — the
+                # memo would keep serving the pre-replacement frame.
+                # lstat does not follow: it succeeding means the link
+                # itself persists → degraded token (memo miss until
+                # the link is fixed or removed); it failing too means
+                # the name really vanished → skip as before.
+                try:
+                    os.lstat(os.path.join(dirpath, n))
+                except OSError:
+                    continue  # concurrent delete — stable digest skips it
+                errors.append(ex)
+                continue
             except OSError as ex:
                 errors.append(ex)
                 continue

@@ -98,11 +98,12 @@ def test_bench_noop_mode_contract(tmp_path):
 
 
 def test_bench_noop_default_artifact_name(tmp_path):
-    """Without BENCH_DETAIL_PATH, noop-mode must default to
-    BENCH_DETAIL_NOOP.json next to the script (count-mode keeps
-    BENCH_DETAIL.json) so the two committed artifacts can never
-    clobber each other.  Run a COPY of bench.py from the tmpdir so
-    the default artifact lands there, not over the committed one."""
+    """Without BENCH_DETAIL_PATH, noop-mode under --commit/BENCH_COMMIT
+    must default to BENCH_DETAIL_NOOP.json next to the script
+    (count-mode keeps BENCH_DETAIL.json) so the two committed
+    artifacts can never clobber each other.  Run a COPY of bench.py
+    from the tmpdir so the default artifact lands there, not over the
+    committed one."""
     import shutil
 
     script = tmp_path / "bench.py"
@@ -113,6 +114,7 @@ def test_bench_noop_default_artifact_name(tmp_path):
         SPARK_GRAFT_CPUS="4",
         BENCH_QUERIES="wordcount",
         BENCH_ACTION="noop",
+        BENCH_COMMIT="1",
         PYTHONPATH=HERE,
     )
     env.pop("BENCH_DETAIL_PATH", None)
@@ -173,3 +175,53 @@ def test_noop_gap_flags_synthetic_widening():
     assert ratios["new_query"] == 10.0
     caps = {n: c for n, _, c in bad}
     assert caps["new_query"] == DEFAULT_CAP
+
+
+def test_plain_run_defaults_to_gitignored_local_artifact(tmp_path):
+    """r13 verdict task 7: a plain `python bench.py` (no --commit, no
+    BENCH_DETAIL_PATH) must not overwrite the committed best-window
+    BENCH_DETAIL.json — it writes the git-ignored *.local.json twin,
+    so ad-hoc/driver smoke runs leave `git status` clean."""
+    import shutil
+
+    # Run from a scratch copy of the repo root's bench.py? No — the
+    # default path is "next to bench.py", so run the real script but
+    # assert on the NAME it reports and that the committed artifact's
+    # mtime/content is untouched.
+    committed = os.path.join(HERE, "BENCH_DETAIL.json")
+    before = open(committed, "rb").read() if os.path.exists(committed) else None
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        BENCH_QUERIES="wordcount",
+    )
+    env.pop("BENCH_DETAIL_PATH", None)
+    env.pop("BENCH_COMMIT", None)
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=300,
+        cwd=HERE,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(
+        [ln for ln in out.stdout.splitlines() if ln.startswith("{")][0]
+    )
+    assert payload["detail"] == "BENCH_DETAIL.local.json"
+    local = os.path.join(HERE, "BENCH_DETAIL.local.json")
+    assert os.path.exists(local)
+    assert set(json.load(open(local))["queries"]) == {"wordcount"}
+    os.remove(local)
+    if before is not None:
+        assert open(committed, "rb").read() == before, (
+            "plain run clobbered the committed artifact"
+        )
+    # and the ignore rule actually covers the twin
+    ignored = subprocess.run(
+        ["git", "check-ignore", "BENCH_DETAIL.local.json"],
+        capture_output=True, text=True, cwd=HERE,
+    )
+    assert ignored.returncode == 0

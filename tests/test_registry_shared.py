@@ -236,13 +236,22 @@ def test_fingerprint_vanished_file_is_a_skip_not_degraded(tmp_path, monkeypatch)
     (d / "gone.crc").write_bytes(b"tmp")
 
     real_stat = _os.stat
+    real_lstat = _os.lstat
 
     def racy_stat(p, *a, **k):
         if str(p).endswith("gone.crc"):
             raise FileNotFoundError(p)
         return real_stat(p, *a, **k)
 
+    def racy_lstat(p, *a, **k):
+        # a TRUE vanish fails lstat too (unlike a dangling symlink,
+        # where the link entry itself still lstat-succeeds)
+        if str(p).endswith("gone.crc"):
+            raise FileNotFoundError(p)
+        return real_lstat(p, *a, **k)
+
     monkeypatch.setattr("os.stat", racy_stat)
+    monkeypatch.setattr("os.lstat", racy_lstat)
     racy = _data_fingerprint(str(d))
     monkeypatch.undo()
 
@@ -251,3 +260,42 @@ def test_fingerprint_vanished_file_is_a_skip_not_degraded(tmp_path, monkeypatch)
     assert _data_fingerprint(str(d)) == racy, (
         "skip must converge to the post-deletion stable digest"
     )
+
+
+def test_fingerprint_dangling_symlink_is_degraded_not_invisible(tmp_path):
+    """A data file REPLACED by a dangling symlink must not become
+    permanently invisible to the digest (r12 ADVICE): os.stat follows
+    links and raises FileNotFoundError on every call, which the
+    concurrent-delete skip would silently absorb — the memo would keep
+    serving the pre-replacement frame forever.  lstat succeeding on
+    the entry distinguishes "the name persists as a broken link"
+    (degraded → memo miss, frame rebuilds) from "the name vanished"
+    (stable skip, test above)."""
+    import os as _os
+
+    from go_map_reduce_spark.registry import _data_fingerprint
+
+    d = tmp_path / "linked"
+    d.mkdir()
+    (d / "keep.parquet").write_bytes(b"keep")
+    (d / "data.parquet").write_bytes(b"real")
+    before = _data_fingerprint(str(d))
+    assert not before.startswith("degraded-")
+
+    (d / "data.parquet").unlink()
+    _os.symlink(str(d / "nowhere.parquet"), str(d / "data.parquet"))
+    broken = _data_fingerprint(str(d))
+    assert broken.startswith("degraded-"), (
+        "dangling symlink must yield a never-matching degraded token"
+    )
+    # degraded tokens never alias each other: two calls in the broken
+    # state must still invalidate (monotone counter)
+    assert _data_fingerprint(str(d)) != broken
+
+    # once the link is removed the digest is stable again and differs
+    # from the pre-replacement digest (data.parquet's contribution gone)
+    (d / "data.parquet").unlink()
+    after = _data_fingerprint(str(d))
+    assert not after.startswith("degraded-")
+    assert after != before
+    assert _data_fingerprint(str(d)) == after

@@ -422,3 +422,39 @@ def test_epoch_rows_zero_epoch_source_emits_nothing(spark):
         (r["epoch_idx"], r["pass_fraction"]) for r in rows
     )
     assert live == [(1, 1.0), (2, 1.0), (3, 0.5)]
+
+
+def test_waterfill_zero_mass_source_dropped_not_divide_by_zero(spark):
+    """r13 ADVICE: a source whose kept docs net to zero tokens used to
+    throw DIVIDE_BY_ZERO under the session's ANSI mode (epochs columns
+    divide by tokens_kept) and its sqrt(0) weight degenerated the
+    waterline.  It must be silently excluded — nothing to allocate —
+    and the remaining sources must see exactly the budget computed
+    over the remaining mass."""
+    got = _run_waterfill(
+        spark, {"a": 0, "b": 100, "c": 900}, target_mult=3, cap=100
+    )
+    assert set(got) == {"b", "c"}
+    budget = 3 * 1000
+    assert sum(r["alloc_tokens"] for r in got.values()) == pytest.approx(
+        budget, rel=1e-9
+    )
+
+
+def test_waterfill_boundary_tolerance_no_silent_fallback(spark):
+    """r13 ADVICE: a waterline that lands EXACTLY on a cap boundary
+    must still pick a valid candidate (epsilon-tolerant interval
+    check), never the all-capped fallback (kstar=n, lam=0) that
+    under-allocates a feasible budget.  Constructed exact case:
+    toks {1, 4}, cap 5, budget 15 -> lam = (15-5)/2 = 5.0 == r_a ==
+    lam0 = 15/3.  At the exact boundary the kstar=0 and kstar=1
+    parameterizations give IDENTICAL allocations (a sits exactly at
+    cap either way — here via the lam0<=rmin branch, so capped=False
+    with epochs_final==cap), so the pin is on the allocation values:
+    the full budget is placed, not the fallback's cap*total."""
+    got = _run_waterfill(spark, {"a": 1, "b": 4}, target_mult=3, cap=5)
+    assert got["a"]["epochs_final"] == pytest.approx(5.0)  # at cap exactly
+    assert got["b"]["capped"] is False
+    assert got["a"]["alloc_tokens"] == pytest.approx(5.0)
+    assert got["b"]["alloc_tokens"] == pytest.approx(10.0)
+    assert sum(r["alloc_tokens"] for r in got.values()) == pytest.approx(15.0)

@@ -173,3 +173,26 @@ def test_collation_join_preserves_casing_and_excludes_unmatched(
     names = {r["n_name"] for r in rows}
     assert names == {"NATION_0", "NATION_7", "NATION_19", "NATION_23"}
     assert all(r["n_customers"] >= 0 for r in rows)
+
+
+def test_sql_scripting_query_restores_conf(spark, sf_dir):
+    """r13 ADVICE: the gated scripting query must not leak
+    spark.sql.scripting.enabled into the shared session — it saves and
+    restores the previous value (including the unset state) around the
+    one spark.sql call that needs it, and the returned frame stays
+    collectable after the restore (the plan is already resolved)."""
+    try:
+        spark.conf.unset("spark.sql.scripting.enabled")
+    except Exception:
+        pass
+    df = QUERIES["sql_scripting_segment_above_avg"](spark, sf_dir)
+    assert spark.conf.get("spark.sql.scripting.enabled", None) is None, (
+        "conf leaked into the shared session"
+    )
+    assert df.count() > 0  # resolved plan survives the restore
+
+    # a pre-set value round-trips too
+    spark.conf.set("spark.sql.scripting.enabled", "false")
+    QUERIES["sql_scripting_segment_above_avg"](spark, sf_dir).count()
+    assert spark.conf.get("spark.sql.scripting.enabled") == "false"
+    spark.conf.unset("spark.sql.scripting.enabled")
