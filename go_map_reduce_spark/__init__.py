@@ -80,6 +80,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline38,
     pipeline39,
     pipeline40,
+    pipeline41,
     sqlsurface,
     stats,
     quality_filters,

@@ -1,0 +1,237 @@
+"""Round-14 batch: the training-shard manifest — the engine's final
+deliverable artifact.
+
+``mixture_epoch_schedule`` says how many tokens of each source every
+epoch replays; ``sequence_packing`` says how documents concatenate into
+fixed-budget training sequences; until now nothing composed them into
+the table a training job actually mounts.  ``training_shard_manifest``
+is that table: per (source, epoch, shard), WHICH kept documents realize
+the epoch's token quota and which packed sequences they land in.  This
+is the Spark analogue of the reference's final output files
+(mr/worker.go:151 writes the job's deliverable mr-out-* artifacts;
+here the deliverable is the epoch-sharded packed-corpus manifest).
+
+Construction (both engines, mirrored expression for expression):
+
+1. Kept documents (the staged gate→dedup→media survivors, pipeline27's
+   one decision frame) carry ``tok = n_tokens − n_removed`` post-cut
+   tokens; zero-token docs contribute nothing and are excluded exactly
+   as the waterfill excludes zero-mass sources.
+2. Deterministic concat order is doc_id within source.  The per-source
+   running token offset is computed SCALABLY: a shard-local cumsum
+   (window partitioned by (source, shard = doc_id // PACK_SHARD)) plus
+   a shard-base prefix from the per-shard totals — the two-level
+   prefix-sum a 1000-executor job uses instead of one global
+   ORDER-BY-everything window.  The shard-totals frame has
+   #docs/PACK_SHARD rows; its per-source window is over shard COUNTS,
+   not documents.
+3. The capped mixture's epoch table (waterfill → epoch_rows) gives
+   each (source, epoch) its integer token quota; epoch e takes the
+   document prefix with start_off < quota, truncating the boundary
+   document (contrib = least(tok, quota − start_off)) — token mass
+   realizes the quota EXACTLY, which is what makes the manifest
+   reconcile with the plan instead of drifting by one document.
+4. Sequences are cut every PACK_BUDGET tokens of the epoch's
+   concatenated stream; each manifest row reports the [seq_lo, seq_hi]
+   span its shard's docs occupy.
+
+100 TB shape: the epochs frame is ≤ #sources·(cap+1) rows and rides a
+broadcast join against the doc-offset frame (no shuffle of the corpus
+side beyond the two shard-keyed exchanges the prefix-sum needs); the
+quota filter is a per-row comparison; the final aggregate is
+map-side-combinable on (source, epoch, shard).  All quota/offset
+arithmetic is BIGINT — bit-stable across engines.
+
+Composition queries import tier functions directly (package
+convention: the staleness closure must see the edges)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from go_map_reduce_spark.catalog import load_table
+from go_map_reduce_spark.operators.pipeline27 import (
+    STAGED_ORACLE,
+    staged_decisions,
+)
+from go_map_reduce_spark.operators.pipeline40 import (
+    _WF_ALLOC_SQL,
+    _WF_WATERLINE_CTES,
+    epoch_rows,
+    kept_tokens_by_source,
+    waterfill_alloc,
+)
+from go_map_reduce_spark.operators.textstats import PACK_BUDGET, PACK_SHARD
+from go_map_reduce_spark.registry import query
+
+# Shared CTE chain: kept docs with per-doc tokens (doc_id-level twin of
+# pipeline40's _WF_PER_SRC — the per_src CTE below must aggregate to
+# exactly the waterfill's input, which the reconciliation pytest pins).
+_KEPT_DOCS_CTES = f"""
+    staged AS ({STAGED_ORACLE}),
+    kept AS (
+      SELECT st.doc_id, d.source, st.n_tokens - st.n_removed AS tok
+      FROM staged st JOIN documents d ON d.doc_id = st.doc_id
+      WHERE st.gate_ok AND st.dedup_ok AND st.media_ok
+    ),
+    per_src AS (
+      SELECT source, CAST(SUM(tok) AS BIGINT) AS tokens_kept
+      FROM kept GROUP BY source
+      HAVING SUM(tok) > 0
+    )
+"""
+
+_MANIFEST_ORACLE = f"""
+    WITH {_KEPT_DOCS_CTES},
+    {_WF_WATERLINE_CTES},
+    final AS (
+      SELECT o.source, o.tokens_kept,
+             round({_WF_ALLOC_SQL}
+                   / CAST(o.tokens_kept AS DOUBLE), 6) AS epochs_final
+      FROM ordered o, chosen c
+    ),
+    epochs AS (
+      SELECT f.source, CAST(g.epoch_idx AS BIGINT) AS epoch_idx,
+             CAST(round((CASE WHEN g.epoch_idx
+                                   <= CAST(floor(f.epochs_final) AS BIGINT)
+                              THEN 1.0
+                              ELSE f.epochs_final - floor(f.epochs_final) END)
+                        * f.tokens_kept) AS BIGINT) AS quota
+      FROM final f,
+           LATERAL (SELECT unnest(generate_series(1,
+                      CAST(ceil(f.epochs_final) AS BIGINT))) AS epoch_idx) g
+    ),
+    kd AS (
+      SELECT doc_id, source, tok, doc_id // {PACK_SHARD} AS shard
+      FROM kept WHERE tok > 0
+    ),
+    sharded AS (
+      SELECT doc_id, source, tok, shard,
+             SUM(tok) OVER (PARTITION BY source, shard ORDER BY doc_id)
+               - tok AS local_off
+      FROM kd
+    ),
+    shard_tot AS (
+      SELECT source, shard, CAST(SUM(tok) AS BIGINT) AS shard_tok
+      FROM kd GROUP BY source, shard
+    ),
+    shard_off AS (
+      SELECT source, shard,
+             SUM(shard_tok) OVER (PARTITION BY source ORDER BY shard)
+               - shard_tok AS shard_base
+      FROM shard_tot
+    ),
+    offs AS (
+      SELECT s.doc_id, s.source, s.tok, s.shard,
+             o.shard_base + s.local_off AS start_off
+      FROM sharded s
+      JOIN shard_off o ON o.source = s.source AND o.shard = s.shard
+    ),
+    taken AS (
+      SELECT e.source, e.epoch_idx, d.shard, d.start_off,
+             LEAST(d.tok, e.quota - d.start_off) AS contrib
+      FROM epochs e
+      JOIN offs d ON d.source = e.source AND d.start_off < e.quota
+    )
+    SELECT source, epoch_idx, shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(contrib) AS BIGINT) AS shard_tokens,
+           CAST(MIN(start_off) // {PACK_BUDGET} AS BIGINT) AS seq_lo,
+           CAST((MAX(start_off + contrib) - 1) // {PACK_BUDGET} AS BIGINT)
+             AS seq_hi
+    FROM taken
+    GROUP BY source, epoch_idx, shard
+"""
+
+
+def kept_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, tok) over the funnel's kept documents — the
+    doc-level twin of pipeline40.kept_tokens_by_source (which this
+    frame aggregates to exactly; the reconciliation pytest pins it).
+    Zero-token docs are excluded: they contribute no mass and would
+    only pad manifest rows."""
+    staged = staged_decisions(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        staged.where("gate_ok AND dedup_ok AND media_ok")
+        .join(src, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("n_tokens") - F.col("n_removed")).cast("long").alias("tok"),
+        )
+        .where(F.col("tok") > 0)
+    )
+
+
+def doc_start_offsets(docs: DataFrame) -> DataFrame:
+    """Per-source running token offsets in deterministic doc_id order,
+    via the two-level prefix sum: shard-local cumsum + per-shard base
+    offsets.  Input (doc_id, source, tok) → output adds (shard,
+    start_off).  Factored out so the pytest can pin the two-level form
+    against a driver-computed global cumsum on synthetic frames."""
+    kd = docs.withColumn("shard", (F.col("doc_id") / PACK_SHARD).cast("long"))
+    wloc = W.partitionBy("source", "shard").orderBy("doc_id")
+    sharded = kd.withColumn(
+        "local_off", F.sum("tok").over(wloc) - F.col("tok")
+    )
+    shard_tot = kd.groupBy("source", "shard").agg(
+        F.sum("tok").cast("long").alias("shard_tok")
+    )
+    wsh = W.partitionBy("source").orderBy("shard")
+    shard_off = shard_tot.select(
+        "source",
+        "shard",
+        (F.sum("shard_tok").over(wsh) - F.col("shard_tok")).alias(
+            "shard_base"
+        ),
+    )
+    return sharded.join(shard_off, ["source", "shard"]).select(
+        "doc_id",
+        "source",
+        "tok",
+        "shard",
+        (F.col("shard_base") + F.col("local_off")).alias("start_off"),
+    )
+
+
+@query("training_shard_manifest", oracle=_MANIFEST_ORACLE)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The epoch-sharded packed-corpus manifest (module docstring):
+    per (source, epoch_idx, shard) — docs taken, token mass realized
+    (boundary doc truncated so per-epoch mass equals the schedule's
+    quota EXACTLY), and the [seq_lo, seq_hi] span of PACK_BUDGET-token
+    sequences the shard's stream occupies.  Reconciliations the tests
+    pin: per-source Σ shard_tokens equals the epoch schedule's
+    Σ tokens_this_pass (hence the waterfill allocation at doc
+    granularity), and per (source, epoch) the sequence count
+    max(seq_hi)+1 equals ceil(quota / PACK_BUDGET) — the
+    packing_efficiency_report tail-waste identity."""
+    quotas = (
+        epoch_rows(waterfill_alloc(kept_tokens_by_source(spark, sf_dir)))
+        .select(
+            "source", "epoch_idx", F.col("tokens_this_pass").alias("quota")
+        )
+    )
+    offs = doc_start_offsets(kept_doc_tokens(spark, sf_dir))
+    taken = offs.join(F.broadcast(quotas), "source").where(
+        F.col("start_off") < F.col("quota")
+    )
+    contrib = F.least(F.col("tok"), F.col("quota") - F.col("start_off"))
+    return (
+        taken.select(
+            "source", "epoch_idx", "shard", "start_off", contrib.alias("contrib")
+        )
+        .groupBy("source", "epoch_idx", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("contrib").cast("long").alias("shard_tokens"),
+            (F.min("start_off") / PACK_BUDGET).cast("long").alias("seq_lo"),
+            (
+                (F.max(F.col("start_off") + F.col("contrib")) - 1)
+                / PACK_BUDGET
+            )
+            .cast("long")
+            .alias("seq_hi"),
+        )
+    )
