@@ -303,6 +303,41 @@ def _compaction_oracle() -> str:
     )
 
 
+def compaction_phases(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The compaction's BEFORE/AFTER assignment frames (vec_id, cid,
+    dist2 — everyone assigned to the frozen standing centroids, and to
+    the centroids after COMPACT_ROUNDS warm-start half-steps), each
+    memoized via registry.shared_frame: the compaction report and the
+    recall eval (pipeline41) read the SAME assignments instead of
+    replaying the Lloyd chain per consumer — the cluster-frame
+    convention the frozen centroids already follow."""
+    from go_map_reduce_spark.registry import shared_frame
+
+    ex = _spark_exploded(spark, sf_dir).persist().transform(track_cache)
+    is_new = (F.col("vec_id") % NEW_BATCH_MOD) == NEW_BATCH_REM
+    _, c = _standing_frozen(spark, sf_dir, ex.where(~is_new))
+    before = shared_frame(
+        spark,
+        f"ivf_compact_before:{sf_dir}",
+        lambda: _spark_assign(ex, c).localCheckpoint(eager=True),
+        data_path=sf_dir,
+    )
+
+    def _build_after() -> DataFrame:
+        cur = before
+        for _ in range(COMPACT_ROUNDS):
+            cnew = _spark_update(ex, cur).localCheckpoint(eager=True)
+            cur = _spark_assign(ex, cnew)
+        return cur.localCheckpoint(eager=True)
+
+    after = shared_frame(
+        spark, f"ivf_compact_after:{sf_dir}", _build_after, data_path=sf_dir
+    )
+    return before, after
+
+
 @query("ivf_index_compaction", oracle=_compaction_oracle())
 def ivf_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acting on ``ivf_index_upsert``'s alarm (the report→act pattern,
@@ -333,15 +368,7 @@ def ivf_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME per-round cost the original training paid, scheduled rarely
     (when the upsert's growth/distortion alarms fire), while the daily
     upsert stays batch-sized."""
-    ex = _spark_exploded(spark, sf_dir).persist().transform(track_cache)
-    is_new = (F.col("vec_id") % NEW_BATCH_MOD) == NEW_BATCH_REM
-    _, c = _standing_frozen(spark, sf_dir, ex.where(~is_new))
-    before = _spark_assign(ex, c).localCheckpoint(eager=True)
-    cur = before
-    for _ in range(COMPACT_ROUNDS):
-        cnew = _spark_update(ex, cur).localCheckpoint(eager=True)
-        cur = _spark_assign(ex, cnew)
-    after = cur
+    before, after = compaction_phases(spark, sf_dir)
 
     def _phase(a: DataFrame, phase: str) -> DataFrame:
         return a.groupBy("cid").agg(

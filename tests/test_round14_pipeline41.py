@@ -140,3 +140,53 @@ def test_manifest_quota_join_is_broadcast(spark, sf_dir):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_compaction_recall_eval_measures_the_tradeoff(spark, sf_dir):
+    """Recall across the index rebuild.  Pins: (1) the truth pool is
+    exactly N_IVF_QUERIES x IVF_TOP_K (the brute frame covers every
+    query — an empty/truncated truth side would silently inflate
+    recall); (2) both phases retrieve real quality (floor 0.7 on the
+    fixtures); (3) the frozen->compacted gap stays bounded — the
+    fixtures show a real, deterministic DIP (tightened cells move true
+    neighbors across unprobed boundaries), and this eval existing is
+    how an index owner sees it; a gap blowout (> 0.15) would mean the
+    compaction broke the index, not just shifted boundaries."""
+    from go_map_reduce_spark.operators.kmeans import (
+        IVF_TOP_K,
+        N_IVF_QUERIES,
+    )
+
+    rows = {
+        r["phase"]: r
+        for r in QUERIES["ivf_compaction_recall_eval"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"frozen", "compacted"}
+    for r in rows.values():
+        assert r["n_truth"] == N_IVF_QUERIES * IVF_TOP_K
+        assert 0.7 <= r["recall"] <= 1.0
+        assert r["n_hits"] <= r["n_truth"]
+    gap = rows["frozen"]["recall"] - rows["compacted"]["recall"]
+    assert abs(gap) <= 0.15
+
+
+def test_compaction_phases_reconcile_with_report(spark, sf_dir):
+    """The memoized before/after assignment frames (shared with the
+    recall eval) must aggregate to EXACTLY the registered compaction
+    report's per-cell populations — one definition of the index
+    states."""
+    from go_map_reduce_spark.operators.pipeline31 import compaction_phases
+
+    before, after = compaction_phases(spark, sf_dir)
+    report = {
+        (r["phase"], r["cluster_id"]): r["n_vectors"]
+        for r in QUERIES["ivf_index_compaction"](spark, sf_dir).collect()
+    }
+    for phase, frame in (("before", before), ("after", after)):
+        got = {
+            (phase, r["cid"]): r["n"]
+            for r in frame.groupBy("cid").agg(
+                F.count(F.lit(1)).cast("long").alias("n")
+            ).collect()
+        }
+        assert got == {k: v for k, v in report.items() if k[0] == phase}
