@@ -98,6 +98,6 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     textstats,
 )
 from go_map_reduce_spark.sources import layout, pydatasource  # noqa: F401,E402
-from go_map_reduce_spark.streaming import admit, incremental, stateful, windows  # noqa: F401,E402
+from go_map_reduce_spark.streaming import admit, admit_erasure, incremental, stateful, windows  # noqa: F401,E402
 
 __all__ = ["registry"]

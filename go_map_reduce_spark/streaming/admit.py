@@ -253,6 +253,7 @@ def _run_admit_stream(
     src_dir = os.path.join(tmp, "src")
     dec_dir = os.path.join(tmp, "decisions")
     seen_root = os.path.join(tmp, "seen")
+    erased_dir = os.path.join(tmp, "erased")
 
     stream = (
         spark.readStream.schema("doc_id long, batch_id long")
@@ -261,6 +262,15 @@ def _run_admit_stream(
     )
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        # Erasure tombstones (admit_erasure.purge_erased_state): an
+        # erased subject must never re-enter the state, INCLUDING via
+        # an at-least-once replay of a batch file processed before the
+        # purge — so the filter sits on the arrival side of every
+        # merge, not only in the purge rewrite.
+        if os.path.isdir(erased_dir):
+            batch_df = batch_df.join(
+                spark.read.parquet(erased_dir), "doc_id", "left_anti"
+            )
         v = _latest_seen_version(seen_root)
         seen = (
             spark.read.parquet(os.path.join(seen_root, f"v{v}"))
