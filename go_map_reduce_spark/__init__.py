@@ -81,6 +81,7 @@ from go_map_reduce_spark.operators import (  # noqa: F401,E402
     pipeline39,
     pipeline40,
     pipeline41,
+    pipeline42,
     sqlsurface,
     stats,
     quality_filters,
