@@ -130,6 +130,13 @@ def _zigzag_order() -> list[tuple[int, int]]:
 
 
 ZIGZAG = _zigzag_order()
+# Flat row-major index of each zigzag position (and its inverse), for
+# vectorized gather/scatter instead of 64-iteration Python loops.
+_ZZ_FLAT = [r * 8 + c for (r, c) in ZIGZAG]
+_ZZ_INV = [0] * 64
+for _i, _p in enumerate(_ZZ_FLAT):
+    _ZZ_INV[_p] = _i
+del _i, _p
 
 # --------------------------------------------------------------------------
 # Huffman tables: complete canonical specs shipped via DHT
@@ -162,7 +169,20 @@ AC_VALS_CHROMA = list(reversed(AC_VALS))
 
 
 def build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """Annex-C canonical construction: symbol -> (code, length)."""
+    """Annex-C canonical construction: symbol -> (code, length).
+    Memoized on the (immutable view of the) table spec — encoders used
+    to rebuild the dict once per 8x8 block, which dominated encode
+    time; the construction itself is unchanged."""
+    return dict(_build_codes_cached(tuple(bits), tuple(vals)))
+
+
+import functools  # noqa: E402
+
+
+@functools.lru_cache(maxsize=64)
+def _build_codes_cached(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> tuple[tuple[int, tuple[int, int]], ...]:
     codes: dict[int, tuple[int, int]] = {}
     code, k = 0, 0
     for length in range(1, 17):
@@ -171,14 +191,27 @@ def build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
             code += 1
             k += 1
         code <<= 1
-    return codes
+    return tuple(codes.items())
+
+
+class _DecodeMap(dict):
+    """(length, code) -> symbol map that also carries the sorted set of
+    code lengths present, so the bit-serial reader can extend its probe
+    by several bits at a time instead of one."""
+
+    __slots__ = ("lengths",)
+
+    def __init__(self, items):
+        super().__init__(items)
+        self.lengths = tuple(sorted({length for (length, _) in self}))
 
 
 def build_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
     """(length, code) -> symbol, for bit-serial decoding."""
-    return {
-        (length, code): sym for sym, (code, length) in build_codes(bits, vals).items()
-    }
+    return _DecodeMap(
+        ((length, code), sym)
+        for sym, (code, length) in build_codes(bits, vals).items()
+    )
 
 
 # --------------------------------------------------------------------------
@@ -193,15 +226,19 @@ class _BitWriter:
         self._n = 0
 
     def write(self, code: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self._acc = (self._acc << 1) | ((code >> i) & 1)
-            self._n += 1
-            if self._n == 8:
-                self.out.append(self._acc)
-                if self._acc == 0xFF:
-                    self.out.append(0x00)  # byte stuffing
-                self._acc = 0
-                self._n = 0
+        # Chunked form of the bit-by-bit append: same bit order, same
+        # byte-stuffing, ~8x fewer Python operations per code.
+        acc = (self._acc << length) | (code & ((1 << length) - 1))
+        n = self._n + length
+        out = self.out
+        while n >= 8:
+            n -= 8
+            b = (acc >> n) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)  # byte stuffing
+        self._acc = acc & ((1 << n) - 1)
+        self._n = n
 
     def flush(self) -> None:
         while self._n:  # pad with 1-bits per T.81 F.1.2.3
@@ -231,16 +268,46 @@ class _BitReader:
         return (self._acc >> self._n) & 1
 
     def read_bits(self, n: int) -> int:
+        # Chunked extraction from the one-byte buffer: identical byte
+        # consumption order (bytes are pulled only when a requested bit
+        # needs them), so marker/truncation errors fire at exactly the
+        # same stream positions as the bit-by-bit form.
         v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        while n:
+            if self._n == 0:
+                b = self.data[self.pos]
+                self.pos += 1
+                if b == 0xFF:
+                    nxt = self.data[self.pos]
+                    if nxt == 0x00:
+                        self.pos += 1  # stuffed byte
+                    else:
+                        raise ValueError(
+                            "marker inside entropy-coded segment"
+                        )
+                self._acc = b
+                self._n = 8
+            take = n if n < self._n else self._n
+            self._n -= take
+            v = (v << take) | ((self._acc >> self._n) & ((1 << take) - 1))
+            n -= take
         return v
 
     def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        # Probe only the code lengths the table actually contains
+        # (carried by _DecodeMap; this package's canonical tables are
+        # uniform-length, so one chunked read + one dict lookup replaces
+        # per-bit probing). Tables built elsewhere fall back to probing
+        # every length, which is the original behavior.
+        lengths = getattr(table, "lengths", None) or range(1, 17)
         code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | self.read_bit()
-            length += 1
+        for target in lengths:
+            if target > 16:
+                break
+            code = (code << (target - length)) | self.read_bits(
+                target - length
+            )
+            length = target
             sym = table.get((length, code))
             if sym is not None:
                 return sym
@@ -345,11 +412,20 @@ def _encode_block(
     the shared table-0 spec)."""
     import numpy as np
 
-    dc_codes = dc_codes or build_codes(DC_BITS, DC_VALS)
-    ac_codes = ac_codes or build_codes(AC_BITS, AC_VALS)
     coef = m @ (block - 128.0) @ m.T
     qc = np.rint(coef / q).astype(np.int64)
-    zz = [int(qc[r, c]) for (r, c) in ZIGZAG]
+    return _encode_zz(w, qc.ravel()[_ZZ_FLAT].tolist(), prev_dc,
+                      dc_codes, ac_codes)
+
+
+def _encode_zz(
+    w: "_BitWriter", zz, prev_dc: int, dc_codes=None, ac_codes=None
+) -> int:
+    """Entropy-encode one already-quantized zigzag block (the tail of
+    ``_encode_block``, split out so encoders can batch the DCT/quantize
+    across every block of a plane and call this per block)."""
+    dc_codes = dc_codes or build_codes(DC_BITS, DC_VALS)
+    ac_codes = ac_codes or build_codes(AC_BITS, AC_VALS)
     diff = zz[0] - prev_dc
     s = _category(diff)
     code, length = dc_codes[s]
@@ -403,6 +479,9 @@ def encode_jpeg_gray(
     m = _dct_matrix()
     q = np.array(quant, dtype=np.float64).reshape(8, 8)
 
+    zzs = _quantized_coefs(img.astype(np.float64), q, m)
+    dc_codes = build_codes(DC_BITS, DC_VALS)
+    ac_codes = build_codes(AC_BITS, AC_VALS)
     w = _BitWriter()
     prev_dc = 0
     mcu = rst = 0
@@ -413,8 +492,9 @@ def encode_jpeg_gray(
                 w.out += bytes([0xFF, 0xD0 | (rst % 8)])
                 rst += 1
                 prev_dc = 0  # predictors reset at every restart
-            block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64)
-            prev_dc = _encode_block(w, block, q, m, prev_dc)
+            prev_dc = _encode_zz(
+                w, zzs[by, bx].tolist(), prev_dc, dc_codes, ac_codes
+            )
             mcu += 1
     w.flush()
 
@@ -476,9 +556,7 @@ def _block_pixels(zz, q, m):
     """Dequantize + dezigzag + IDCT + level shift -> 8x8 float block."""
     import numpy as np
 
-    coef = np.zeros((8, 8))
-    for i, (rr, cc) in enumerate(ZIGZAG):
-        coef[rr, cc] = zz[i]
+    coef = np.asarray(zz, dtype=np.float64)[_ZZ_INV].reshape(8, 8)
     return m.T @ (coef * q) @ m + 128.0
 
 
@@ -611,10 +689,13 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
     vmax = max(v for _, v in hv)
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
-    planes = [
-        np.zeros((mcus_y * v * 8, mcus_x * h * 8), dtype=np.float64)
-        for (h, v) in hv
-    ]
+    # Entropy-decode every block first (inherently bit-serial), then
+    # dequantize+IDCT all blocks of each component in ONE batched
+    # matmul pair — bitwise identical to the former per-block
+    # _block_pixels calls (same 8x8 GEMM per slice), far fewer Python
+    # operations.
+    comp_zz: list[list] = [[] for _ in range(ncomp)]
+    comp_pos: list[list] = [[] for _ in range(ncomp)]
     for my in range(mcus_y):
         for mx in range(mcus_x):
             _maybe_restart()
@@ -624,11 +705,21 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, int, bytes]:
                         zz, prev_dc[ci] = _decode_block(
                             r, comp_dc[ci], comp_ac[ci], prev_dc[ci]
                         )
-                        yy = (my * v + dy) * 8
-                        xx = (mx * h + dx) * 8
-                        planes[ci][yy : yy + 8, xx : xx + 8] = _block_pixels(
-                            zz, comp_q[ci], m
-                        )
+                        comp_zz[ci].append(zz)
+                        comp_pos[ci].append((my * v + dy, mx * h + dx))
+    planes = []
+    for ci, (h, v) in enumerate(hv):
+        bh, bw = mcus_y * v, mcus_x * h
+        coef = np.asarray(comp_zz[ci], dtype=np.float64)[:, _ZZ_INV]
+        pix = (
+            m.T @ (coef.reshape(-1, 8, 8) * comp_q[ci]) @ m + 128.0
+        )
+        blocks = np.zeros((bh, bw, 8, 8), dtype=np.float64)
+        pos = np.asarray(comp_pos[ci], dtype=np.int64)
+        blocks[pos[:, 0], pos[:, 1]] = pix
+        planes.append(
+            blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
     planes = [
         np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)
         if (h, v) != (hmax, vmax)
@@ -713,17 +804,17 @@ def encode_jpeg_color(
     dc_c = build_codes(DC_BITS, DC_VALS_CHROMA) if two_sets else None
     ac_c = build_codes(AC_BITS, AC_VALS_CHROMA) if two_sets else None
     comp_q = [q0, qc, qc]
+    comp_zz = [
+        _quantized_coefs(planes[ci], comp_q[ci], m) for ci in range(3)
+    ]
     w = _BitWriter()
     prev_dc = [0, 0, 0]
     for by in range(ph // 8):
         for bx in range(pw // 8):
             for ci in range(3):  # interleaved MCU
-                block = planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                prev_dc[ci] = _encode_block(
+                prev_dc[ci] = _encode_zz(
                     w,
-                    block,
-                    comp_q[ci],
-                    m,
+                    comp_zz[ci][by, bx].tolist(),
                     prev_dc[ci],
                     dc_c if ci else None,
                     ac_c if ci else None,
@@ -818,19 +909,30 @@ def encode_jpeg_color_subsampled(
     cb, cr = sub(cb), sub(cr)
     m = _dct_matrix()
     q = np.array(quant, dtype=np.float64).reshape(8, 8)
+    zz_y = _quantized_coefs(y, q, m)
+    zz_cb = _quantized_coefs(cb, q, m)
+    zz_cr = _quantized_coefs(cr, q, m)
+    dc_codes = build_codes(DC_BITS, DC_VALS)
+    ac_codes = build_codes(AC_BITS, AC_VALS)
     w = _BitWriter()
     prev = [0, 0, 0]
     for my in range(ph // mh):
         for mx in range(pw // mw):
             for dy in range(fv):  # luma blocks, raster order within MCU
                 for dx in range(fh):
-                    yy, xx = my * mh + dy * 8, mx * mw + dx * 8
-                    prev[0] = _encode_block(
-                        w, y[yy : yy + 8, xx : xx + 8], q, m, prev[0]
+                    prev[0] = _encode_zz(
+                        w,
+                        zz_y[my * fv + dy, mx * fh + dx].tolist(),
+                        prev[0],
+                        dc_codes,
+                        ac_codes,
                     )
-            cy, cx = my * 8, mx * 8
-            prev[1] = _encode_block(w, cb[cy : cy + 8, cx : cx + 8], q, m, prev[1])
-            prev[2] = _encode_block(w, cr[cy : cy + 8, cx : cx + 8], q, m, prev[2])
+            prev[1] = _encode_zz(
+                w, zz_cb[my, mx].tolist(), prev[1], dc_codes, ac_codes
+            )
+            prev[2] = _encode_zz(
+                w, zz_cr[my, mx].tolist(), prev[2], dc_codes, ac_codes
+            )
     w.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -976,12 +1078,13 @@ def _decode_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
     planes = []
     for ci in range(ncomp):
         bh, bw = dims[ci][0], dims[ci][1]
-        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-        for by in range(bh):
-            for bx in range(bw):
-                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _block_pixels(
-                    coefs[ci][by, bx].tolist(), comp_q[ci], m
-                )
+        # batched dezigzag + dequantize + IDCT over the whole plane —
+        # same per-slice 8x8 GEMMs as the former per-block loop
+        coef = coefs[ci].astype(np.float64)[:, :, _ZZ_INV].reshape(
+            bh, bw, 8, 8
+        )
+        blocks = m.T @ (coef * comp_q[ci]) @ m + 128.0
+        plane = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         h, v = comp_hv[ci]
         hmax = max(hh for hh, _ in comp_hv)
         vmax = max(vv for _, vv in comp_hv)
@@ -1284,14 +1387,16 @@ def _quantized_coefs(plane, q, m):
     import numpy as np
 
     bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
-    out = np.zeros((bh, bw, 64), dtype=np.int64)
-    for by in range(bh):
-        for bx in range(bw):
-            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            qc = np.rint((m @ (block - 128.0) @ m.T) / q).astype(np.int64)
-            for i, (r, c) in enumerate(ZIGZAG):
-                out[by, bx, i] = qc[r, c]
-    return out
+    blocks = (
+        np.asarray(plane, dtype=np.float64)
+        .reshape(bh, 8, bw, 8)
+        .transpose(0, 2, 1, 3)
+    )
+    # One batched matmul pair over all blocks: numpy dispatches the same
+    # 8x8 GEMM per slice as the former per-block loop, so the float
+    # results (and thus the quantized ints) are bitwise identical.
+    qc = np.rint((m @ (blocks - 128.0) @ m.T) / q).astype(np.int64)
+    return qc.reshape(bh, bw, 64)[:, :, _ZZ_FLAT]
 
 
 def _emit_progressive_scans(

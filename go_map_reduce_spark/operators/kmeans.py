@@ -115,7 +115,93 @@ def _spark_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spark_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, varr): the embedding as a double array — the compact
+    per-row form ``_spark_assign_vec`` computes distances over.  The
+    element cast is the same one ``_spark_exploded`` applies, so the
+    two views carry bit-identical values."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("varr"),
+    )
+
+
+# Decimal width for the in-row distance fold: same 12-digit scale as
+# _DEC (so each squared-diff term rounds to the identical decimal), but
+# 8 integer digits instead of 26 — values here are sums of <= 64 terms
+# each < 4 (embeddings live in [-0.5, 0.5)), and the narrower type
+# keeps Spark's add-result inference at scale 12 (38,12 + 38,12 would
+# infer scale 11 and round mid-fold). Decimal addition is exact, so the
+# fold equals the old Sum(decimal) in any order, bit for bit.
+_DEC_FOLD = "decimal(20,12)"
+
+
+def _spark_assign_vec(v: DataFrame, c: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment as a ZERO-SHUFFLE narrow map.
+
+    The previous form exploded every vector to 64 (vec, dim) rows,
+    broadcast-joined K centroids per row (N x 64 x K intermediate),
+    hash-aggregated the decimal squared-diff sums (one Exchange), and
+    ran a row_number window per vec_id (a second Exchange).  Since
+    decimal addition is exact and order-free, the same dist2 is
+    computed per row with an array fold: the K x D centroid table is
+    collapsed to ONE broadcast row (array of (cid, centroid-array)
+    structs, both levels sorted for determinism), each vector row
+    evaluates the K decimal folds inline, and the argmin with the
+    (dist2, cid) tie-break is ``array_min`` over (dist2, cid) structs —
+    exactly the old ORDER BY dist2, cid.  Plan: BroadcastNestedLoopJoin
+    of a 1-row table + Project; no Exchange at any scale."""
+    cents = (
+        c.groupBy("cid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("d"), F.col("val")))
+            ).alias("dv")
+        )
+        .select(
+            F.struct(
+                F.col("cid"),
+                F.transform("dv", lambda s: s["val"]).alias("cv"),
+            ).alias("cc")
+        )
+        .agg(F.array_sort(F.collect_list("cc")).alias("cs"))
+    )
+
+    def _dist2(cv):
+        return F.aggregate(
+            F.zip_with(
+                F.col("varr"),
+                cv,
+                lambda x, y: ((x - y) * (x - y)).cast(_DEC_FOLD),
+            ),
+            F.lit(0).cast(_DEC_FOLD),
+            lambda acc, t: (acc + t).cast(_DEC_FOLD),
+        ).cast("double")
+
+    best = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda cc: F.struct(
+                _dist2(cc["cv"]).alias("dist2"), cc["cid"].alias("cid")
+            ),
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(cents))
+        .select("vec_id", best.alias("best"))
+        .select(
+            "vec_id",
+            F.col("best.cid").alias("cid"),
+            F.col("best.dist2").alias("dist2"),
+        )
+    )
+
+
 def _spark_assign(e: DataFrame, c: DataFrame) -> DataFrame:
+    """Exploded-input reference form of the assignment (kept as the
+    differential twin for _spark_assign_vec; production paths pass the
+    array view to the vectorized form)."""
     ec = e.select("vec_id", "d", "val")
     cc = c.select(F.col("cid"), F.col("d").alias("cd"), F.col("val").alias("cval"))
     diff = F.col("val") - F.col("cval")
@@ -165,12 +251,13 @@ def kmeans_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kmeans_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _spark_exploded(spark, sf_dir).persist().transform(track_cache)
+    v = _spark_vectors(spark, sf_dir)
     c = e.where(F.col("vec_id") < K).select(
         F.col("vec_id").alias("cid"), "d", "val"
     )
     assign = None
     for it in range(1, ITERATIONS + 1):
-        assign = _spark_assign(e, c)
+        assign = _spark_assign_vec(v, c)
         if it < ITERATIONS:
             c = _spark_update(e, assign).localCheckpoint(eager=True)
     return assign.select(

@@ -59,6 +59,12 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _np():
+    import numpy
+
+    return numpy
+
+
 def decode_image(payload: bytes):
     """Decode a binary payload into (width, height, bpp, pixel_bytes).
 
@@ -228,7 +234,7 @@ def _decode_bmp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             out["width"].append(w)
             out["height"].append(h)
             out["bpp"].append(bpp)
-            out["pixel_sum"].append(sum(px))
+            out["pixel_sum"].append(int(_np().frombuffer(px, "uint8").sum()))
         yield pd.DataFrame(out)
 
 
@@ -283,9 +289,24 @@ def encode_wav(channels: int, rate: int, frames: list[list[int]]) -> bytes:
     channel) as a canonical RIFF/WAVE file."""
     import struct
 
-    body = b"".join(
-        struct.pack(f"<{channels}h", *fr) for fr in frames
-    )
+    # One numpy cast replaces the per-frame struct.pack loop ('<i2' is
+    # exactly '<h'); out-of-range samples keep struct.pack's error by
+    # falling back to it, so callers see identical bytes AND identical
+    # failures.
+    import numpy as np
+
+    try:
+        arr = np.asarray(frames, dtype=np.int64)
+    except (ValueError, TypeError):  # ragged/typed-wrong input
+        arr = None
+    if arr is None or arr.ndim != 2 or arr.shape[1] != channels or (
+        arr.size and (arr.min() < -32768 or arr.max() > 32767)
+    ):
+        body = b"".join(
+            struct.pack(f"<{channels}h", *fr) for fr in frames
+        )
+    else:
+        body = arr.astype("<i2").tobytes()
     block = channels * 2
     fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, 16)
     data = struct.pack("<4sI", b"data", len(body)) + body
@@ -324,18 +345,16 @@ def _synth_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """One deterministic WAV per doc: channel count, frame count, and
     every sample value are closed-form in doc_id, so the SQL oracle can
     predict the decoded features without any audio library."""
+    np = _np()
     for pdf in batches:
         payloads = []
         for doc_id in pdf["doc_id"]:
             channels = 1 + doc_id % 2
             n_frames = 64 + doc_id % 33
-            frames = [
-                [
-                    ((doc_id + 13 * i + 7 * c) % 2048) - 1024
-                    for c in range(channels)
-                ]
-                for i in range(n_frames)
-            ]
+            # numpy form of the closed-form comprehension: same values
+            i = np.arange(n_frames, dtype=np.int64)[:, None]
+            c = np.arange(channels, dtype=np.int64)[None, :]
+            frames = ((int(doc_id) + 13 * i + 7 * c) % 2048) - 1024
             payloads.append(encode_wav(channels, WAV_RATE, frames))
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
@@ -488,7 +507,7 @@ def _framesample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             _, n = struct.unpack_from("<4sI", payload, 0)
             total, count = 0, 0
             for _idx, (w, h, _bpp, px) in decode_video_frames(payload):
-                total += sum(px)
+                total += int(_np().frombuffer(px, "uint8").sum())
                 count += 1
             out["doc_id"].append(doc_id)
             out["n_frames"].append(n)
@@ -660,37 +679,49 @@ def encode_png(width: int, height: int, rows: list[bytes]) -> bytes:
     """Encode top-down 8-bit RGB rows (each ``width*3`` bytes) as PNG.
     Row y gets filter type y % 5, so every reconstruction path
     (None/Sub/Up/Average/Paeth) is exercised by any multi-row image —
-    the decoder can't pass by special-casing filter 0."""
+    the decoder can't pass by special-casing filter 0.
+
+    All five filter predictions read only ORIGINAL bytes (left/up/
+    up-left of the unfiltered image), so the whole filter pass is
+    computed as vectorized byte arithmetic over the stacked rows —
+    per-byte Python looping was the dominant cost of every PNG-emitting
+    media query. Output bytes are identical: same filter choice per
+    row, same mod-256 residuals, same single zlib.compress call."""
     import struct
     import zlib
 
+    import numpy as np
+
     bpp = _PNG_BPP
-    raw = bytearray()
-    prev = bytes(width * bpp)
-    for y, row in enumerate(rows):
-        f = y % 5
-        raw.append(f)
-        for j, v in enumerate(row):
-            a = row[j - bpp] if j >= bpp else 0
-            b = prev[j]
-            c = prev[j - bpp] if j >= bpp else 0
-            if f == 0:
-                pred = 0
-            elif f == 1:
-                pred = a
-            elif f == 2:
-                pred = b
-            elif f == 3:
-                pred = (a + b) >> 1
-            else:
-                pred = _paeth(a, b, c)
-            raw.append((v - pred) & 0xFF)
-        prev = row
+    stride = width * bpp
+    arr = (
+        np.frombuffer(b"".join(rows), dtype=np.uint8)
+        .reshape(height, stride)
+        .astype(np.int32)
+    )
+    b = np.zeros_like(arr)
+    b[1:] = arr[:-1]  # up
+    a = np.zeros_like(arr)
+    a[:, bpp:] = arr[:, :-bpp]  # left
+    c = np.zeros_like(arr)
+    c[:, bpp:] = b[:, :-bpp]  # up-left
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    paeth = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    preds = (np.zeros_like(arr), a, b, (a + b) >> 1, paeth)
+    f = np.arange(height) % 5
+    pred = np.empty_like(arr)
+    for fi in range(5):
+        rows_f = f == fi
+        pred[rows_f] = preds[fi][rows_f]
+    raw = np.empty((height, stride + 1), dtype=np.uint8)
+    raw[:, 0] = f
+    raw[:, 1:] = (arr - pred) & 0xFF
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes()))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -746,54 +777,76 @@ def _decode_png_impl(payload: bytes) -> tuple[int, int, int, bytes]:
     bpp, stride = _PNG_BPP, width * _PNG_BPP
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
-    out = bytearray()
-    prev = bytes(stride)
+    # Unfilter row by row (each row's reconstruction feeds the next).
+    # None/Sub/Up reconstruct as whole-row vector ops (Sub is a
+    # per-channel running sum mod 256); Average and Paeth recurrences
+    # genuinely depend on the just-reconstructed left neighbor, so those
+    # rows (2 of every 5 from this package's encoder) stay as tight
+    # Python loops over ints. Identical arithmetic mod 256 throughout.
+    import numpy as np
+
+    mat = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
     for y in range(height):
-        f = raw[y * (stride + 1)]
-        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
-        cur = bytearray(stride)
-        for j, v in enumerate(line):
-            a = cur[j - bpp] if j >= bpp else 0
-            b = prev[j]
-            c = prev[j - bpp] if j >= bpp else 0
-            if f == 0:
-                pred = 0
-            elif f == 1:
-                pred = a
-            elif f == 2:
-                pred = b
-            elif f == 3:
-                pred = (a + b) >> 1
-            elif f == 4:
-                pred = _paeth(a, b, c)
-            else:
-                raise ValueError(f"bad PNG filter type {f}")
-            cur[j] = (v + pred) & 0xFF
-        out.extend(cur)
-        prev = bytes(cur)
-    return width, height, 8 * bpp, bytes(out)
+        f = int(mat[y, 0])
+        line = mat[y, 1:].astype(np.int64)
+        if f == 0:
+            cur = line
+        elif f == 1:
+            cur = np.cumsum(line.reshape(-1, bpp), axis=0) & 0xFF
+            cur = cur.reshape(-1)
+        elif f == 2:
+            cur = (line + prev) & 0xFF
+        elif f == 3:
+            lv, pv = line.tolist(), prev.tolist()
+            cv = [(lv[j] + (pv[j] >> 1)) & 0xFF for j in range(bpp)]
+            for j in range(bpp, stride):
+                cv.append((lv[j] + ((cv[j - bpp] + pv[j]) >> 1)) & 0xFF)
+            cur = np.array(cv, dtype=np.int64)
+        elif f == 4:
+            lv, pv = line.tolist(), prev.tolist()
+            cv = [0] * stride
+            for j in range(stride):
+                a = cv[j - bpp] if j >= bpp else 0
+                b = pv[j]
+                c = pv[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                cv[j] = (lv[j] + pred) & 0xFF
+            cur = np.array(cv, dtype=np.int64)
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return width, height, 8 * bpp, out.tobytes()
 
 
 def _synth_png_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """One deterministic RGB PNG per doc: dims and pixels are closed-form
     in doc_id (pixel (x,y) = ((doc_id+x)%256, (doc_id+y)%256, (x*y)%256))
     so the SQL oracle predicts the decoded features with no codec."""
+    np = _np()
     for pdf in batches:
         payloads = []
         for doc_id in pdf["doc_id"]:
             w, h = 8 + doc_id % 9, 8 + doc_id % 7
-            rows = [
-                bytes(
-                    v
-                    for x in range(w)
-                    for v in (
-                        (doc_id + x) % 256,
-                        (doc_id + y) % 256,
-                        (x * y) % 256,
-                    )
-                )
-                for y in range(h)
-            ]
+            # numpy form of the per-pixel closed form: same row bytes
+            x = np.arange(w, dtype=np.int64)
+            y = np.arange(h, dtype=np.int64)
+            rgb = np.empty((h, w, 3), dtype=np.uint8)
+            rgb[:, :, 0] = ((int(doc_id) + x) % 256)[None, :]
+            rgb[:, :, 1] = ((int(doc_id) + y) % 256)[:, None]
+            rgb[:, :, 2] = (x[None, :] * y[:, None]) % 256
+            rows = [rgb[yy].tobytes() for yy in range(h)]
             payloads.append(encode_png(w, h, rows))
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
@@ -807,7 +860,7 @@ def _decode_png_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             out["width"].append(w)
             out["height"].append(h)
             out["bpp"].append(bpp)
-            out["pixel_sum"].append(sum(px))
+            out["pixel_sum"].append(int(_np().frombuffer(px, "uint8").sum()))
         yield pd.DataFrame(out)
 
 

@@ -49,33 +49,39 @@ def _synth_jpeg_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         encode_jpeg_progressive_gray,
     )
 
+    import numpy as np
+
     for pdf in batches:
         payloads = []
         for doc_id in pdf["doc_id"]:
             w, h = 8 * (1 + doc_id % 3), 8 * (1 + doc_id % 2)
-            img = bytearray()
-            for y in range(h):
-                for x in range(w):
-                    img.append((doc_id * 7 + (x // 8) * 13 + (y // 8) * 29) % 256)
+            # numpy form of the per-pixel closed form: same bytes
+            bx = (np.arange(w) // 8) * 13
+            by = (np.arange(h) // 8) * 29
+            img = (
+                (int(doc_id) * 7 + bx[None, :] + by[:, None]) % 256
+            ).astype(np.uint8)
             if doc_id % 3 == 0:
                 # even ids in this slice also carry per-scan restart
                 # markers — the progressive+DRI combination
                 payloads.append(
                     encode_jpeg_progressive_gray(
-                        w, h, bytes(img),
+                        w, h, img.tobytes(),
                         restart_interval=2 if doc_id % 2 == 0 else 0,
                     )
                 )
             elif doc_id % 3 == 1:
                 payloads.append(
-                    encode_jpeg_gray(w, h, bytes(img), restart_interval=2)
+                    encode_jpeg_gray(w, h, img.tobytes(), restart_interval=2)
                 )
             else:
-                payloads.append(encode_jpeg_gray(w, h, bytes(img)))
+                payloads.append(encode_jpeg_gray(w, h, img.tobytes()))
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
 def _decode_jpeg_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
     for pdf in batches:
         out = {"doc_id": [], "width": [], "height": [], "bpp": [], "pixel_sum": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -84,7 +90,8 @@ def _decode_jpeg_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             out["width"].append(w)
             out["height"].append(h)
             out["bpp"].append(bpp)
-            out["pixel_sum"].append(sum(px))
+            # numpy form of sum(px): same integer
+            out["pixel_sum"].append(int(np.frombuffer(px, np.uint8).sum()))
         yield pd.DataFrame(out)
 
 

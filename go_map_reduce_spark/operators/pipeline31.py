@@ -47,9 +47,10 @@ from go_map_reduce_spark.operators.kmeans import (
     DIMS,
     ITERATIONS,
     K,
-    _spark_assign,
+    _spark_assign_vec,
     _spark_exploded,
     _spark_update,
+    _spark_vectors,
     _sql_assign,
     _sql_update,
 )
@@ -149,7 +150,7 @@ def _upsert_oracle() -> str:
 
 
 def _standing_frozen(
-    spark: SparkSession, sf_dir: str, e: DataFrame
+    spark: SparkSession, sf_dir: str, e: DataFrame, v: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
     """Standing-corpus Lloyd training (first-K-lowest-standing-id
     init, ITERATIONS rounds under the kmeans determinism discipline):
@@ -160,7 +161,9 @@ def _standing_frozen(
     two index operators train ONCE per context; the final assignment
     is one broadcast-assign against the memoized centroids (exactly
     a_{ITERATIONS} — the loop's last step — so the upsert's standing
-    report is unchanged)."""
+    report is unchanged).  ``e`` is the exploded standing view (init
+    ids + centroid updates), ``v`` the array view the zero-shuffle
+    assignment maps over."""
     from go_map_reduce_spark.registry import shared_frame
 
     def _build_frozen() -> DataFrame:
@@ -173,7 +176,7 @@ def _standing_frozen(
         )
         c = e.join(ids, "vec_id").select("cid", "d", "val")
         for _ in range(1, ITERATIONS):
-            c = _spark_update(e, _spark_assign(e, c)).localCheckpoint(
+            c = _spark_update(e, _spark_assign_vec(v, c)).localCheckpoint(
                 eager=True
             )
         return c.localCheckpoint(eager=True)
@@ -181,7 +184,7 @@ def _standing_frozen(
     c = shared_frame(
         spark, f"ivf_frozen_centroids:{sf_dir}", _build_frozen, data_path=sf_dir
     )
-    return _spark_assign(e, c), c
+    return _spark_assign_vec(v, c), c
 
 
 @query("ivf_index_upsert", oracle=_upsert_oracle())
@@ -219,12 +222,12 @@ def ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = _spark_exploded(spark, sf_dir).persist().transform(track_cache)
     is_new = (F.col("vec_id") % NEW_BATCH_MOD) == NEW_BATCH_REM
     e = ex.where(~is_new)
-    eb = ex.where(is_new)
-    assign, c = _standing_frozen(spark, sf_dir, e)
+    v = _spark_vectors(spark, sf_dir)
+    assign, c = _standing_frozen(spark, sf_dir, e, v.where(~is_new))
     # c is c_{ITERATIONS-1}: the frozen index centroids (the set the
     # final standing assignment used). No further update — the batch is
     # measured against the same centroids as the standing population.
-    ab = _spark_assign(eb, c)
+    ab = _spark_assign_vec(v.where(is_new), c)
 
     def _cell_report(a: DataFrame, n_col: str, d_col: str) -> DataFrame:
         return a.groupBy("cid").agg(
@@ -317,11 +320,14 @@ def compaction_phases(
 
     ex = _spark_exploded(spark, sf_dir).persist().transform(track_cache)
     is_new = (F.col("vec_id") % NEW_BATCH_MOD) == NEW_BATCH_REM
-    _, c = _standing_frozen(spark, sf_dir, ex.where(~is_new))
+    v = _spark_vectors(spark, sf_dir)
+    _, c = _standing_frozen(
+        spark, sf_dir, ex.where(~is_new), v.where(~is_new)
+    )
     before = shared_frame(
         spark,
         f"ivf_compact_before:{sf_dir}",
-        lambda: _spark_assign(ex, c).localCheckpoint(eager=True),
+        lambda: _spark_assign_vec(v, c).localCheckpoint(eager=True),
         data_path=sf_dir,
     )
 
@@ -329,7 +335,7 @@ def compaction_phases(
         cur = before
         for _ in range(COMPACT_ROUNDS):
             cnew = _spark_update(ex, cur).localCheckpoint(eager=True)
-            cur = _spark_assign(ex, cnew)
+            cur = _spark_assign_vec(v, cnew)
         return cur.localCheckpoint(eager=True)
 
     after = shared_frame(

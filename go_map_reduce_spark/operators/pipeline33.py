@@ -83,18 +83,21 @@ def _synth_cross_codec_batch(
     five filter types), 2 -> 24-bit BMP (bottom-up BGR).  Gray goes
     into each RGB channel equally, so the decoded blue channel equals
     the JPEG gray plane."""
+    import numpy as np
+
     for pdf in batches:
         payloads = []
         for doc_id in pdf["doc_id"]:
-            grays = _cc_gray(doc_id)
+            grays = np.asarray(_cc_gray(doc_id), dtype=np.uint8)
             codec = doc_id % 3
             if codec == 0:
-                img = bytes(v for row in grays for v in row)
-                payloads.append(encode_jpeg_gray(CC_SIDE, CC_SIDE, img))
+                payloads.append(
+                    encode_jpeg_gray(CC_SIDE, CC_SIDE, grays.tobytes())
+                )
             else:
-                rows = [
-                    bytes(b for v in row for b in (v, v, v)) for row in grays
-                ]
+                # numpy form of the per-pixel RGB triple: same bytes
+                rgb = np.repeat(grays, 3, axis=1)
+                rows = [rgb[y].tobytes() for y in range(CC_SIDE)]
                 if codec == 1:
                     payloads.append(encode_png(CC_SIDE, CC_SIDE, rows))
                 else:  # BMP stores rows bottom-up

@@ -480,9 +480,11 @@ def _lb_synth_batch(
                 )
             else:
                 canvas = grays
-            rows = [
-                bytes(b for v in row for b in (v, v, v)) for row in canvas
-            ]
+            # numpy form of the per-pixel RGB triple: identical bytes
+            import numpy as np
+
+            rgb = np.repeat(np.asarray(canvas, dtype=np.uint8), 3, axis=1)
+            rows = [rgb[y].tobytes() for y in range(rgb.shape[0])]
             payloads.append(encode_png(len(canvas[0]), len(canvas), rows))
             variants.append(variant)
         yield pd.DataFrame(

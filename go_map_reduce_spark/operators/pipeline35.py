@@ -632,8 +632,12 @@ def _vpd_synth_batch(batches):
         encode_video,
     )
 
+    import numpy as np
+
     def enc_frame(gray, png: bool) -> bytes:
-        rows = [bytes(b for v in row for b in (v, v, v)) for row in gray]
+        # numpy form of the per-pixel RGB triple: identical row bytes
+        rgb = np.repeat(np.asarray(gray, dtype=np.uint8), 3, axis=1)
+        rows = [rgb[y].tobytes() for y in range(VPD_SIDE)]
         if png:
             return encode_png(VPD_SIDE, VPD_SIDE, rows)
         return encode_bmp(VPD_SIDE, VPD_SIDE, rows[::-1])  # BMP bottom-up
@@ -1042,8 +1046,9 @@ def erasure_derived_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames (measured 25.4 s cold vs ~3 s steady at sf0.1); bench
     treats it as NOISY (best-of-2) for this reason."""
     from go_map_reduce_spark.operators.kmeans import (
-        _spark_assign,
+        _spark_assign_vec,
         _spark_exploded,
+        _spark_vectors,
     )
     from go_map_reduce_spark.operators.pipeline15 import ERASE_MOD
     from go_map_reduce_spark.operators.pipeline20 import (
@@ -1061,8 +1066,11 @@ def erasure_derived_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # -- ivf occupancy delta over the post-upsert assignments ---------
     ex = _spark_exploded(spark, sf_dir).persist().transform(track_cache)
     is_new = (F.col("vec_id") % NEW_BATCH_MOD) == NEW_BATCH_REM
-    assign, c = _standing_frozen(spark, sf_dir, ex.where(~is_new))
-    ab = _spark_assign(ex.where(is_new), c)
+    v = _spark_vectors(spark, sf_dir)
+    assign, c = _standing_frozen(
+        spark, sf_dir, ex.where(~is_new), v.where(~is_new)
+    )
+    ab = _spark_assign_vec(v.where(is_new), c)
     allasg = assign.select("vec_id", "cid").union(ab.select("vec_id", "cid"))
     ivf = allasg.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("n_before"),

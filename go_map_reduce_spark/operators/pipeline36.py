@@ -74,6 +74,8 @@ def _ars_synth_batch(
     sample repeated 2x/4x — the exact zero-order-hold upsample an
     integer resampler produces.  The three payloads are byte-distinct
     RIFF files of three different lengths AND rates."""
+    import numpy as np
+
     from go_map_reduce_spark.operators.multimodal import encode_wav
 
     for pdf in batches:
@@ -81,7 +83,9 @@ def _ars_synth_batch(
         for doc_id in pdf["doc_id"]:
             s = _ars_samples(doc_id % ARS_RESIDUES)
             k = ARS_FACTORS[(doc_id // ARS_RESIDUES) % 3]
-            frames = [[v] for v in s for _ in range(k)]
+            # numpy form of [[v] for v in s for _ in range(k)] (the
+            # zero-order-hold upsample); encode_wav consumes the array
+            frames = np.repeat(np.asarray(s, dtype=np.int64), k)[:, None]
             payloads.append(encode_wav(1, ARS_BASE_RATE * k, frames))
             variants.append(_ARS_VARIANTS[(doc_id // ARS_RESIDUES) % 3])
         yield pd.DataFrame(
@@ -264,6 +268,8 @@ def _irs_synth_batch(
     2x/4x nearest-neighbor upsample (each pixel becomes a kxk block —
     what a thumbnail pipeline's integer upscale produces).  All
     truecolor PNG — byte-distinct payloads of three canvas sizes."""
+    import numpy as np
+
     from go_map_reduce_spark.operators.multimodal import encode_png
 
     for pdf in batches:
@@ -271,14 +277,15 @@ def _irs_synth_batch(
         for doc_id in pdf["doc_id"]:
             grays = _irs_gray(doc_id)
             k = IRS_FACTORS[(doc_id // IRS_RESIDUES) % 3]
-            canvas = [
-                [v for v in row for _ in range(k)]
-                for row in grays
-                for _ in range(k)
-            ]
-            rows = [
-                bytes(b for v in row for b in (v, v, v)) for row in canvas
-            ]
+            # numpy form of the nested-comprehension kxk nearest-
+            # neighbor upsample + RGB triple: identical bytes per row
+            canvas = np.repeat(
+                np.repeat(np.asarray(grays, dtype=np.uint8), k, axis=0),
+                k,
+                axis=1,
+            )
+            rgb = np.repeat(canvas, 3, axis=1)
+            rows = [rgb[y].tobytes() for y in range(rgb.shape[0])]
             payloads.append(encode_png(IRS_SIDE * k, IRS_SIDE * k, rows))
             variants.append(_IRS_VARIANTS[(doc_id // IRS_RESIDUES) % 3])
         yield pd.DataFrame(

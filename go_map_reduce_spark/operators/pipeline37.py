@@ -86,6 +86,8 @@ def _acd_synth_batch(
     duplication for stereo, integer amplitude scale.  The four
     payloads are byte-distinct RIFF files across three rates, two
     channel layouts and two amplitudes."""
+    import numpy as np
+
     from go_map_reduce_spark.operators.multimodal import encode_wav
 
     for pdf in batches:
@@ -94,9 +96,11 @@ def _acd_synth_batch(
             s = _acd_samples(doc_id % ACD_RESIDUES)
             variant = _ACD_ORDER[(doc_id // ACD_RESIDUES) % 4]
             k, channels, amp = ACD_VARIANTS[variant]
-            frames = [
-                [amp * v] * channels for v in s for _ in range(k)
-            ]
+            # numpy form of [[amp*v]*channels for v in s for _ in
+            # range(k)] — ZOH upsample, channel dup, amplitude scale
+            frames = np.repeat(
+                amp * np.asarray(s, dtype=np.int64), k
+            )[:, None].repeat(channels, axis=1)
             payloads.append(encode_wav(channels, ACD_BASE_RATE * k, frames))
             variants.append(variant)
         yield pd.DataFrame(
@@ -291,6 +295,8 @@ def _icd_synth_batch(
     truecolor PNG, or grayscale baseline JPEG (all-ones quant: exact
     on block-constant content).  Four byte-distinct payloads on three
     canvas sizes under three codecs."""
+    import numpy as np
+
     from go_map_reduce_spark.functions.jpegcodec import encode_jpeg_gray
     from go_map_reduce_spark.operators.multimodal import (
         encode_bmp,
@@ -303,19 +309,19 @@ def _icd_synth_batch(
             grays = _icd_gray(doc_id)
             variant = _ICD_ORDER[(doc_id // ICD_RESIDUES) % 4]
             k, codec = ICD_VARIANTS[variant]
-            canvas = [
-                [v for v in row for _ in range(k)]
-                for row in grays
-                for _ in range(k)
-            ]
+            # numpy form of the nested-comprehension kxk upsample (and
+            # the RGB triple for the row codecs): identical bytes
+            canvas = np.repeat(
+                np.repeat(np.asarray(grays, dtype=np.uint8), k, axis=0),
+                k,
+                axis=1,
+            )
             side = ICD_SIDE * k
             if codec == "jpeg":
-                img = bytes(v for row in canvas for v in row)
-                payloads.append(encode_jpeg_gray(side, side, img))
+                payloads.append(encode_jpeg_gray(side, side, canvas.tobytes()))
             else:
-                rows = [
-                    bytes(b for v in row for b in (v, v, v)) for row in canvas
-                ]
+                rgb = np.repeat(canvas, 3, axis=1)
+                rows = [rgb[y].tobytes() for y in range(side)]
                 if codec == "png":
                     payloads.append(encode_png(side, side, rows))
                 else:  # BMP stores rows bottom-up
