@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from go_map_reduce_spark.catalog import load_table
 from go_map_reduce_spark.functions.numeric import dsum, sql_dsum
-from go_map_reduce_spark.registry import query
+from go_map_reduce_spark.registry import query, track_cache
 
 # --------------------------------------------------------------------------
 # Fuzzy name matching via deletion neighborhoods (SymSpell blocking)
@@ -126,10 +126,16 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable shuffle on the pair key. The oracle is the
     unpruned quadratic formulation — differential proof the broadcast
     prune drops nothing above threshold."""
+    # items feeds the frequency prune AND (through pruned) both
+    # self-join sides; Spark shares no common subplans across joins, so
+    # without the persist each consumer re-runs the scan + distinct
+    # shuffle (the pagerank multi-consumer-barrier precedent)
     items = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
+        .persist()
+        .transform(track_cache)
     )
     freq = (
         items.groupBy("p")

@@ -103,7 +103,24 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right fold (Spark `aggregate`, DuckDB `list_reduce` —
     both defined as in-order folds, the functions/vector.py
     discipline) reproduces trainer semantics and is engine-identical,
-    which is what the unrolled SQL oracle proves."""
+    which is what the unrolled SQL oracle proves.
+
+    The learned table is memoized via registry.shared_frame (r14): the
+    corpus-tokenize pass, this query, and any other consumer train
+    ONCE per context instead of re-running the {BPE_ROUNDS}-round loop
+    per call — the pipeline32 deployed/retrained-chain convention
+    applied to the base trainer."""
+    from go_map_reduce_spark.registry import shared_frame
+
+    return shared_frame(
+        spark,
+        f"bpe_merges:{sf_dir}",
+        lambda: _bpe_train_plan(spark, sf_dir).localCheckpoint(eager=True),
+        data_path=sf_dir,
+    )
+
+
+def _bpe_train_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     cur = (
         load_table(spark, sf_dir, "documents")
@@ -142,7 +159,13 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(acc, F.lit(_SEP), x),
             ).otherwise(F.concat(acc, F.lit(" "), x)),
         )
-        cur = cur.select(F.split(merged, " ").alias("t"))
+        # Checkpoint the re-tokenized corpus per round (the pipeline32
+        # _bpe_train_apply convention): without it round k's pair-count
+        # action re-executes every earlier round's merge map from the
+        # parquet scan, tripling the trainer's passes at 3 rounds.
+        cur = cur.select(F.split(merged, " ").alias("t")).localCheckpoint(
+            eager=True
+        )
     return spark.createDataFrame(out_rows, "round: int, pair: string, n: long")
 
 

@@ -55,10 +55,8 @@ from go_map_reduce_spark.registry import ORACLES, query
 from go_map_reduce_spark.session import ensure_session_confs
 from go_map_reduce_spark.streaming.admit import (
     N_STREAM_BATCHES,
-    _admit_side,
     _latest_seen_version,
-    _run_admit_stream,
-    _write_batch_files,
+    finished_admit_state,
 )
 
 def _erased():
@@ -147,17 +145,21 @@ def streaming_admit_erasure_audit(
     id cannot re-enter via a redelivered batch file) and that the
     subject set reconciles with the batch-side erasure carve-out."""
     ensure_session_confs(spark)
+    # The finished admit state is the session-memoized run shared with
+    # streaming_curation_admit (admit.finished_admit_state); the purge
+    # MUTATES its stores, so copy them into a private tmp first — the
+    # copy is state-sized (per-doc decisions + cluster keys), a
+    # fraction of re-running the 4-trigger stream, and keeps the
+    # memoized directory read-only for other consumers.
+    shared = finished_admit_state(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="gmrs_admit_erase_")
     try:
-        side = _admit_side(spark, sf_dir)
-        _write_batch_files(
-            spark,
-            sf_dir,
-            os.path.join(tmp, "src"),
-            list(range(N_STREAM_BATCHES)),
-            os.path.join(tmp, "stage"),
+        shutil.copytree(
+            os.path.join(shared, "decisions"), os.path.join(tmp, "decisions")
         )
-        _run_admit_stream(spark, side, tmp)
+        shutil.copytree(
+            os.path.join(shared, "seen"), os.path.join(tmp, "seen")
+        )
 
         dec_dir = os.path.join(tmp, "decisions")
         seen_root = os.path.join(tmp, "seen")
