@@ -150,6 +150,14 @@ NOISY = {
     # pipeline (the minhash cold-JIT profile).
     "media_admit_decision",
     "crossmodal_incremental_admit",
+    # r14: the erasure audit is a streaming micro-batch consumer (the
+    # streaming_curation_admit profile — it shares the memoized
+    # finished admit state and additionally pays the purge rewrites);
+    # the compaction recall eval is the first consumer of the
+    # before/after compaction assignment frames (the
+    # erasure_derived_stores first-consumer profile).
+    "streaming_admit_erasure_audit",
+    "ivf_compaction_recall_eval",
 }
 
 

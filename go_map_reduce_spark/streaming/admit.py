@@ -317,12 +317,12 @@ def finished_admit_state(spark: SparkSession, sf_dir: str) -> str:
     (side-frame build, 4 x decision/seen-set commits) per suite run.
     Consumers must treat the directory as READ-ONLY: the erasure audit
     copies the stores it mutates into its own tmp before purging."""
-    import go_map_reduce_spark.registry as _reg
+    from go_map_reduce_spark.registry import _data_fingerprint
 
     key = (
         spark.sparkContext.applicationId,
         sf_dir,
-        _reg._data_fingerprint(sf_dir),
+        _data_fingerprint(sf_dir),
     )
     cached = _ADMIT_STATE_DIRS.get(key)
     if cached is not None and os.path.isdir(cached):
