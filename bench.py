@@ -178,29 +178,62 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
         "l_returnflag"
     ).count().collect()
+    from go_map_reduce_spark.registry import (
+        memo_grew,
+        memo_restore,
+        memo_snapshot,
+        release_caches,
+    )
+
     timings: dict[str, float] = {}
+    steady: dict[str, float] = {}
     total = 0.0
+
+    def run_once(fn, action: str) -> float:
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        if action == "noop":
+            # noop sink: full execution of EVERY output column
+            # (count-mode lets Catalyst prune unused final
+            # expressions), rows land JVM-side only
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            n = df.count()  # full execution; rows land JVM-side only
+            assert n >= 0
+        return time.perf_counter() - t0
+
     for name in names:
         fn = QUERIES[name]
         # Each timing covers plan construction + optimization + execution
         # (with repeat>1, best-of drops first-run JIT/analysis noise).
+        # MEMO-AWARE best-of (r14 verdict item 1): a rep may populate
+        # session-level memos (registry.shared_frame, the admit state
+        # dir, the bucketed layout, its own persisted frames via the
+        # CacheManager) that a later rep would read instead of
+        # recomputing — best-of would then record a block read as the
+        # named computation and the build cost would vanish from the
+        # TOTAL.  So between reps every memo/cache the previous rep
+        # created is evicted (state built by EARLIER queries is left
+        # alone — first-consumer billing, paid exactly once per suite):
+        # every rep pays the same build cost, and the billed number is
+        # build-inclusive for whichever query builds the state.
         best = float("inf")
         action = os.environ.get("BENCH_ACTION", "count")
-        for _ in range(max(repeat, 2) if name in NOISY else repeat):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            if action == "noop":
-                # noop sink: full execution of EVERY output column
-                # (count-mode lets Catalyst prune unused final
-                # expressions), rows land JVM-side only
-                df.write.format("noop").mode("overwrite").save()
-            else:
-                n = df.count()  # full execution; rows land JVM-side only
-                assert n >= 0
-            dt = time.perf_counter() - t0
-            best = min(best, dt)
+        snap = memo_snapshot(spark)
+        for i in range(max(repeat, 2) if name in NOISY else repeat):
+            if i:
+                release_caches()
+                spark.catalog.clearCache()
+                memo_restore(spark, snap)
+            best = min(best, run_once(fn, action))
         timings[name] = round(best, 4)
         total += best
+        # Steady-state twin: when the query built shared state, one
+        # extra warm rep records the memo-read cost separately (the
+        # "steady" column of BENCH_DETAIL) — informational only, never
+        # part of the billed total.
+        if memo_grew(spark, snap):
+            steady[name] = round(run_once(fn, action), 4)
         print(f"# {name}: {best:.3f}s", file=sys.stderr)
         # Multi-consumer queries persist intermediates (minhash, k-means,
         # clusters); drop them so cache from query i doesn't pressure the
@@ -209,10 +242,16 @@ def main() -> None:
         # is the materializing caller, so it owns the lifecycle);
         # clearCache() then sweeps any CacheManager entry created outside
         # the tracker (e.g. the recursive-CTE substitution cache).
-        from go_map_reduce_spark.registry import release_caches
-
         release_caches()
         spark.catalog.clearCache()
+        # Drop temp views the query created (streaming memory sinks hold
+        # their rows driver-side until dropped — across 279 queries the
+        # retained sink tables are pure heap pressure).  Managed tables
+        # (the bucketed layout memo) and pre-existing views survive.
+        _, _, snap_tables = snap
+        for t in spark.catalog.listTables():
+            if t.isTemporary and (t.name, True) not in snap_tables:
+                spark.catalog.dropTempView(t.name)
         # Nudge a driver GC periodically so ContextCleaner's weak-ref
         # queue drains: broadcasts and shuffle blocks from finished
         # queries are only reclaimed after their references are
@@ -258,6 +297,11 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "queries": timings,
+                # steady-state (memo-warm) twin per state-building query:
+                # queries[name] is build-inclusive (memo-aware reps);
+                # steady[name] is the same query re-run against the
+                # session state it built — informational, never summed.
+                "steady": steady,
             },
             f,
             indent=1,

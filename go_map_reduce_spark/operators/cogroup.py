@@ -27,15 +27,23 @@ OUT_SCHEMA = (
 
 
 def _reconcile(key, purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
-    # Integer-cents accumulation: order-independent (the dsum discipline
-    # applied inside a UDF — pandas sum order varies with partitioning).
-    cents = int(purchases["value"].mul(100).round().astype("int64").sum())
+    """Reconcile the PRE-AGGREGATED per-user rows (guide §2.3: aggregate
+    before you shuffle — the raw-event form shipped every event row into
+    the Python boundary; the partial aggregates ship ≤ 1 row per side
+    per user and the map-side combine runs in the JVM).  Each side is a
+    0-or-1-row frame; cents were accumulated as integers JVM-side (the
+    dsum discipline — round(value*100) is exact on the 2dp values, so
+    the sum is order-independent), and the only float op left is the
+    single final cents/100 divide — identical to the raw-event form."""
+    cents = int(purchases["cents"].sum())
     return pd.DataFrame(
         {
             "user_id": [key[0]],
-            "n_purchases": [len(purchases)],
+            "n_purchases": [
+                int(purchases["n_purchases"].sum())
+            ],
             "purchase_value": [cents / 100.0],
-            "n_clicks": [len(clicks)],
+            "n_clicks": [int(clicks["n_clicks"].sum())],
         }
     )
 
@@ -71,8 +79,28 @@ def cogroup_purchase_click_profile(spark: SparkSession, sf_dir: str) -> DataFram
 
     ensure_package_shipped(spark)
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
-    p = ev.where(F.col("event_type") == "purchase")
-    c = ev.where(F.col("event_type") == "click")
+    # Pre-aggregate each feed with built-ins BEFORE the cogroup (guide
+    # §2.3/§4, r14 verdict item 4): the partial (map-side) aggregation
+    # runs in the JVM and the exchange carries one narrow row per
+    # (user, side) instead of every event; the cogroup's own shuffle
+    # reuses the aggregation's hash partitioning (same key, same
+    # partition count — no extra Exchange), so the Python boundary sees
+    # 0-or-1-row frames per key.  round(value*100) on the 2dp values is
+    # exact (never a .5 tie), so JVM round == the former pandas round
+    # bit-for-bit and the result is unchanged.
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clicks"))
+    )
     return (
         p.groupBy("user_id")
         .cogroup(c.groupBy("user_id"))

@@ -187,6 +187,21 @@ def _spark_assign_vec(v: DataFrame, c: DataFrame) -> DataFrame:
             ),
         )
     )
+    # Dimension guard (r14 ADVICE): zip_with pads a length mismatch with
+    # nulls, which would surface as a silently-null dist2 where the
+    # exploded twin sums the intersecting dims — fail loudly instead.
+    # One integer comparison per row; never true for the fixed 64-dim
+    # embeddings table.
+    best = F.when(
+        F.size("varr") != F.size(F.element_at(F.col("cs"), 1)["cv"]),
+        F.raise_error(
+            F.concat(
+                F.lit("kmeans assign: vector length "),
+                F.size("varr").cast("string"),
+                F.lit(" != centroid dimension"),
+            )
+        ),
+    ).otherwise(best)
     return (
         v.crossJoin(F.broadcast(cents))
         .select("vec_id", best.alias("best"))

@@ -296,8 +296,13 @@ def encode_wav(channels: int, rate: int, frames: list[list[int]]) -> bytes:
     import numpy as np
 
     try:
-        arr = np.asarray(frames, dtype=np.int64)
+        arr = np.asarray(frames)
     except (ValueError, TypeError):  # ragged/typed-wrong input
+        arr = None
+    if arr is not None and not np.issubdtype(arr.dtype, np.integer):
+        # non-integer samples (e.g. 1.5): struct.pack('<h') raises
+        # struct.error — a forced int64 cast would silently truncate
+        # (r14 ADVICE), so route non-integer input to the strict path
         arr = None
     if arr is None or arr.ndim != 2 or arr.shape[1] != channels or (
         arr.size and (arr.min() < -32768 or arr.max() > 32767)

@@ -285,23 +285,40 @@ def kept_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source, tokens_kept) over the funnel's kept documents — the
     ONE Spark definition of the waterfill/schedule input frame (its
     SQL twin is _WF_PER_SRC), so the two mixture queries cannot
-    diverge on what was kept."""
-    staged = staged_decisions(spark, sf_dir)
-    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    return (
-        staged.where("gate_ok AND dedup_ok AND media_ok")
-        .join(src, "doc_id")
-        .groupBy("source")
-        .agg(
-            F.sum(F.col("n_tokens") - F.col("n_removed"))
-            .cast("long")
-            .alias("tokens_kept")
+    diverge on what was kept.
+
+    r15: memoized via registry.shared_frame.  The waterfill consumes
+    this frame THREE times per query (the ordered projection, the
+    totals aggregate, the rmin broadcast) and TWO registered queries
+    build on it — without the memo that is six re-runs of
+    staged-read → documents-join → aggregate per suite pass for a
+    frame of #sources rows.  At 100 TB per-source planning aggregates
+    materialize once; the build is billed to the first consumer
+    (memo-aware bench reps, r15)."""
+    from go_map_reduce_spark.registry import shared_frame
+
+    def _build() -> DataFrame:
+        staged = staged_decisions(spark, sf_dir)
+        src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+        return (
+            staged.where("gate_ok AND dedup_ok AND media_ok")
+            .join(src, "doc_id")
+            .groupBy("source")
+            .agg(
+                F.sum(F.col("n_tokens") - F.col("n_removed"))
+                .cast("long")
+                .alias("tokens_kept")
+            )
+            # A source whose kept docs net to zero tokens has nothing to
+            # allocate and would divide-by-zero the epochs columns under
+            # ANSI mode (sqrt(0) also degenerates the waterline weights) —
+            # drop it here, mirrored by HAVING in _WF_PER_SRC (r13 ADVICE).
+            .where(F.col("tokens_kept") > 0)
+            .localCheckpoint(eager=True)
         )
-        # A source whose kept docs net to zero tokens has nothing to
-        # allocate and would divide-by-zero the epochs columns under
-        # ANSI mode (sqrt(0) also degenerates the waterline weights) —
-        # drop it here, mirrored by HAVING in _WF_PER_SRC (r13 ADVICE).
-        .where(F.col("tokens_kept") > 0)
+
+    return shared_frame(
+        spark, f"wf_per_src:{sf_dir}", _build, data_path=sf_dir
     )
 
 

@@ -74,17 +74,37 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_union(dels, F.array(F.col("c_name")))
         ).alias("k"),
     )
-    a = keyed.select(F.col("c_name").alias("name_a"), "k")
-    b = keyed.select(F.col("c_name").alias("name_b"), "k")
-    cand = (
-        a.join(b, ["k"])
-        .where(F.col("name_a") < F.col("name_b"))
-        .select("name_a", "name_b")
-        .distinct()
-    )
-    return cand.where(
-        F.levenshtein("name_a", "name_b") <= FUZZY_MAX_DIST
+    # r15 (guide §2.4): the former a⋈b self-join shuffled the exploded
+    # key frame TWICE (both join sides re-ran scan+explode — Spark
+    # shares no subplans across join inputs) and ran distinct over the
+    # full unverified candidate set.  One groupBy-collect shuffle on
+    # the variant key replaces the join: pairs are generated INSIDE
+    # each (alphabet-bounded) bucket array, with the ordering AND the
+    # exact levenshtein verify applied before the explode, so the
+    # distinct dedups only verified matches.  2 shuffles → 1 on the
+    # corpus-sized frame (the remaining distinct runs on result-sized
+    # data); same zero-false-negative candidate generation, same rows.
+    buckets = keyed.groupBy("k").agg(F.collect_list("c_name").alias("ns"))
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "ns",
+                        lambda a: F.transform(
+                            "ns",
+                            lambda b: F.struct(a.alias("a"), b.alias("b")),
+                        ),
+                    )
+                ),
+                lambda s: (s["a"] < s["b"])
+                & (F.levenshtein(s["a"], s["b"]) <= FUZZY_MAX_DIST),
+            )
+        ).alias("p")
     ).select(
+        F.col("p.a").alias("name_a"), F.col("p.b").alias("name_b")
+    ).distinct()
+    return pairs.select(
         "name_a",
         "name_b",
         F.levenshtein("name_a", "name_b").cast("long").alias("dist"),

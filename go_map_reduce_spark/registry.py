@@ -84,6 +84,34 @@ def track_cache(df: DataFrame) -> DataFrame:
 
 _SHARED_FRAMES: dict[tuple[str, str, str], DataFrame] = {}
 
+# Durable-location mode (r14 verdict item 6): localCheckpoint blocks
+# live on executors and die with them — fine in local[...] (executor
+# loss = process death), a correctness gap on a real cluster.  With
+# SPARK_GRAFT_SHARED_DURABLE_DIR set, each built shared frame is
+# additionally written as parquet under
+# <dir>/<applicationId>/<md5(key:fingerprint)>/ and the memo holds a
+# READ of that parquet: the frame survives any executor loss, and a
+# vanished/damaged location is detected on the next shared_frame call
+# and rebuilt from source (rebuild-on-loss, covered by
+# tests/test_round15_opt.py).  The location is namespaced by
+# applicationId and removed at interpreter exit, so NOTHING persists
+# across processes — this is a spill location, not a cross-run cache.
+_DURABLE_ENV = "SPARK_GRAFT_SHARED_DURABLE_DIR"
+_SHARED_DURABLE_LOC: dict[tuple[str, str, str], str] = {}
+_DURABLE_APP_DIRS: set[str] = set()
+
+
+def _cleanup_durable_dirs() -> None:
+    import shutil
+
+    while _DURABLE_APP_DIRS:
+        shutil.rmtree(_DURABLE_APP_DIRS.pop(), ignore_errors=True)
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_cleanup_durable_dirs)
+
 
 def _data_fingerprint(path: Optional[str]) -> str:
     """Recursive listing fingerprint (relative paths + sizes + mtimes)
@@ -182,7 +210,16 @@ def shared_frame(
     memo key: rewriting the data under the same path invalidates the
     entry instead of serving the stale frame.
     """
+    import os
+
     k = (spark.sparkContext.applicationId, key, _data_fingerprint(data_path))
+    loc = _SHARED_DURABLE_LOC.get(k)
+    if k in _SHARED_FRAMES and loc is not None and not os.path.isdir(loc):
+        # durable location lost (disk eviction, manual cleanup):
+        # rebuild from source instead of serving a frame whose scan
+        # will fail at action time
+        del _SHARED_FRAMES[k]
+        del _SHARED_DURABLE_LOC[k]
     if k not in _SHARED_FRAMES:
         for dead in [
             x
@@ -190,8 +227,90 @@ def shared_frame(
             if x[0] != k[0] or (x[1] == k[1] and x[2] != k[2])
         ]:
             del _SHARED_FRAMES[dead]
-        _SHARED_FRAMES[k] = builder()
+            _SHARED_DURABLE_LOC.pop(dead, None)
+        df = builder()
+        root = os.environ.get(_DURABLE_ENV)
+        if root:
+            import hashlib
+
+            app_dir = os.path.join(root, k[0])
+            loc = os.path.join(
+                app_dir, hashlib.md5(f"{k[1]}:{k[2]}".encode()).hexdigest()
+            )
+            df.write.mode("overwrite").parquet(loc)
+            _DURABLE_APP_DIRS.add(app_dir)
+            df = spark.read.parquet(loc)
+            _SHARED_DURABLE_LOC[k] = loc
+        _SHARED_FRAMES[k] = df
     return _SHARED_FRAMES[k]
+
+
+def memo_snapshot(spark: SparkSession) -> tuple:
+    """Snapshot every session-level memo a query can populate: the
+    shared_frame entries, the streaming-admit finished-state dirs, and
+    the catalog's tables/temp views (the bucketed layout and the
+    streaming memory sinks).  Paired with memo_restore() this is the
+    bench's memo-aware repetition hook (r14 verdict item 1): between
+    best-of reps the state a rep built is evicted, so every rep pays
+    the same build cost and best-of can never bill a block read as the
+    named computation."""
+    from go_map_reduce_spark.streaming import admit
+
+    tables = {(t.name, bool(t.isTemporary)) for t in spark.catalog.listTables()}
+    return (set(_SHARED_FRAMES), set(admit._ADMIT_STATE_DIRS), tables)
+
+
+def memo_grew(spark: SparkSession, snap: tuple) -> bool:
+    """True when session-level memo state exists now that did not at
+    snapshot time — i.e. the intervening work BUILT shared state whose
+    steady-state (memo-read) cost differs from its build cost."""
+    from go_map_reduce_spark.streaming import admit
+
+    frames, dirs, tables = snap
+    if any(k not in frames for k in _SHARED_FRAMES):
+        return True
+    if any(k not in dirs for k in admit._ADMIT_STATE_DIRS):
+        return True
+    now = {(t.name, bool(t.isTemporary)) for t in spark.catalog.listTables()}
+    return any(t not in tables for t in now)
+
+
+def memo_restore(spark: SparkSession, snap: tuple) -> dict:
+    """Evict session-level memo state created after ``snap``:
+    shared_frame entries, admit state dirs (rmtree'd), and catalog
+    tables/temp views (managed tables dropped with their warehouse
+    data; temp views — e.g. streaming memory sinks — dropped, freeing
+    the sink rows).  Entries that existed at snapshot time are LEFT
+    ALONE, so restoring between reps of query N never touches state an
+    earlier query built (first-consumer billing stays once-per-suite).
+    Returns eviction counts per category."""
+    import shutil
+
+    from go_map_reduce_spark.streaming import admit
+
+    frames, dirs, tables = snap
+    n_frames = 0
+    for k in [k for k in _SHARED_FRAMES if k not in frames]:
+        del _SHARED_FRAMES[k]
+        loc = _SHARED_DURABLE_LOC.pop(k, None)
+        if loc is not None:
+            shutil.rmtree(loc, ignore_errors=True)
+        n_frames += 1
+    n_dirs = 0
+    for k in [k for k in admit._ADMIT_STATE_DIRS if k not in dirs]:
+        shutil.rmtree(admit._ADMIT_STATE_DIRS.pop(k), ignore_errors=True)
+        n_dirs += 1
+    n_tables = 0
+    for t in spark.catalog.listTables():
+        key = (t.name, bool(t.isTemporary))
+        if key in tables:
+            continue
+        if t.isTemporary:
+            spark.catalog.dropTempView(t.name)
+        else:
+            spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
+        n_tables += 1
+    return {"frames": n_frames, "state_dirs": n_dirs, "tables": n_tables}
 
 
 def invalidate_shared(key_prefix: str = "") -> int:
@@ -203,6 +322,7 @@ def invalidate_shared(key_prefix: str = "") -> int:
     doomed = [x for x in _SHARED_FRAMES if x[1].startswith(key_prefix)]
     for x in doomed:
         del _SHARED_FRAMES[x]
+        _SHARED_DURABLE_LOC.pop(x, None)
     return len(doomed)
 
 

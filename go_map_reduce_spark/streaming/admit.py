@@ -307,6 +307,20 @@ def _run_admit_stream(
 _ADMIT_STATE_DIRS: dict[tuple, str] = {}
 
 
+def _cleanup_admit_state_dirs() -> None:
+    """Remove every memoized state dir at interpreter exit (r14 ADVICE:
+    the memo kept tmpdirs alive that the pre-memo code removed in a
+    finally — without this they accumulate in /tmp across runs)."""
+    while _ADMIT_STATE_DIRS:
+        _, d = _ADMIT_STATE_DIRS.popitem()
+        shutil.rmtree(d, ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_admit_state_dirs)
+
+
 def finished_admit_state(spark: SparkSession, sf_dir: str) -> str:
     """Run the registered 4-batch admit stream ONCE per (SparkContext,
     data fingerprint) and memoize the FINISHED state directory — the
@@ -334,15 +348,20 @@ def finished_admit_state(spark: SparkSession, sf_dir: str) -> str:
     ]:
         shutil.rmtree(_ADMIT_STATE_DIRS.pop(dead), ignore_errors=True)
     tmp = tempfile.mkdtemp(prefix="gmrs_stream_admit_")
-    side = _admit_side(spark, sf_dir)
-    _write_batch_files(
-        spark,
-        sf_dir,
-        os.path.join(tmp, "src"),
-        list(range(N_STREAM_BATCHES)),
-        os.path.join(tmp, "stage"),
-    )
-    _run_admit_stream(spark, side, tmp)
+    try:
+        side = _admit_side(spark, sf_dir)
+        _write_batch_files(
+            spark,
+            sf_dir,
+            os.path.join(tmp, "src"),
+            list(range(N_STREAM_BATCHES)),
+            os.path.join(tmp, "stage"),
+        )
+        _run_admit_stream(spark, side, tmp)
+    except BaseException:
+        # a failed build must not leak its partial dir (r14 ADVICE)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     _ADMIT_STATE_DIRS[key] = tmp
     return tmp
 
