@@ -255,52 +255,66 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from go_map_reduce_spark.operators.dedup import minhash_near_dup_pairs
 
-    # localCheckpoint (not just persist): each round's plan would
-    # otherwise embed every previous round, so planning cost grows
-    # per iteration; checkpointing truncates the lineage and keeps
-    # per-round cost constant. (On a cluster with HDFS, `checkpoint()`
-    # — reliable storage — replaces localCheckpoint.)
-    pairs = (
-        minhash_near_dup_pairs(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
-    sym = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
-    labels = (
-        sym.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .localCheckpoint(eager=True)
-    )
-    edges = sym.select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nbr"))
-    while True:
-        nbr_min = (
-            edges.join(labels, edges.nbr == labels.doc_id)
-            .groupBy(edges.doc_id.alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least("cluster_id", F.coalesce("nbr_label", "cluster_id")).alias(
-                    "cluster_id"
-                ),
-            )
+    # r15: the label frame is memoized via registry.shared_frame (the
+    # largestar tier's convention applied to the propagation tier):
+    # near_dup_survivors and semantic_dedup_survivors compose on these
+    # labels and each used to re-run the whole propagation loop.  The
+    # build is billed to the first consumer (memo-aware bench reps).
+    def _build() -> DataFrame:
+        # localCheckpoint (not just persist): each round's plan would
+        # otherwise embed every previous round, so planning cost grows
+        # per iteration; checkpointing truncates the lineage and keeps
+        # per-round cost constant. (On a cluster with HDFS, `checkpoint()`
+        # — reliable storage — replaces localCheckpoint.)
+        pairs = (
+            minhash_near_dup_pairs(spark, sf_dir)
+            .select("doc_a", "doc_b")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
+        sym = pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        ).localCheckpoint(eager=True)
+        labels = (
+            sym.select(F.col("doc_a").alias("doc_id"))
+            .distinct()
+            .select("doc_id", F.col("doc_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
         )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+        edges = sym.select(
+            F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nbr")
+        )
+        while True:
+            nbr_min = (
+                edges.join(labels, edges.nbr == labels.doc_id)
+                .groupBy(edges.doc_id.alias("doc_id"))
+                .agg(F.min("cluster_id").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(nbr_min, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        "cluster_id", F.coalesce("nbr_label", "cluster_id")
+                    ).alias("cluster_id"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+
+    return shared_frame(
+        spark, f"clusters_prop:{sf_dir}", _build, data_path=sf_dir
+    )
 
 
 @query(

@@ -299,14 +299,33 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle; the cap's behavior under a degenerate corpus is pinned in
     tests/test_dedup.py.
     """
-    # The shingle-set frame feeds three consumers (band pipeline + both
-    # sides of the verify join); Spark does not share common subplans
-    # across joins, so persist it once — one row per doc (arrays), far
-    # smaller than the exploded (doc, shingle) form. At 100 TB the same
-    # role is played by materializing the signature table to storage
-    # between pipeline stages.
-    docsets = _doc_shingle_sets(spark, sf_dir).persist().transform(track_cache)
-    return _near_dup_pairs_from_docsets(docsets)
+    # r15: the VERIFIED pair frame is memoized via registry.shared_frame.
+    # Eight registered call sites compose on it (the cluster contraction,
+    # the cross-modal union graph, the leakage audit, the recall eval,
+    # keep-best, DSIR, the survivors queries) and each used to re-run
+    # the whole shingle→signature→band→verify pipeline — at 100 TB the
+    # near-dup pair list materializes ONCE per corpus version and every
+    # downstream stage reads it.  Build billed to the first consumer
+    # (memo-aware bench reps); the frame is pair-list sized, far below
+    # corpus size.
+    from go_map_reduce_spark.registry import shared_frame
+
+    def _build() -> DataFrame:
+        # The shingle-set frame feeds three consumers inside the build
+        # (band pipeline + both sides of the verify join); Spark does
+        # not share common subplans across joins, so persist it once —
+        # one row per doc (arrays), far smaller than the exploded
+        # (doc, shingle) form.
+        docsets = (
+            _doc_shingle_sets(spark, sf_dir).persist().transform(track_cache)
+        )
+        return _near_dup_pairs_from_docsets(docsets).localCheckpoint(
+            eager=True
+        )
+
+    return shared_frame(
+        spark, f"minhash_pairs:{sf_dir}", _build, data_path=sf_dir
+    )
 
 
 def _near_dup_pairs_from_docsets(docsets: DataFrame, cap: int = None) -> DataFrame:
@@ -484,54 +503,75 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    # One row per doc with the shingle-set array; the exploded relational
-    # form (needed for the global df computation + prefix ranking) is
-    # derived from it, so the tokenize/shingle work runs once.
-    docsets = _doc_shingle_sets(spark, sf_dir).persist().transform(track_cache)
-    sh = docsets.select(
-        "doc_id", F.size("shset").alias("sz"), F.explode("shset").alias("shingle")
-    )
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    ranked = sh.join(dfreq, "shingle").withColumn("rnk", F.row_number().over(w))
-    # (the prefix self-join's two sides are identical subplans — AQE
-    # exchange reuse executes the ranking pipeline once)
-    prefix = ranked.where(
-        F.col("rnk")
-        <= F.col("sz") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("sz")) + 1
-    ).select("doc_id", "shingle", "sz", "rnk")
-    a, b = prefix.alias("a"), prefix.alias("b")
-    # PPJoin positional filter (zero false negatives, like the prefix
-    # filter itself): jac >= t  ⇔  |A∩B| >= t/(1+t)·(|A|+|B|) =: α, and
-    # a match at prefix positions (pa, pb) bounds the achievable overlap
-    # by 1 + min(|A|-pa, |B|-pb). Pairs that cannot reach α never leave
-    # the join — on low-entropy corpora (shared boilerplate vocabulary)
-    # this prunes the candidate set by orders of magnitude before the
-    # expensive verify stage.
-    alpha = F.ceil(
-        F.lit(JACCARD_THRESHOLD / (1.0 + JACCARD_THRESHOLD))
-        * (F.col("a.sz") + F.col("b.sz"))
-    )
-    ubound = 1 + F.least(
-        F.col("a.sz") - F.col("a.rnk"), F.col("b.sz") - F.col("b.rnk")
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # r15: memoized like the minhash pair frame — the recall eval
+    # composes this exact tier against the LSH tier, so the PPJoin
+    # pipeline used to run twice per suite (and per repetition under
+    # memo-aware reps).  Build billed to the first consumer.
+    from go_map_reduce_spark.registry import shared_frame
+
+    def _build() -> DataFrame:
+        # One row per doc with the shingle-set array; the exploded
+        # relational form (needed for the global df computation + prefix
+        # ranking) is derived from it, so the tokenize/shingle work runs
+        # once.
+        docsets = (
+            _doc_shingle_sets(spark, sf_dir).persist().transform(track_cache)
         )
-        .where(
-            (
-                F.least("a.sz", "b.sz")
-                >= JACCARD_THRESHOLD * F.greatest("a.sz", "b.sz")
+        sh = docsets.select(
+            "doc_id",
+            F.size("shset").alias("sz"),
+            F.explode("shset").alias("shingle"),
+        )
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+        ranked = sh.join(dfreq, "shingle").withColumn(
+            "rnk", F.row_number().over(w)
+        )
+        # (the prefix self-join's two sides are identical subplans — AQE
+        # exchange reuse executes the ranking pipeline once)
+        prefix = ranked.where(
+            F.col("rnk")
+            <= F.col("sz") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("sz")) + 1
+        ).select("doc_id", "shingle", "sz", "rnk")
+        a, b = prefix.alias("a"), prefix.alias("b")
+        # PPJoin positional filter (zero false negatives, like the prefix
+        # filter itself): jac >= t  ⇔  |A∩B| >= t/(1+t)·(|A|+|B|) =: α, and
+        # a match at prefix positions (pa, pb) bounds the achievable overlap
+        # by 1 + min(|A|-pa, |B|-pb). Pairs that cannot reach α never leave
+        # the join — on low-entropy corpora (shared boilerplate vocabulary)
+        # this prunes the candidate set by orders of magnitude before the
+        # expensive verify stage.
+        alpha = F.ceil(
+            F.lit(JACCARD_THRESHOLD / (1.0 + JACCARD_THRESHOLD))
+            * (F.col("a.sz") + F.col("b.sz"))
+        )
+        ubound = 1 + F.least(
+            F.col("a.sz") - F.col("a.rnk"), F.col("b.sz") - F.col("b.rnk")
+        )
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
-            & (ubound >= alpha)
+            .where(
+                (
+                    F.least("a.sz", "b.sz")
+                    >= JACCARD_THRESHOLD * F.greatest("a.sz", "b.sz")
+                )
+                & (ubound >= alpha)
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        return _verify_jaccard(docsets, pairs).localCheckpoint(eager=True)
+
+    return shared_frame(
+        spark, f"ppjoin_pairs:{sf_dir}", _build, data_path=sf_dir
     )
-    return _verify_jaccard(docsets, pairs)
 
 
 _HEX_ODD = "('1','3','5','7','9','b','d','f')"

@@ -213,34 +213,50 @@ def doc_quality_composite_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: entirely per-row array expressions (one lower+split
     pass, reused by all rules) — no shuffle at all; the gate composes
     signals inline rather than joining text_quality_scores /
-    repetition_stats so the scan stays single-pass."""
-    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", toks.alias("toks")
-    )
-    n = F.size("toks")
-    stop = F.when(n == 0, F.lit(0.0)).otherwise(
-        F.size(F.filter("toks", lambda x: x.isin(*_GATE_STOPWORDS))).cast(
-            "double"
+    repetition_stats so the scan stays single-pass.
+
+    r15: memoized via registry.shared_frame — four call sites compose
+    on the verdict frame (the staged decisions, the bucketed layout,
+    the streaming-admit side frame, this query itself) and each used
+    to re-pay the full text scan + tokenize pass; the frame is five
+    narrow columns per doc.  Build billed to the first consumer
+    (memo-aware bench reps)."""
+    from go_map_reduce_spark.registry import shared_frame
+
+    def _build() -> DataFrame:
+        toks = F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
         )
-        / n
-    )
-    dup = F.when(n == 0, F.lit(0.0)).otherwise(
-        1.0 - F.size(F.array_distinct("toks")).cast("double") / n
-    )
-    verdict = (
-        F.when(n < GATE_MIN_TOKENS, "too_short")
-        .when(n > GATE_MAX_TOKENS, "too_long")
-        .when(stop < GATE_MIN_STOPWORD, "low_stopword")
-        .when(dup > GATE_MAX_DUPTOK, "repetitive")
-        .otherwise("keep")
-    )
-    return docs.select(
-        "doc_id",
-        n.cast("long").alias("n_tokens"),
-        F.round(stop, 6).alias("stopword_ratio"),
-        F.round(dup, 6).alias("dup_token_frac"),
-        verdict.alias("verdict"),
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", toks.alias("toks")
+        )
+        n = F.size("toks")
+        stop = F.when(n == 0, F.lit(0.0)).otherwise(
+            F.size(F.filter("toks", lambda x: x.isin(*_GATE_STOPWORDS))).cast(
+                "double"
+            )
+            / n
+        )
+        dup = F.when(n == 0, F.lit(0.0)).otherwise(
+            1.0 - F.size(F.array_distinct("toks")).cast("double") / n
+        )
+        verdict = (
+            F.when(n < GATE_MIN_TOKENS, "too_short")
+            .when(n > GATE_MAX_TOKENS, "too_long")
+            .when(stop < GATE_MIN_STOPWORD, "low_stopword")
+            .when(dup > GATE_MAX_DUPTOK, "repetitive")
+            .otherwise("keep")
+        )
+        return docs.select(
+            "doc_id",
+            n.cast("long").alias("n_tokens"),
+            F.round(stop, 6).alias("stopword_ratio"),
+            F.round(dup, 6).alias("dup_token_frac"),
+            verdict.alias("verdict"),
+        ).localCheckpoint(eager=True)
+
+    return shared_frame(
+        spark, f"quality_gate:{sf_dir}", _build, data_path=sf_dir
     )
 
 

@@ -118,6 +118,28 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 BASKET_MIN_SUPP = 3
 
 
+def _basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (order, part) item frame — the input of BOTH basket
+    co-occurrence queries, built once per session via
+    registry.shared_frame (r15): the distinct shuffle over lineitem is
+    the frame's whole cost and was paid per consumer before."""
+    from go_map_reduce_spark.registry import shared_frame
+
+    def _build() -> DataFrame:
+        return (
+            load_table(spark, sf_dir, "lineitem")
+            .select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    return shared_frame(
+        spark, f"basket_items:{sf_dir}", _build, data_path=sf_dir
+    )
+
+
 @query(
     "market_basket_pairs",
     oracle=f"""
@@ -147,16 +169,12 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpruned quadratic formulation — differential proof the broadcast
     prune drops nothing above threshold."""
     # items feeds the frequency prune AND (through pruned) both
-    # self-join sides; Spark shares no common subplans across joins, so
-    # without the persist each consumer re-runs the scan + distinct
-    # shuffle (the pagerank multi-consumer-barrier precedent)
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .persist()
-        .transform(track_cache)
-    )
+    # self-join sides — and the co-occurrence query builds the very
+    # same frame.  r15: one shared_frame build per session (was: one
+    # persist per query, re-running the scan + distinct shuffle for
+    # each of the two basket queries and, under memo-aware reps, per
+    # repetition).
+    items = _basket_items(spark, sf_dir)
     freq = (
         items.groupBy("p")
         .agg(F.count(F.lit(1)).alias("c"))

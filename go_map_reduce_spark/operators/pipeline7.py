@@ -160,17 +160,13 @@ def item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the already-reduced pair frame — at 100 TB the only heavy
     shuffles are the distinct and the pair count, both
     map-side-combinable."""
-    # items feeds THREE consumers (supports, both self-join sides);
-    # Spark shares no common subplans across joins, so without the
-    # persist each consumer re-runs the scan + distinct shuffle
-    # (the pagerank multi-consumer-barrier precedent)
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .persist()
-        .transform(track_cache)
-    )
+    # items feeds THREE consumers (supports, both self-join sides) and
+    # is the same frame market_basket_pairs builds — r15: one
+    # shared_frame build per session (pipeline6._basket_items) instead
+    # of a per-query persist re-running the scan + distinct shuffle.
+    from go_map_reduce_spark.operators.pipeline6 import _basket_items
+
+    items = _basket_items(spark, sf_dir)
     isupp = items.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
     a = items.select("o", F.col("p").alias("item"))
     b = items.select("o", F.col("p").alias("other"))

@@ -527,6 +527,114 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Decimal width for the in-row subspace distance fold: the kmeans.py
+# _DEC_FOLD rationale applied to 8-dim subspaces — same scale-12
+# per-term rounding as Sum(DECIMAL(38,12)), narrow enough that Spark's
+# add-result inference keeps scale 12 through the fold.  Decimal
+# addition is exact and order-free, so the fold equals the old
+# aggregate bit for bit.
+_PQ_DEC_FOLD = "decimal(20,12)"
+
+
+def _pq_sub_view(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, sarr) — each vector's {PQ_M} subspace slices as
+    double arrays; element casts identical to the exploded view's."""
+    return emb.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), mi -> struct("
+                f"CAST(mi AS INT) AS m,"
+                f" transform(slice(embedding, mi * {PQ_SUBDIM} + 1,"
+                f" {PQ_SUBDIM}), x -> CAST(x AS DOUBLE)) AS sarr))"
+            )
+        ).alias("e"),
+    ).select("vec_id", "e.m", "e.sarr")
+
+
+def _pq_assign_vec(sub: DataFrame, c: DataFrame) -> DataFrame:
+    """Nearest-subspace-centroid assignment as a broadcast narrow map
+    (r15: the r14 kmeans._spark_assign_vec pattern applied per
+    subspace).  The old form joined the exploded (vec, m, sd) corpus
+    against the centroid rows (×{PQ_K} fan-out), hash-aggregated the
+    decimal distances (Exchange) and ran a row_number window per
+    (vec_id, m) (second Exchange) — per Lloyd round.  Here the ≤
+    {PQ_M}×{PQ_K}×{PQ_SUBDIM}-value codebook collapses to {PQ_M} rows
+    of (cid, centroid-array) structs, broadcast-hash-joined on m; each
+    (vec, m) row evaluates the {PQ_K} decimal folds inline and
+    ``array_min`` over (d2, cid) structs is exactly the old
+    ORDER BY d2, cid argmin.  Zero data-side Exchanges at any scale."""
+    cents = (
+        c.groupBy("m", "cid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("sd"), F.col("val")))
+            ).alias("dv")
+        )
+        .select(
+            "m",
+            F.struct(
+                F.col("cid"),
+                F.transform("dv", lambda s: s["val"]).alias("cv"),
+            ).alias("cc"),
+        )
+        .groupBy("m")
+        .agg(F.array_sort(F.collect_list("cc")).alias("cs"))
+    )
+
+    def _d2(cv):
+        return F.aggregate(
+            F.zip_with(
+                F.col("sarr"),
+                cv,
+                lambda x, y: ((x - y) * (x - y)).cast(_PQ_DEC_FOLD),
+            ),
+            F.lit(0).cast(_PQ_DEC_FOLD),
+            lambda acc, t: (acc + t).cast(_PQ_DEC_FOLD),
+        ).cast("double")
+
+    best = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda cc: F.struct(
+                _d2(cc["cv"]).alias("d2"), cc["cid"].alias("cid")
+            ),
+        )
+    )
+    return (
+        sub.join(F.broadcast(cents), "m")
+        .select("vec_id", "m", best.alias("best"))
+        .select("vec_id", "m", F.col("best.cid").alias("cid"))
+    )
+
+
+def _pq_assign_exploded(pe: DataFrame, cents: DataFrame) -> DataFrame:
+    """Exploded-input reference form of the PQ assignment — retained as
+    the differential twin for _pq_assign_vec (tests compare the two
+    bit-exact on real data through the full Lloyd chain)."""
+    cc = cents.select(
+        "cid",
+        F.col("m").alias("cm"),
+        F.col("sd").alias("csd"),
+        F.col("val").alias("cval"),
+    )
+    diff = F.col("val") - F.col("cval")
+    dist = (
+        pe.join(
+            F.broadcast(cc),
+            (F.col("m") == F.col("cm")) & (F.col("sd") == F.col("csd")),
+        )
+        .groupBy("vec_id", "m", "cid")
+        .agg(F.sum((diff * diff).cast(_DEC12)).cast("double").alias("d2"))
+    )
+    wa = W.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    return (
+        dist.withColumn("rk", F.row_number().over(wa))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "m", "cid")
+    )
+
+
 def _pq_ann_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     pe = (
@@ -543,36 +651,20 @@ def _pq_ann_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_map_reduce_spark.registry import track_cache
 
     track_cache(pe)
+    sub = _pq_sub_view(emb.where(F.col("vec_id") >= PQ_N_QUERY))
     c = pe.where(F.col("vec_id") < PQ_N_QUERY + PQ_K).select(
         (F.col("vec_id") - PQ_N_QUERY).alias("cid"), "m", "sd", "val"
     )
 
     def assign(cents: DataFrame) -> DataFrame:
-        cc = cents.select(
-            "cid",
-            F.col("m").alias("cm"),
-            F.col("sd").alias("csd"),
-            F.col("val").alias("cval"),
-        )
-        diff = F.col("val") - F.col("cval")
-        dist = (
-            pe.join(
-                F.broadcast(cc),
-                (F.col("m") == F.col("cm")) & (F.col("sd") == F.col("csd")),
-            )
-            .groupBy("vec_id", "m", "cid")
-            .agg(F.sum((diff * diff).cast(_DEC12)).cast("double").alias("d2"))
-        )
-        wa = W.partitionBy("vec_id", "m").orderBy("d2", "cid")
-        return (
-            dist.withColumn("rk", F.row_number().over(wa))
-            .where(F.col("rk") == 1)
-            .select("vec_id", "m", "cid")
-        )
+        return _pq_assign_vec(sub, cents)
 
     def update(assigned: DataFrame) -> DataFrame:
+        # the assignment frame is (corpus × M) narrow rows from a
+        # zero-shuffle map — broadcast it so the exploded corpus side
+        # never shuffles for the update either
         return (
-            pe.join(assigned, ["vec_id", "m"])
+            pe.join(F.broadcast(assigned), ["vec_id", "m"])
             .groupBy("cid", "m", "sd")
             .agg(
                 (

@@ -136,6 +136,58 @@ def test_encode_wav_rejects_non_integer_samples():
     assert struct.pack("<2h", 1, -2) in out
 
 
+def test_pq_assign_vec_matches_exploded_twin(spark, sf_dir):
+    """r15: the PQ Lloyd assignment was rewritten from
+    explode+join+window to the broadcast in-row decimal fold (the r14
+    kmeans pattern per subspace) — pin bit-exact equality against the
+    retained exploded twin through two full Lloyd rounds on real
+    data."""
+    from pyspark.sql import functions as F
+
+    from go_map_reduce_spark.catalog import load_table
+    from go_map_reduce_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= S.PQ_N_QUERY)
+    pe = corpus.select(
+        "vec_id", F.posexplode("embedding").alias("p", "fval")
+    ).select(
+        "vec_id",
+        (F.col("p") / S.PQ_SUBDIM).cast("int").alias("m"),
+        (F.col("p") % S.PQ_SUBDIM).alias("sd"),
+        F.col("fval").cast("double").alias("val"),
+    )
+    sub = S._pq_sub_view(corpus)
+    c = pe.where(F.col("vec_id") < S.PQ_N_QUERY + S.PQ_K).select(
+        (F.col("vec_id") - S.PQ_N_QUERY).alias("cid"), "m", "sd", "val"
+    )
+
+    def upd(assigned):
+        return (
+            pe.join(assigned, ["vec_id", "m"])
+            .groupBy("cid", "m", "sd")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("val")
+            )
+        )
+
+    for rnd in range(2):
+        a_new = sorted(
+            map(tuple, S._pq_assign_vec(sub, c).collect())
+        )
+        a_old = sorted(
+            map(tuple, S._pq_assign_exploded(pe, c).collect())
+        )
+        assert a_new == a_old, f"assignment diverged at round {rnd}"
+        assert a_new, "empty assignment"
+        c = upd(S._pq_assign_vec(sub, c)).localCheckpoint(eager=True)
+
+
 def test_kmeans_assign_vec_rejects_dimension_mismatch(spark):
     """r14 ADVICE: zip_with pads a length mismatch with nulls (silent
     wrong answer vs the exploded twin) — the guard must raise instead."""
