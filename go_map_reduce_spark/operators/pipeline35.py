@@ -256,18 +256,35 @@ def media_survivor_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters among video carriers), elected by the registered
     ``_survivor_agg`` arg-min policy.  Tiny by construction
     (≤ #distinct perceptual keys rows), so every consumer broadcasts
-    it: the media stage adds ZERO shuffles to the funnel."""
-    imgc, audc, vidc = _carrier_media_frames(spark, sf_dir)
-    img_sv = _survivor_agg(
-        imgc, "ahash", "codec", _rank_col("codec", IMG_RANK)
-    ).select(F.col("survivor_doc_id").alias("doc_id"))
-    aud_sv = _survivor_agg(
-        audc, "afp", "layout", _rank_col("layout", AUD_RANK)
-    ).select(F.col("survivor_doc_id").alias("doc_id"))
-    vid_sv = _survivor_agg(
-        vidc, "vfp", "variant", _rank_col("variant", VID_RANK)
-    ).select(F.col("survivor_doc_id").alias("doc_id"))
-    return img_sv.unionByName(aud_sv).unionByName(vid_sv)
+    it: the media stage adds ZERO shuffles to the funnel.
+
+    r15: memoized via registry.shared_frame — the staged decisions,
+    the bucketed layout and the media_admit_decision query each ran
+    the three survivor elections (plus the memoized decode-frame
+    reads) per call; the elected id set is survivor-sized and
+    materializes once per session."""
+    from go_map_reduce_spark.registry import shared_frame
+
+    def _build() -> DataFrame:
+        imgc, audc, vidc = _carrier_media_frames(spark, sf_dir)
+        img_sv = _survivor_agg(
+            imgc, "ahash", "codec", _rank_col("codec", IMG_RANK)
+        ).select(F.col("survivor_doc_id").alias("doc_id"))
+        aud_sv = _survivor_agg(
+            audc, "afp", "layout", _rank_col("layout", AUD_RANK)
+        ).select(F.col("survivor_doc_id").alias("doc_id"))
+        vid_sv = _survivor_agg(
+            vidc, "vfp", "variant", _rank_col("variant", VID_RANK)
+        ).select(F.col("survivor_doc_id").alias("doc_id"))
+        return (
+            img_sv.unionByName(aud_sv)
+            .unionByName(vid_sv)
+            .localCheckpoint(eager=True)
+        )
+
+    return shared_frame(
+        spark, f"media_survivors:{sf_dir}", _build, data_path=sf_dir
+    )
 
 
 def media_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:

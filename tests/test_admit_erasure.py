@@ -8,6 +8,8 @@ the purge (the at-least-once window) must not resurrect an erased
 subject in the decisions artifact nor re-enter a purged cluster into
 the seen-set."""
 
+import pytest
+
 import os
 import shutil
 import tempfile
@@ -28,6 +30,7 @@ from go_map_reduce_spark.streaming.admit_erasure import purge_erased_state
 from tests.oracle_util import compare
 
 
+@pytest.mark.slow  # r15: multi-minute marathon; default run deselects (pytest.ini)
 def test_against_duckdb_oracle(spark, sf_dir):
     compare(
         QUERIES["streaming_admit_erasure_audit"](spark, sf_dir),

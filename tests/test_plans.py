@@ -3,6 +3,8 @@
 asserted so a refactor can't silently regress them.
 """
 
+import pytest
+
 from go_map_reduce_spark.registry import QUERIES
 
 
@@ -96,6 +98,7 @@ def test_tfidf_lazy_construction(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+@pytest.mark.slow  # r15: multi-minute marathon; default run deselects (pytest.ini)
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     for name in QUERIES:
         if name.endswith("_stream") or name == "events_stateful_user_totals":
@@ -179,6 +182,7 @@ def test_ann_purity_is_equality_join_with_bounded_window(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+@pytest.mark.slow  # r15: multi-minute marathon; default run deselects (pytest.ini)
 def test_every_oracle_parses_and_binds(sf_dir):
     """Registry-wide oracle sanity: every DuckDB oracle must parse and
     bind against the table schemas (EXPLAIN — no execution). Catches a

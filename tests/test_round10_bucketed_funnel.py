@@ -16,6 +16,7 @@ from go_map_reduce_spark.registry import ORACLES, QUERIES
 from tests.oracle_util import compare
 
 
+@pytest.mark.slow  # r15: multi-minute marathon; default run deselects (pytest.ini)
 def test_against_duckdb_oracle(spark, sf_dir):
     compare(
         QUERIES["curation_funnel_bucketed"](spark, sf_dir),

@@ -30,6 +30,7 @@ def test_funnel_by_source_against_duckdb_oracle(spark, sf_dir):
     )
 
 
+@pytest.mark.slow  # r15: multi-minute marathon; default run deselects (pytest.ini)
 def test_waterfill_against_duckdb_oracle(spark, sf_dir):
     compare(
         QUERIES["mixture_cap_waterfill"](spark, sf_dir),
@@ -288,6 +289,7 @@ def test_dialog_corpus_partitions_events(spark, sf_dir):
     assert (out["text"].str.len() == out["n_chars"]).all()
 
 
+@pytest.mark.slow  # r15: multi-minute marathon; default run deselects (pytest.ini)
 def test_epoch_schedule_against_duckdb_oracle(spark, sf_dir):
     compare(
         QUERIES["mixture_epoch_schedule"](spark, sf_dir),

@@ -88,11 +88,15 @@ def test_stream_source_against_oracle(spark, sf_dir):
 
 def test_stream_source_runs_multiple_microbatches(spark, tmp_path):
     """The source must be consumed incrementally (offset pacing), not
-    as one giant batch: 1200 rows at 300/batch → ≥ 4 microbatches."""
+    as one giant batch: STREAM_N rows at STREAM_CHUNK/batch →
+    ≥ STREAM_N // STREAM_CHUNK microbatches (r15 raised the chunk to
+    600 per guide §4 — the multi-batch offset protocol stays
+    demonstrated at half the lifecycle cost)."""
     from pyspark.sql import functions as F
 
     from go_map_reduce_spark.shipping import ensure_package_shipped
     from go_map_reduce_spark.sources.pydatasource import (
+        STREAM_CHUNK,
         STREAM_N,
         register_replay_stream_source,
     )
@@ -116,4 +120,6 @@ def test_stream_source_runs_multiple_microbatches(spark, tmp_path):
     row = spark.table("streamsrc_batches").collect()[0]
     assert row["n"] == STREAM_N
     assert row["s"] == STREAM_N * (STREAM_N - 1) // 2
-    assert n_batches >= 4
+    expected = -(-STREAM_N // STREAM_CHUNK)
+    assert expected >= 2, "chunk too large: offset pacing no longer multi-batch"
+    assert n_batches >= expected

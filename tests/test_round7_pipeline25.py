@@ -125,9 +125,12 @@ def test_cut_plan_has_no_cartesian_and_no_token_array_shuffle(spark, sf_dir):
     import io
     import re
 
-    from go_map_reduce_spark.operators.pipeline25 import substring_dup_cut
+    # r15: the registered query memoizes the built frame (shared_frame),
+    # so its own plan is a checkpoint-block scan — the scale guards
+    # apply to the BUILD plan, exposed as _cut_plan.
+    from go_map_reduce_spark.operators.pipeline25 import _cut_plan
 
-    df = substring_dup_cut(spark, sf_dir)
+    df = _cut_plan(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

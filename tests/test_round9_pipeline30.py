@@ -19,6 +19,7 @@ from tests.oracle_util import compare
 NAMES = ["curation_incremental_admit", "curation_drift_report"]
 
 
+@pytest.mark.slow  # r15: multi-minute marathon; default run deselects (pytest.ini)
 @pytest.mark.parametrize("name", NAMES)
 def test_against_duckdb_oracle(name, spark, sf_dir):
     compare(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)

@@ -519,6 +519,7 @@ class _TtlContrastProbe:
         pass
 
 
+@pytest.mark.slow  # r15: multi-minute marathon; default run deselects (pytest.ini)
 def test_value_state_ttl_expires_across_restart(spark, tmp_path):
     """State TTL, the last cell of the typed-state matrix: two
     availableNow runs share one checkpoint; the second starts after
